@@ -1,0 +1,41 @@
+"""reindexer_tpu — a TPU-native index-and-query engine.
+
+A ground-up re-design of the capabilities of Restream/reindexer (an
+embeddable document database with secondary indexes, BM25 full-text search,
+vector KNN indexes and hybrid fusion) for TPU hardware: the search core runs
+as device-resident batched JAX/XLA/Pallas kernels, sharded across chips with
+collective top-k merges.
+
+Public API mirrors the reference's embedded engine (core/reindexer.h) and Go
+builder (query.go):
+
+    from reindexer_tpu import Reindexer, Query, IndexDef, IndexOpts
+    db = Reindexer()
+    db.open_namespace("items", [IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+    db.upsert("items", {"id": 1, "vec": [0.1] * 128})
+    res = db.select(Query("items").where_knn("vec", qvec, HnswSearchParams(k=10, ef=50)))
+"""
+from .core.database import Reindexer
+from .core.errors import (ConflictError, LogicError, NotFoundError, ParamsError,
+                          QueryError, ReindexerError, StorageError)
+from .core.payload import (EmbeddingConfig, FloatVectorOpts, IndexDef, IndexOpts,
+                           QuantizationConfig)
+from .core.transaction import Transaction
+from .core.type_consts import (AggType, CondType, FieldType, IndexType, OpType,
+                               StrictMode, VectorMetric)
+from .index.vector.params import (BruteForceSearchParams, HnswSearchParams,
+                                  IvfSearchParams, KnnSearchParams)
+from .query.query import JoinType, Query, SortingEntry
+from .query.results import QueryResults, ResultItem
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Reindexer", "Query", "QueryResults", "ResultItem", "Transaction",
+    "IndexDef", "IndexOpts", "FloatVectorOpts", "QuantizationConfig",
+    "EmbeddingConfig", "KnnSearchParams", "BruteForceSearchParams",
+    "HnswSearchParams", "IvfSearchParams", "JoinType", "SortingEntry",
+    "CondType", "OpType", "IndexType", "FieldType", "AggType", "VectorMetric",
+    "StrictMode", "ReindexerError", "QueryError", "ParamsError",
+    "NotFoundError", "ConflictError", "LogicError", "StorageError",
+]

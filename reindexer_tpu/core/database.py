@@ -1,0 +1,341 @@
+"""Database facade — the embedded engine entry point.
+
+Semantic equivalent of the reference `Reindexer` / `ReindexerImpl`
+(cpp_src/core/reindexer.h:73-207, reindexer_impl/reindexerimpl.cc): namespace
+registry, item CRUD wrappers, query execution, transactions, metadata, the
+system namespaces (#namespaces/#memstats/#perfstats/#config/...,
+cpp_src/core/system_ns_names.h:7-16), dynamic config, and the embedders hook
+for query auto-embedding (reindexerimpl.cc:1231 embedQuery).
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Iterable, Optional, Sequence, Union
+
+import numpy as np
+
+from .errors import NotFoundError, ParamsError, QueryError
+from .namespace import Namespace
+from .payload import IndexDef
+from .transaction import Transaction
+from ..query.executor import Selecter
+from ..query.query import Query
+from ..query.results import QueryResults, ResultItem
+
+SYSTEM_NS = ("#namespaces", "#memstats", "#perfstats", "#queriesperfstats",
+             "#config", "#activitystats", "#clientsstats", "#replicationstats")
+
+DEFAULT_CONFIG = {
+    "profiling": {
+        "queriesperfstats": True,
+        "perfstats": True,
+        "memstats": True,
+        "activitystats": True,
+        "long_queries_logging": {
+            "select": {"threshold_us": -1, "normalized": False},
+            "update_delete": {"threshold_us": -1, "normalized": False},
+            "transaction": {"threshold_total_us": -1, "threshold_avg_step_us": -1},
+        },
+    },
+    "namespaces": [],
+    "replication": {"server_id": 0, "cluster_id": 1},
+    "async_replication": {"role": "none", "nodes": []},
+    "embedders": [],
+}
+
+
+class Reindexer:
+    """Embedded database engine.
+
+    Usage:
+        db = Reindexer()                      # in-memory
+        db = Reindexer("/path/to/storage")    # persistent
+        db.open_namespace("items", [IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+        db.upsert("items", {"id": 1, "name": "x"})
+        res = db.select(Query("items").where("id", "=", 1))
+    """
+
+    def __init__(self, dsn: str = "", storage=None):
+        self._namespaces: dict[str, Namespace] = {}
+        self._lock = threading.RLock()
+        self._selecter = Selecter(self)
+        self._config = {k: (dict(v) if isinstance(v, dict) else list(v))
+                        for k, v in DEFAULT_CONFIG.items()}
+        self._embedders: dict[str, Any] = {}
+        self._activity: list[dict] = []
+        self.storage = storage
+        if dsn and storage is None:
+            from ..storage.engine import FileStorage
+            path = dsn[len("builtin://"):] if dsn.startswith("builtin://") else dsn
+            if path:
+                self.storage = FileStorage(path)
+        if self.storage is not None:
+            self._load_from_storage()
+
+    # ------------------------------------------------------------------
+    # namespace lifecycle (reference: reindexer.h OpenNamespace/AddNamespace/...)
+    # ------------------------------------------------------------------
+    def open_namespace(self, name: str,
+                       indexes: Sequence[IndexDef] = ()) -> Namespace:
+        with self._lock:
+            ns = self._namespaces.get(name)
+            if ns is None:
+                if name.startswith("#"):
+                    raise ParamsError("'#' namespace names are reserved")
+                ns = Namespace(name)
+                self._namespaces[name] = ns
+                if self.storage is not None:
+                    self.storage.attach_namespace(ns)
+            for idef in indexes:
+                ns.add_index(idef)
+            return ns
+
+    add_namespace = open_namespace
+
+    def close_namespace(self, name: str) -> None:
+        with self._lock:
+            if name not in self._namespaces:
+                raise NotFoundError(f"namespace '{name}' not found")
+            if self.storage is not None:
+                self.storage.flush_namespace(self._namespaces[name])
+            del self._namespaces[name]
+
+    def drop_namespace(self, name: str) -> None:
+        with self._lock:
+            ns = self._namespaces.pop(name, None)
+            if ns is None:
+                raise NotFoundError(f"namespace '{name}' not found")
+            if self.storage is not None:
+                self.storage.drop_namespace(name)
+
+    def truncate_namespace(self, name: str) -> None:
+        self.get_namespace(name).truncate()
+
+    def rename_namespace(self, src: str, dst: str) -> None:
+        with self._lock:
+            ns = self._namespaces.pop(src, None)
+            if ns is None:
+                raise NotFoundError(f"namespace '{src}' not found")
+            ns.name = dst
+            ns.payload_type.name = dst
+            self._namespaces[dst] = ns
+            if self.storage is not None:
+                self.storage.rename_namespace(src, dst)
+
+    def get_namespace(self, name: str) -> Namespace:
+        if name.startswith("#"):
+            return self._system_namespace(name)
+        ns = self._namespaces.get(name)
+        if ns is None:
+            raise NotFoundError(f"namespace '{name}' not found")
+        return ns
+
+    def namespace_names(self) -> list[str]:
+        return list(self._namespaces.keys())
+
+    # ------------------------------------------------------------------
+    # index management
+    # ------------------------------------------------------------------
+    def add_index(self, ns_name: str, idef: IndexDef) -> None:
+        self.get_namespace(ns_name).add_index(idef)
+
+    def update_index(self, ns_name: str, idef: IndexDef) -> None:
+        self.get_namespace(ns_name).update_index(idef)
+
+    def drop_index(self, ns_name: str, index_name: str) -> None:
+        self.get_namespace(ns_name).drop_index(index_name)
+
+    def set_schema(self, ns_name: str, schema: dict) -> None:
+        self.get_namespace(ns_name).schema = schema
+
+    # ------------------------------------------------------------------
+    # item CRUD (reference: reindexer.h Insert/Update/Upsert/Delete)
+    # ------------------------------------------------------------------
+    def insert(self, ns_name: str, doc: dict) -> int:
+        doc = self._embed_upsert(ns_name, doc)
+        return self.get_namespace(ns_name).upsert(doc, mode="insert")
+
+    def update(self, ns_name: str, doc: dict) -> int:
+        doc = self._embed_upsert(ns_name, doc)
+        return self.get_namespace(ns_name).upsert(doc, mode="update")
+
+    def upsert(self, ns_name: str, doc: dict) -> int:
+        doc = self._embed_upsert(ns_name, doc)
+        return self.get_namespace(ns_name).upsert(doc, mode="upsert")
+
+    def delete(self, ns_name: str, doc: dict) -> bool:
+        return self.get_namespace(ns_name).delete(doc)
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+    def select(self, q: Union[Query, str]) -> QueryResults:
+        if isinstance(q, str):
+            from ..query.sql import parse_sql
+            q = parse_sql(q)
+            if q.update_entries:
+                return self._selecter.update(q)
+        t0 = time.perf_counter()
+        act = {"query": q.namespace, "state": "in_progress",
+               "start": time.time()}
+        self._activity.append(act)
+        try:
+            res = self._selecter.select(q)
+        finally:
+            self._activity.remove(act)
+        return res
+
+    def update_query(self, q: Query) -> QueryResults:
+        return self._selecter.update(q)
+
+    def delete_query(self, q: Query) -> int:
+        return self._selecter.delete(q)
+
+    def explain(self, q: Query) -> dict:
+        q.explain_ = True
+        return self.select(q).explain or {}
+
+    # ------------------------------------------------------------------
+    # transactions
+    # ------------------------------------------------------------------
+    def new_transaction(self, ns_name: str) -> Transaction:
+        self.get_namespace(ns_name)  # existence check
+        return Transaction(self, ns_name)
+
+    # ------------------------------------------------------------------
+    # metadata
+    # ------------------------------------------------------------------
+    def put_meta(self, ns_name: str, key: str, value: str) -> None:
+        self.get_namespace(ns_name).put_meta(key, value)
+
+    def get_meta(self, ns_name: str, key: str) -> Optional[str]:
+        return self.get_namespace(ns_name).get_meta(key)
+
+    def enum_meta(self, ns_name: str) -> list[str]:
+        return self.get_namespace(ns_name).enum_meta()
+
+    def delete_meta(self, ns_name: str, key: str) -> None:
+        self.get_namespace(ns_name).delete_meta(key)
+
+    # ------------------------------------------------------------------
+    # embedders (reference: core/embedding/embedder.cc; float_vector.md:98-150)
+    # ------------------------------------------------------------------
+    def register_embedder(self, tag: str, fn) -> None:
+        """Register an embedding callable: fn(list[str]) -> list[vector].
+
+        The reference calls an external HTTP embedder service; here any
+        callable can serve (the HTTP connector in server/embedders.py builds
+        one from an endpoint URL).
+        """
+        self._embedders[tag] = fn
+
+    def embed_query(self, ns: Namespace, field: str, text: str) -> np.ndarray:
+        idef = ns.index_def(field)
+        if idef is None or idef.vector_opts is None or idef.vector_opts.embedding is None:
+            raise QueryError(
+                f"KNN by string requires an embedding config on index '{field}'")
+        emb = idef.vector_opts.embedding
+        fn = self._embedders.get(emb.cache_tag or emb.endpoint)
+        if fn is None:
+            from ..server.embedders import HttpEmbedder
+            fn = HttpEmbedder(emb.endpoint)
+            self._embedders[emb.cache_tag or emb.endpoint] = fn
+        return np.asarray(fn([text])[0], dtype=np.float32)
+
+    def _embed_upsert(self, ns_name: str, doc: dict) -> dict:
+        """Upsert-side auto-embedding (reference: embedder.cc upsert embedders)."""
+        ns = self._namespaces.get(ns_name)
+        if ns is None:
+            return doc
+        from .payload import get_json_path, set_json_path
+        for idef in ns.payload_type.indexes:
+            vo = idef.vector_opts
+            if vo is None or vo.embedding is None or not vo.embedding.fields:
+                continue
+            emb = vo.embedding
+            current = get_json_path(doc, idef.json_paths[0])
+            if emb.strategy == "empty_only" and current:
+                continue
+            src = [str(get_json_path(doc, f) or "") for f in emb.fields]
+            fn = self._embedders.get(emb.cache_tag or emb.endpoint)
+            if fn is None:
+                continue  # no embedder wired: leave the doc unchanged
+            vec = fn([" ".join(src)])[0]
+            doc = dict(doc)
+            set_json_path(doc, idef.json_paths[0], list(map(float, vec)))
+        return doc
+
+    # ------------------------------------------------------------------
+    # config (reference: #config namespace, core/dbconfig.cc)
+    # ------------------------------------------------------------------
+    def get_config(self) -> dict:
+        return self._config
+
+    def update_config(self, section: str, value: Any) -> None:
+        self._config[section] = value
+
+    # ------------------------------------------------------------------
+    # system namespaces (reference: reindexerimpl syncSystemNamespaces)
+    # ------------------------------------------------------------------
+    def _system_namespace(self, name: str) -> Namespace:
+        ns = Namespace.__new__(Namespace)
+        Namespace.__init__(ns, name="_sys_tmp")
+        ns.name = name
+        docs: list[dict] = []
+        if name == "#namespaces":
+            for n, real in self._namespaces.items():
+                docs.append({"name": n,
+                             "indexes": [d.to_dict() for d in real.index_defs()],
+                             "items_count": real.item_count()})
+        elif name == "#memstats":
+            for n, real in self._namespaces.items():
+                st = real.memstat()
+                st["name"] = n
+                docs.append(st)
+        elif name == "#perfstats":
+            for n, real in self._namespaces.items():
+                docs.append({"name": n, **real.perf.stats()})
+        elif name == "#queriesperfstats":
+            for n, real in self._namespaces.items():
+                st = real.perf.stats()
+                if "selects" in st:
+                    docs.append({"query": f"SELECT * FROM {n}", **st["selects"]})
+        elif name == "#config":
+            for section, value in self._config.items():
+                docs.append({"type": section, section: value})
+        elif name == "#activitystats":
+            docs = [dict(a) for a in self._activity]
+        elif name == "#clientsstats":
+            docs = []
+        elif name == "#replicationstats":
+            docs = []
+        else:
+            raise NotFoundError(f"unknown system namespace '{name}'")
+        from .payload import IndexDef as _ID, IndexOpts as _IO
+        from .type_consts import FieldType as _FT, IndexType as _IT
+        # system ns rows are synthesized on the fly; no PK required for select
+        for i, d in enumerate(docs):
+            ns.items.append(d)
+        return ns
+
+    # ------------------------------------------------------------------
+    # storage
+    # ------------------------------------------------------------------
+    def _load_from_storage(self) -> None:
+        for name in self.storage.namespace_names():
+            ns = Namespace(name)
+            self._namespaces[name] = ns
+            self.storage.load_namespace(ns)
+            self.storage.attach_namespace(ns)
+
+    def flush(self) -> None:
+        if self.storage is None:
+            return
+        for ns in self._namespaces.values():
+            self.storage.flush_namespace(ns)
+
+    def close(self) -> None:
+        self.flush()
+        if self.storage is not None:
+            self.storage.close()

@@ -1,0 +1,39 @@
+"""Index factory (reference: Index::New switch, cpp_src/core/index/index.cc:80-115)."""
+from __future__ import annotations
+
+from ..core.errors import ParamsError
+from ..core.payload import IndexDef
+from ..core.type_consts import FieldType, IndexType
+from .base import Index
+from .scalar import CompositeIndex, HashIndex, StoreIndex, TreeIndex, TtlIndex
+
+
+def create_index(idef: IndexDef) -> Index:
+    if idef.is_composite:
+        return CompositeIndex(idef, ordered=idef.index_type == IndexType.TREE)
+    if idef.index_type == IndexType.HASH:
+        return HashIndex(idef)
+    if idef.index_type == IndexType.TREE:
+        return TreeIndex(idef)
+    if idef.index_type == IndexType.STORE:
+        return StoreIndex(idef)
+    if idef.index_type == IndexType.TTL:
+        if idef.opts.expire_after <= 0:
+            raise ParamsError("ttl index requires opts.expire_after > 0")
+        return TtlIndex(idef)
+    if idef.index_type == IndexType.RTREE:
+        from .rtree import RTreeIndex
+        return RTreeIndex(idef)
+    if idef.index_type == IndexType.TEXT:
+        from .text import FullTextIndex
+        return FullTextIndex(idef)
+    if idef.index_type == IndexType.VEC_BF:
+        from .vector.brute_force import BruteForceIndex
+        return BruteForceIndex(idef)
+    if idef.index_type == IndexType.HNSW:
+        from .vector.hnsw import HnswIndex
+        return HnswIndex(idef)
+    if idef.index_type == IndexType.IVF:
+        from .vector.ivf import IvfIndex
+        return IvfIndex(idef)
+    raise ParamsError(f"unknown index type: {idef.index_type}")

@@ -1,0 +1,90 @@
+"""Float-vector index base.
+
+Semantic equivalent of the reference `FloatVectorIndex`
+(cpp_src/core/index/float_vector/float_vector_index.h:45): dims/metric
+checks, empty-vector bookkeeping, rank ordering per metric, radius
+filtering, and the common select facade over {brute-force, HNSW, IVF}
+engines. Ranks returned to the planner are the metric values themselves
+(L2 distance ascending / similarity descending), matching the reference's
+KnnCtx rank semantics (hnsw_index.cc:232-290).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from ...core.errors import ParamsError
+from ...core.payload import IndexDef
+from ...core.type_consts import CondType, RankOrdering, VectorMetric
+from ...ops.distance import metric_ordering
+from ..base import Index, SelectKeyResult
+from .keeper import VectorKeeper
+from .params import KnnSearchParams
+
+
+class FloatVectorIndexBase(Index):
+    def __init__(self, definition: IndexDef):
+        super().__init__(definition)
+        vo = definition.vector_opts
+        assert vo is not None
+        self.dims = vo.dims
+        self.metric = vo.metric
+        self.ordering = metric_ordering(self.metric)
+        self.keeper = VectorKeeper(vo.dims, vo.metric, vo.start_size)
+
+    # --- Index interface ------------------------------------------------
+    def upsert(self, row_id: int, values: Any) -> None:
+        if values is None or (isinstance(values, (list, tuple, np.ndarray))
+                              and len(values) == 0):
+            self.keeper.set(row_id, None)  # empty vector: excluded from KNN
+            return
+        self.keeper.set(row_id, np.asarray(values, dtype=np.float32))
+
+    def delete(self, row_id: int, values: Any) -> None:
+        self.keeper.remove(row_id)
+
+    def supports(self, condition: CondType) -> bool:
+        return condition in (CondType.KNN, CondType.ANY, CondType.EMPTY)
+
+    def select_key(self, condition: CondType, values: tuple, **kw) -> SelectKeyResult:
+        if condition in (CondType.ANY, CondType.EMPTY):
+            self.keeper.flush()
+            valid = np.asarray(self.keeper.valid)
+            ids = np.flatnonzero(valid if condition == CondType.ANY else ~valid)
+            return SelectKeyResult(ids.astype(np.int64))
+        raise ParamsError(
+            f"float_vector index '{self.name}' supports only KNN/ANY/EMPTY conditions")
+
+    def clear(self) -> None:
+        self.keeper.clear()
+
+    # --- KNN ------------------------------------------------------------
+    def select(self, query: np.ndarray, params: KnnSearchParams) -> SelectKeyResult:
+        """KNN select (reference: FloatVectorIndex::Select, float_vector_index.h:95)."""
+        raise NotImplementedError
+
+    def _apply_radius(self, ranks: np.ndarray, ids: np.ndarray,
+                      radius: Optional[float]) -> tuple[np.ndarray, np.ndarray]:
+        """Radius cut-off in reference semantics: keep rank strictly better
+        than radius (L2: rank < radius; IP/cos: rank > radius) —
+        reference: knn_search_params.h radius handling."""
+        if radius is None:
+            return ranks, ids
+        if self.ordering == RankOrdering.ASC:
+            keep = ranks < radius
+        else:
+            keep = ranks > radius
+        return ranks[keep], ids[keep]
+
+    def memstat(self) -> dict:
+        st = self.keeper.memstat()
+        st["name"] = self.name
+        st["unique_keys_count"] = st["vectors"]
+        return st
+
+    def state_dict(self) -> dict:
+        return {"keeper": self.keeper.state_dict()}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.keeper.load_state_dict(state["keeper"])

@@ -1,0 +1,49 @@
+"""Brute-force vector index: tiled matmul + fused top-k on device.
+
+TPU-native replacement for the reference's linear-scan-with-heap
+brute-force index (cpp_src/core/index/float_vector/hnswlib/bruteforce.cc):
+the whole base rides the MXU as a queries x base matmul (ops/distance.knn_scan)
+with a fused running top-k, so QPS is matmul-roofline-bound instead of
+scalar-heap-bound. Exact by construction — also serves as the recall oracle
+for HNSW/IVF tests (SURVEY.md §4 implication (a)).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...core.type_consts import RankOrdering
+from ...ops.distance import knn_scan, pairwise_scores, scores_to_ranks
+from ..base import SelectKeyResult
+from .base import FloatVectorIndexBase
+from .params import KnnSearchParams
+
+
+class BruteForceIndex(FloatVectorIndexBase):
+    def select(self, query: np.ndarray, params: KnnSearchParams) -> SelectKeyResult:
+        self.keeper.flush()
+        kp = self.keeper
+        if kp.count == 0:
+            return SelectKeyResult.empty()
+        q = jnp.asarray(kp.prepare_query(query)[None, :])
+
+        if params.k is not None:
+            k = min(params.k, kp.capacity)
+            scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k, self.metric)
+            scores = np.asarray(scores[0])
+            idx = np.asarray(idx[0])
+            keep = idx >= 0
+            scores, idx = scores[keep], idx[keep]
+        else:
+            # radius-only search: full scan, filter on host
+            scores = np.asarray(
+                pairwise_scores(q, kp.data, kp.valid, kp.sq, self.metric)[0])
+            idx = np.flatnonzero(scores > -np.inf)
+            scores = scores[idx]
+            order = np.argsort(-scores, kind="stable")
+            scores, idx = scores[order], idx[order]
+
+        ranks = np.asarray(scores_to_ranks(scores, self.metric))
+        ranks, idx = self._apply_radius(ranks, idx, params.radius)
+        return SelectKeyResult(idx.astype(np.int64), ranks.astype(np.float32),
+                               self.ordering)

@@ -1,0 +1,183 @@
+"""Device-resident vector storage with capacity doubling.
+
+The TPU analog of the reference's vector data holder
+(cpp_src/core/keyvalue/float_vectors_keeper.cc + hnswlib's data_level0
+storage): vectors live in one [capacity, dims] fp32 device array indexed by
+namespace row id, with a validity mask for empty/deleted vectors (reference:
+FloatVectorIndex empty-vector bookkeeping, float_vector_index.h:45) and a
+precomputed |b|^2 column for L2. Capacity doubles like the reference's
+ResizeIndex (hnswalg.h:1197).
+
+Mutations buffer on host and flush to device in bucketed batched scatters so
+jit re-traces stay bounded (power-of-2 padded batch shapes).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.errors import ParamsError
+from ...core.type_consts import VectorMetric
+from ...ops.distance import normalize_rows
+
+_MIN_CAPACITY = 2048
+_MAX_SCATTER_BUCKET = 8192
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter(data, valid, sq, rows, vals, val_flags, val_sq):
+    data = data.at[rows].set(vals, mode="drop")
+    valid = valid.at[rows].set(val_flags, mode="drop")
+    sq = sq.at[rows].set(val_sq, mode="drop")
+    return data, valid, sq
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(max(b, 8), max(n, _MAX_SCATTER_BUCKET) if n > _MAX_SCATTER_BUCKET else b)
+
+
+class VectorKeeper:
+    def __init__(self, dims: int, metric: VectorMetric,
+                 start_size: int = _MIN_CAPACITY):
+        if dims <= 0:
+            raise ParamsError("vector dims must be > 0")
+        self.dims = dims
+        self.metric = metric
+        cap = _MIN_CAPACITY
+        while cap < start_size:
+            cap *= 2
+        self.capacity = cap
+        self.data = jnp.zeros((cap, dims), dtype=jnp.float32)
+        self.valid = jnp.zeros((cap,), dtype=jnp.bool_)
+        self.sq = jnp.zeros((cap,), dtype=jnp.float32)
+        self.count = 0  # number of valid vectors (maintained incrementally)
+        self._pending: dict[int, Optional[np.ndarray]] = {}
+        self._max_row = -1
+
+    # --- mutation -------------------------------------------------------
+    def set(self, row_id: int, vec: Optional[np.ndarray]) -> None:
+        """Upsert a vector (None => empty vector, excluded from KNN)."""
+        if vec is not None:
+            vec = np.asarray(vec, dtype=np.float32).reshape(-1)
+            if vec.shape[0] != self.dims:
+                raise ParamsError(
+                    f"vector dims mismatch: got {vec.shape[0]}, index has {self.dims}")
+            if self.metric == VectorMetric.COSINE:
+                vec = normalize_rows(vec[None, :])[0]
+        self._pending[row_id] = vec
+        self._max_row = max(self._max_row, row_id)
+
+    def remove(self, row_id: int) -> None:
+        self._pending[row_id] = None
+        self._max_row = max(self._max_row, row_id)
+
+    # --- device sync ----------------------------------------------------
+    def _grow_to(self, need: int) -> None:
+        if need <= self.capacity:
+            return
+        cap = self.capacity
+        while cap < need:
+            cap *= 2
+        pad_rows = cap - self.capacity
+        self.data = jnp.concatenate(
+            [self.data, jnp.zeros((pad_rows, self.dims), dtype=jnp.float32)])
+        self.valid = jnp.concatenate(
+            [self.valid, jnp.zeros((pad_rows,), dtype=jnp.bool_)])
+        self.sq = jnp.concatenate(
+            [self.sq, jnp.zeros((pad_rows,), dtype=jnp.float32)])
+        self.capacity = cap
+
+    def flush(self) -> None:
+        """Apply pending host mutations to the device arrays."""
+        if not self._pending:
+            return
+        self._grow_to(self._max_row + 1)
+        items = sorted(self._pending.items())
+        self._pending.clear()
+        n = len(items)
+        rows = np.fromiter((r for r, _ in items), dtype=np.int32, count=n)
+        vals = np.zeros((n, self.dims), dtype=np.float32)
+        flags = np.zeros((n,), dtype=np.bool_)
+        for i, (_, vec) in enumerate(items):
+            if vec is not None:
+                vals[i] = vec
+                flags[i] = True
+        # adjust valid count incrementally on host
+        prev_valid = np.asarray(self.valid)[rows]
+        self.count += int(flags.sum()) - int(prev_valid.sum())
+        # pad to bucketed batch shape; padding repeats the first entry, so the
+        # duplicate scatter writes identical values (safe)
+        bucket = _bucket(n)
+        if bucket > n:
+            pad = bucket - n
+            rows = np.concatenate([rows, np.repeat(rows[:1], pad)])
+            vals = np.concatenate([vals, np.repeat(vals[:1], pad, axis=0)])
+            flags = np.concatenate([flags, np.repeat(flags[:1], pad)])
+        sq = np.sum(vals * vals, axis=1, dtype=np.float32)
+        self.data, self.valid, self.sq = _scatter(
+            self.data, self.valid, self.sq,
+            jnp.asarray(rows), jnp.asarray(vals), jnp.asarray(flags),
+            jnp.asarray(sq))
+
+    def clear(self) -> None:
+        self._pending.clear()
+        self._max_row = -1
+        self.count = 0
+        self.data = jnp.zeros((self.capacity, self.dims), dtype=jnp.float32)
+        self.valid = jnp.zeros((self.capacity,), dtype=jnp.bool_)
+        self.sq = jnp.zeros((self.capacity,), dtype=jnp.float32)
+
+    # --- access ---------------------------------------------------------
+    def prepare_query(self, vec: np.ndarray) -> np.ndarray:
+        vec = np.asarray(vec, dtype=np.float32).reshape(-1)
+        if vec.shape[0] != self.dims:
+            raise ParamsError(
+                f"query vector dims mismatch: got {vec.shape[0]}, index has {self.dims}")
+        if self.metric == VectorMetric.COSINE:
+            vec = normalize_rows(vec[None, :])[0]
+        return vec
+
+    def get_host(self, row_id: int) -> Optional[np.ndarray]:
+        if row_id in self._pending:
+            v = self._pending[row_id]
+            return None if v is None else v.copy()
+        if row_id >= self.capacity:
+            return None
+        if not bool(self.valid[row_id]):
+            return None
+        return np.asarray(self.data[row_id])
+
+    def memstat(self) -> dict:
+        return {
+            "vectors": self.count,
+            "capacity": self.capacity,
+            "data_size": int(self.capacity * self.dims * 4),
+        }
+
+    def state_dict(self) -> dict:
+        self.flush()
+        return {
+            "data": np.asarray(self.data[: self._max_row + 1]),
+            "valid": np.asarray(self.valid[: self._max_row + 1]),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        data = np.asarray(state["data"], dtype=np.float32)
+        valid = np.asarray(state["valid"], dtype=np.bool_)
+        self.clear()
+        self._grow_to(data.shape[0])
+        n = data.shape[0]
+        if n:
+            self.data = self.data.at[:n].set(jnp.asarray(data))
+            self.valid = self.valid.at[:n].set(jnp.asarray(valid))
+            self.sq = self.sq.at[:n].set(jnp.asarray(
+                np.sum(data * data, axis=1, dtype=np.float32)))
+            self.count = int(valid.sum())
+            self._max_row = n - 1

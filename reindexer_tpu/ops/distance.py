@@ -1,0 +1,126 @@
+"""Device distance + fused top-k kernels — the MXU replacement for the
+reference's SIMD distance kernels (cpp_src/tools/distances/l2_dist.cc,
+ip_dist.cc: AVX512/AVX/SSE runtime dispatch) and the heap-based selection in
+hnswlib/bruteforce.cc.
+
+Design (SURVEY.md §7): brute-force KNN is a tiled `queries x base` matmul
+with a fused running top-k. The scan over base chunks keeps HBM traffic
+bounded (never materializes the full [Q, N] distance matrix), the per-chunk
+`q @ b.T` rides the MXU, and chunk-local top-k merges into a running top-k
+carry — all inside one jit so XLA fuses the elementwise tails into the
+matmul epilogue.
+
+Scores are normalized to "higher is better": inner-product/cosine use the
+similarity directly, L2 uses the *negated* squared distance. `rank_for_metric`
+converts a score back to the reference's rank value (L2 -> positive distance,
+reference: hnsw_index.cc select() rank semantics).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.type_consts import RankOrdering, VectorMetric
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def metric_ordering(metric: VectorMetric) -> RankOrdering:
+    """Rank ordering per metric (reference: float_vector.md — L2 ascending,
+    IP/cosine descending)."""
+    return RankOrdering.ASC if metric == VectorMetric.L2 else RankOrdering.DESC
+
+
+def scores_to_ranks(scores: jnp.ndarray, metric: VectorMetric) -> jnp.ndarray:
+    """Convert internal higher-is-better scores to reference rank values."""
+    if metric == VectorMetric.L2:
+        return -scores  # score = -l2^2  ->  rank = l2^2 (ascending best-first)
+    return scores
+
+
+def _chunk_scores(q: jnp.ndarray, base_chunk: jnp.ndarray,
+                  base_sq_chunk: Optional[jnp.ndarray],
+                  metric: VectorMetric) -> jnp.ndarray:
+    """[Q, D] x [C, D] -> [Q, C] higher-is-better scores. One MXU matmul plus
+    a fused elementwise tail."""
+    dots = jax.lax.dot_general(
+        q, base_chunk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == VectorMetric.L2:
+        # -(|q|^2 - 2 q.b + |b|^2); |q|^2 is constant per row -> dropped from
+        # the argmax but kept so returned ranks are true L2^2 values.
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+        return 2.0 * dots - base_sq_chunk[None, :] - q_sq
+    return dots
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def knn_scan(queries: jnp.ndarray, base: jnp.ndarray, valid: jnp.ndarray,
+             base_sq: jnp.ndarray, k: int, metric: VectorMetric,
+             chunk: int = 65536):
+    """Fused brute-force KNN: returns (scores [Q, k], idx [Q, k]) with
+    higher-is-better scores; invalid slots get -inf / idx -1.
+
+    `base` is [N, D] device-resident (N a multiple of `chunk` — the caller
+    pads); `valid` is [N] bool; `base_sq` is precomputed |b|^2 (only used for
+    L2).
+    """
+    n = base.shape[0]
+    q = queries.astype(jnp.float32)
+    num_chunks = n // chunk
+
+    if num_chunks <= 1:
+        scores = _chunk_scores(q, base, base_sq, metric)
+        scores = jnp.where(valid[None, :], scores, NEG_INF)
+        top_s, top_i = jax.lax.top_k(scores, k)
+        top_i = jnp.where(top_s > NEG_INF, top_i, -1)
+        return top_s, top_i
+
+    base_r = base.reshape(num_chunks, chunk, base.shape[1])
+    valid_r = valid.reshape(num_chunks, chunk)
+    base_sq_r = base_sq.reshape(num_chunks, chunk)
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        b_chunk, v_chunk, sq_chunk, start = xs
+        scores = _chunk_scores(q, b_chunk, sq_chunk, metric)
+        scores = jnp.where(v_chunk[None, :], scores, NEG_INF)
+        kk = min(k, chunk)
+        loc_s, loc_i = jax.lax.top_k(scores, kk)
+        loc_i = loc_i + start
+        merged_s = jnp.concatenate([best_s, loc_s], axis=1)
+        merged_i = jnp.concatenate([best_i, loc_i], axis=1)
+        new_s, sel = jax.lax.top_k(merged_s, k)
+        new_i = jnp.take_along_axis(merged_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    init_s = jnp.full((q.shape[0], k), NEG_INF, dtype=jnp.float32)
+    init_i = jnp.full((q.shape[0], k), -1, dtype=jnp.int32)
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    (best_s, best_i), _ = jax.lax.scan(
+        step, (init_s, init_i), (base_r, valid_r, base_sq_r, starts))
+    best_i = jnp.where(best_s > NEG_INF, best_i, -1)
+    return best_s, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def pairwise_scores(queries: jnp.ndarray, base: jnp.ndarray,
+                    valid: jnp.ndarray, base_sq: jnp.ndarray,
+                    metric: VectorMetric) -> jnp.ndarray:
+    """Full [Q, N] higher-is-better score matrix (small bases / oracle path)."""
+    scores = _chunk_scores(queries.astype(jnp.float32), base, base_sq, metric)
+    return jnp.where(valid[None, :], scores, NEG_INF)
+
+
+def normalize_rows(x: np.ndarray) -> np.ndarray:
+    """Row-normalize for cosine metric (reference: cosine handled via norm
+    cache, hnswlib.h DistCalculator norm cache)."""
+    norms = np.linalg.norm(x, axis=-1, keepdims=True)
+    norms = np.where(norms == 0.0, 1.0, norms)
+    return x / norms

@@ -1,0 +1,741 @@
+"""Query executor: preprocess -> entry evaluation -> select loop.
+
+Semantic equivalent of the reference planner/executor stack
+(cpp_src/core/nsselecter/: QueryPreprocessor, NsSelecter::operator()
+nsselecter.cc:68, SelectIteratorContainer, selectLoop nsselecter.cc:799,
+Aggregator aggregator.h:14, ExplainCalc) and the multi-namespace fan-out
+(reindexer_impl/rx_selector.cc:72 DoSelect for joins/merge).
+
+TPU-first re-design: instead of per-row iterators + comparators in a scalar
+hot loop, every condition produces a whole-column boolean mask (index lookup
+-> id scatter, comparator -> vectorized compare) and the entries tree is
+folded over masks with AND/OR/NOT. Ranked entries (KNN / full-text) produce
+RankSources; hybrid fusion applies the RRF/linear rerank over them
+(reference: SelectIteratorContainer::MergeRanked selectiteratorcontainer.cc:1561,
+sorting/reranker.h) inside the sort-expression evaluator.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from ..core.errors import NotFoundError, QueryError
+from ..core.namespace import Namespace
+from ..core.payload import get_json_path, set_json_path
+from ..core.type_consts import AggType, CondType, OpType, RankOrdering, StrictMode
+from ..index.base import SelectKeyResult
+from .comparators import column_mask, raw_values_mask
+from .query import (AlwaysTrue, BetweenFieldsEntry, Bracket, JoinedQuery,
+                    JoinType, KnnQueryEntry, Query, QueryEntry, SortingEntry,
+                    SubQueryEntry, UpdateEntry)
+from .results import (AggregationResult, FacetResult, QueryResults, ResultItem)
+from .sortexpr import (DEFAULT_RRF_RANK_CONST, RankSource, SortExprEvaluator)
+
+
+class Selecter:
+    """Executes select/update/delete queries against the database facade."""
+
+    def __init__(self, db):
+        self.db = db
+
+    # ==================================================================
+    # SELECT
+    # ==================================================================
+    def select(self, q: Query) -> QueryResults:
+        t_start = time.perf_counter()
+        ns = self.db.get_namespace(q.namespace)
+        with ns.lock:
+            ns.collect_expired()
+            cap = ns.rows_capacity
+            exists = ns.exists_mask()
+            explain_sel: list[dict] = []
+            t_idx0 = time.perf_counter()
+            mask, sources = self._eval_entries(ns, q.entries, q, exists, explain_sel)
+            mask = mask & exists
+            t_idx1 = time.perf_counter()
+
+            rows = np.flatnonzero(mask).astype(np.int64)
+
+            # --- aggregations (over the full filtered set, pre-pagination,
+            # reference: aggregator runs inside selectLoop over all matches)
+            aggregations = [self._aggregate(ns, rows, a) for a in q.aggregations]
+            distinct_aggs = [a for a in q.aggregations if a.agg_type == AggType.DISTINCT]
+            if distinct_aggs:
+                rows = self._distinct_filter(ns, rows, distinct_aggs[0].fields)
+
+            # --- sorting
+            t_sort0 = time.perf_counter()
+            rows, ranks_arr, sort_info = self._sort_rows(ns, q, rows, sources)
+            t_sort1 = time.perf_counter()
+
+            total = len(rows)
+            # --- pagination
+            lo = q.offset_
+            hi = total if q.limit_ is None else min(total, lo + q.limit_)
+            page = rows[lo:hi]
+            page_ranks = ranks_arr[lo:hi] if ranks_arr is not None else None
+
+            # --- materialize items
+            items: list[ResultItem] = []
+            for i, row in enumerate(page):
+                doc = ns.get_item(int(row))
+                if doc is None:
+                    continue
+                doc_out = self._project(doc, q.select_filter)
+                items.append(ResultItem(
+                    doc=doc_out, row_id=int(row),
+                    rank=(float(page_ranks[i]) if page_ranks is not None else None),
+                    ns_name=ns.name))
+
+            # --- left joins attach matched docs (post-pagination — the
+            # reference left-join also materializes per result item)
+            for jq in q.joins:
+                if jq.join_type == JoinType.LEFT:
+                    self._attach_left_join(ns, jq, items)
+
+            # --- select functions (highlight/snippet) via the FT layer
+            if q.select_functions:
+                self._apply_select_functions(ns, q, items, sources)
+
+            explain = None
+            if q.explain_:
+                explain = {
+                    "total_us": int((time.perf_counter() - t_start) * 1e6),
+                    "indexes_us": int((t_idx1 - t_idx0) * 1e6),
+                    "sort_us": int((t_sort1 - t_sort0) * 1e6),
+                    "selectors": explain_sel,
+                    "sort_index": sort_info,
+                    "matched": int(total),
+                }
+
+            res = QueryResults(
+                ns_name=ns.name, items=items,
+                total_count=total if (q.req_total or q.explain_) else None,
+                aggregations=aggregations, explain=explain)
+            ns.perf.hit("selects", time.perf_counter() - t_start)
+
+        # --- merge queries (reference: Query::Merge, rx_selector merge path)
+        for mq in q.merge_queries:
+            sub = self.select(mq)
+            res.extend(sub)
+        return res
+
+    # ==================================================================
+    # entries tree evaluation
+    # ==================================================================
+    def _eval_entries(self, ns: Namespace, entries: list, q: Query,
+                      exists: np.ndarray, explain_sel: list,
+                      ) -> tuple[np.ndarray, dict[str, RankSource]]:
+        cap = len(exists)
+        mask: Optional[np.ndarray] = None
+        sources: dict[str, RankSource] = {}
+        for op, entry in entries:
+            t0 = time.perf_counter()
+            m, src = self._eval_entry(ns, entry, q, exists, explain_sel)
+            if src is not None:
+                sources[src.field] = src
+            if op == OpType.AND:
+                mask = m if mask is None else (mask & m)
+            elif op == OpType.OR:
+                mask = m if mask is None else (mask | m)
+            elif op == OpType.NOT:
+                base = exists.copy() if mask is None else mask
+                mask = base & ~m
+            if explain_sel is not None and not isinstance(entry, Bracket):
+                name = getattr(entry, "field", None) or type(entry).__name__
+                explain_sel.append({
+                    "field": name,
+                    "matched": int(m.sum()),
+                    "time_us": int((time.perf_counter() - t0) * 1e6),
+                })
+        if mask is None:
+            mask = exists.copy()
+        return mask, sources
+
+    def _eval_entry(self, ns: Namespace, entry: Any, q: Query,
+                    exists: np.ndarray, explain_sel: list,
+                    ) -> tuple[np.ndarray, Optional[RankSource]]:
+        cap = len(exists)
+        if isinstance(entry, Bracket):
+            m, srcs = self._eval_entries(ns, entry.entries, q, exists, explain_sel)
+            src = next(iter(srcs.values())) if len(srcs) == 1 else None
+            # propagate all bracket-level sources upward
+            for s in srcs.values():
+                pass
+            if srcs:
+                # merge handled by caller via returned single src; for multi,
+                # stash directly (rare: brackets around hybrid pair)
+                if len(srcs) > 1:
+                    for name, s in srcs.items():
+                        q.__dict__.setdefault("_extra_sources", {})[name] = s
+            return m, src
+        if isinstance(entry, AlwaysTrue):
+            return exists.copy(), None
+        if isinstance(entry, QueryEntry):
+            return self._eval_condition(ns, entry, q, cap)
+        if isinstance(entry, KnnQueryEntry):
+            return self._eval_knn(ns, entry, cap)
+        if isinstance(entry, BetweenFieldsEntry):
+            return self._eval_between_fields(ns, entry, cap), None
+        if isinstance(entry, SubQueryEntry):
+            return self._eval_subquery(ns, entry, cap, exists), None
+        if isinstance(entry, JoinedQuery):
+            m, _ = self._join_matches(ns, entry, need_matches=False)
+            return m[:cap], None
+        raise QueryError(f"unknown query entry type: {type(entry).__name__}")
+
+    def _ids_to_mask(self, ids: np.ndarray, cap: int) -> np.ndarray:
+        mask = np.zeros(cap, dtype=np.bool_)
+        if len(ids):
+            valid = ids[(ids >= 0) & (ids < cap)]
+            mask[valid] = True
+        return mask
+
+    def _eval_condition(self, ns: Namespace, entry: QueryEntry, q: Query,
+                        cap: int) -> tuple[np.ndarray, Optional[RankSource]]:
+        idef = ns.index_def(entry.field)
+        index = ns.get_index(entry.field)
+
+        if idef is not None and idef.is_fulltext:
+            # full-text match: ranked source (reference: IndexText::SelectKey)
+            res = index.select_key(CondType.EQ, entry.values)
+            src = RankSource(field=entry.field, kind="ft", ids=res.ids,
+                             ranks=(res.ranks if res.ranks is not None
+                                    else np.zeros(len(res.ids), dtype=np.float32)),
+                             ordering=res.ordering)
+            return self._ids_to_mask(res.ids, cap), src
+
+        if index is not None and index.supports(entry.condition):
+            res = index.select_key(entry.condition, entry.values)
+            if not res.unmatched:
+                return self._ids_to_mask(res.ids, cap), None
+
+        # comparator fallback on the column
+        col = ns.column_values(entry.field)
+        if col is not None and entry.condition != CondType.DWITHIN:
+            return column_mask(col, entry.condition, list(entry.values), cap), None
+
+        # non-indexed field: strict-mode checks
+        # (reference: StrictMode, query/queryentry validation)
+        if idef is None:
+            if q.strict_mode == StrictMode.INDEXES:
+                raise QueryError(
+                    f"current strict mode allows filtering by indexes only; "
+                    f"field '{entry.field}' is not indexed")
+        raw = ns.doc_field_values(entry.field)
+        if q.strict_mode == StrictMode.NAMES and idef is None:
+            if all(v is None for v in raw) and ns.item_count() > 0:
+                raise QueryError(
+                    f"current strict mode requires the field to exist; "
+                    f"'{entry.field}' not found in namespace '{ns.name}'")
+        m = raw_values_mask(raw, entry.condition, list(entry.values))
+        if len(m) < cap:
+            m = np.concatenate([m, np.zeros(cap - len(m), dtype=np.bool_)])
+        return m[:cap], None
+
+    def _eval_knn(self, ns: Namespace, entry: KnnQueryEntry,
+                  cap: int) -> tuple[np.ndarray, RankSource]:
+        from ..index.vector.base import FloatVectorIndexBase
+        index = ns.get_index(entry.field)
+        if not isinstance(index, FloatVectorIndexBase):
+            raise QueryError(f"KNN condition requires a float_vector index, "
+                             f"'{entry.field}' is not one")
+        value = entry.value
+        if isinstance(value, str):
+            value = self.db.embed_query(ns, entry.field, value)
+        res = index.select(np.asarray(value, dtype=np.float32), entry.params)
+        src = RankSource(field=entry.field, kind="knn", ids=res.ids,
+                         ranks=res.ranks, ordering=res.ordering)
+        return self._ids_to_mask(res.ids, cap), src
+
+    def _eval_between_fields(self, ns: Namespace, entry: BetweenFieldsEntry,
+                             cap: int) -> np.ndarray:
+        # vectorized two-column compare (reference: BetweenFieldsQueryEntry)
+        def vals_of(field: str) -> list:
+            col = ns.column_values(field)
+            if col is not None and not col.is_array:
+                v = col.values()
+                s = col.set_mask()
+                return [v[i] if s[i] else None for i in range(len(v))]
+            return ns.doc_field_values(field)
+
+        left = vals_of(entry.first_field)
+        right = vals_of(entry.second_field)
+        n = min(len(left), len(right))
+        out = np.zeros(cap, dtype=np.bool_)
+        ops = {CondType.EQ: lambda a, b: a == b, CondType.LT: lambda a, b: a < b,
+               CondType.LE: lambda a, b: a <= b, CondType.GT: lambda a, b: a > b,
+               CondType.GE: lambda a, b: a >= b}
+        fn = ops.get(entry.condition)
+        if fn is None:
+            raise QueryError(
+                f"unsupported between-fields condition: {entry.condition}")
+        for i in range(min(n, cap)):
+            a, b = left[i], right[i]
+            if a is None or b is None:
+                continue
+            try:
+                out[i] = fn(a, b)
+            except TypeError:
+                out[i] = False
+        return out
+
+    def _eval_subquery(self, ns: Namespace, entry: SubQueryEntry, cap: int,
+                       exists: np.ndarray) -> np.ndarray:
+        sub_q = entry.sub_query
+        sub_res = self.select(sub_q)
+        if entry.field is not None:
+            # field COND (subquery values) — subquery must select one field
+            # or carry an aggregation (reference: SubQueryFieldEntry)
+            if sub_q.aggregations:
+                vals = self._agg_values(sub_res)
+            else:
+                if not sub_q.select_filter:
+                    raise QueryError(
+                        "subquery on a field requires select_filter or aggregation")
+                f = sub_q.select_filter[0]
+                vals = [get_json_path(it.doc, f) for it in sub_res]
+                vals = [v for v in vals if v is not None]
+            qe = QueryEntry(entry.field,
+                            CondType.SET if entry.condition == CondType.EQ
+                            and len(vals) > 1 else entry.condition,
+                            tuple(vals))
+            m, _ = self._eval_condition(ns, qe, Query(ns.name), cap)
+            return m
+        # (subquery) COND values — ANY/EMPTY check result presence, aggregates
+        # compare against values (reference: SubQueryEntry)
+        if entry.condition == CondType.ANY:
+            ok = len(sub_res) > 0
+        elif entry.condition == CondType.EMPTY:
+            ok = len(sub_res) == 0
+        else:
+            vals = self._agg_values(sub_res)
+            if not vals:
+                vals = [float(len(sub_res))]
+            lhs = vals[0]
+            rhs = entry.values
+            ok = {
+                CondType.EQ: lambda: lhs in rhs,
+                CondType.SET: lambda: lhs in rhs,
+                CondType.LT: lambda: lhs < rhs[0],
+                CondType.LE: lambda: lhs <= rhs[0],
+                CondType.GT: lambda: lhs > rhs[0],
+                CondType.GE: lambda: lhs >= rhs[0],
+                CondType.RANGE: lambda: rhs[0] <= lhs <= rhs[1],
+            }[entry.condition]()
+        return exists.copy() if ok else np.zeros(cap, dtype=np.bool_)
+
+    @staticmethod
+    def _agg_values(res: QueryResults) -> list:
+        out = []
+        for a in res.aggregations:
+            if a.value is not None:
+                out.append(a.value)
+            out.extend(a.distincts)
+        return out
+
+    # ==================================================================
+    # joins
+    # ==================================================================
+    def _join_matches(self, ns: Namespace, jq: JoinedQuery,
+                      need_matches: bool,
+                      only_rows: Optional[np.ndarray] = None,
+                      ) -> tuple[np.ndarray, dict[int, list[int]]]:
+        """Evaluate a join: boolean mask over main-ns rows + per-row matched
+        joined rows (reference: joins/items_processor, preselect strategy)."""
+        joined_ns = self.db.get_namespace(jq.query.namespace)
+        # preselect the joined namespace with its own filters
+        with joined_ns.lock:
+            j_exists = joined_ns.exists_mask()
+            j_mask, _ = self._eval_entries(joined_ns, jq.query.entries, jq.query,
+                                           j_exists, [])
+            j_mask &= j_exists
+            j_rows = np.flatnonzero(j_mask)
+
+            cap = ns.rows_capacity
+            mask = np.zeros(cap, dtype=np.bool_)
+            matches: dict[int, list[int]] = {}
+            if len(j_rows) == 0 or not jq.on:
+                return mask, matches
+
+            main_rows = (only_rows if only_rows is not None
+                         else np.arange(cap, dtype=np.int64))
+
+            # fast path: all-EQ AND on-conditions -> hash probe
+            all_eq_and = all(c.condition == CondType.EQ and c.op == OpType.AND
+                             for c in jq.on)
+            if all_eq_and:
+                j_keys: dict[tuple, list[int]] = {}
+                for jrow in j_rows:
+                    jdoc = joined_ns.get_item(int(jrow))
+                    if jdoc is None:
+                        continue
+                    key = tuple(self._join_key(get_json_path(jdoc, c.right_field))
+                                for c in jq.on)
+                    j_keys.setdefault(key, []).append(int(jrow))
+                for row in main_rows:
+                    doc = ns.get_item(int(row))
+                    if doc is None:
+                        continue
+                    key = tuple(self._join_key(get_json_path(doc, c.left_field))
+                                for c in jq.on)
+                    hit = j_keys.get(key)
+                    if hit:
+                        mask[row] = True
+                        if need_matches:
+                            matches[int(row)] = hit
+                return mask, matches
+
+            # general path: per-row scan over preselected joined rows
+            ops = {CondType.EQ: lambda a, b: a == b,
+                   CondType.LT: lambda a, b: a < b,
+                   CondType.LE: lambda a, b: a <= b,
+                   CondType.GT: lambda a, b: a > b,
+                   CondType.GE: lambda a, b: a >= b,
+                   CondType.SET: lambda a, b: a in b
+                   if isinstance(b, (list, tuple)) else a == b}
+            for row in main_rows:
+                doc = ns.get_item(int(row))
+                if doc is None:
+                    continue
+                hit_rows = []
+                for jrow in j_rows:
+                    jdoc = joined_ns.get_item(int(jrow))
+                    if jdoc is None:
+                        continue
+                    verdict: Optional[bool] = None
+                    for c in jq.on:
+                        a = get_json_path(doc, c.left_field)
+                        b = get_json_path(jdoc, c.right_field)
+                        try:
+                            ok = (a is not None and b is not None
+                                  and ops[c.condition](a, b))
+                        except TypeError:
+                            ok = False
+                        if verdict is None:
+                            verdict = ok
+                        elif c.op == OpType.OR:
+                            verdict = verdict or ok
+                        else:
+                            verdict = verdict and ok
+                    if verdict:
+                        hit_rows.append(int(jrow))
+                        if not need_matches:
+                            break
+                if hit_rows:
+                    mask[row] = True
+                    if need_matches:
+                        matches[int(row)] = hit_rows
+            return mask, matches
+
+    @staticmethod
+    def _join_key(v: Any):
+        if isinstance(v, list):
+            return tuple(v)
+        return v
+
+    def _attach_left_join(self, ns: Namespace, jq: JoinedQuery,
+                          items: list[ResultItem]) -> None:
+        if not items:
+            return
+        rows = np.asarray([it.row_id for it in items], dtype=np.int64)
+        _, matches = self._join_matches(ns, jq, need_matches=True, only_rows=rows)
+        joined_ns = self.db.get_namespace(jq.query.namespace)
+        key = f"joined_{jq.query.namespace}"
+        for it in items:
+            hit = matches.get(it.row_id, [])
+            if hit:
+                docs = [joined_ns.get_item(r) for r in hit]
+                it.joined[jq.query.namespace] = [d for d in docs if d is not None]
+
+    # ==================================================================
+    # sorting
+    # ==================================================================
+    def _sort_rows(self, ns: Namespace, q: Query, rows: np.ndarray,
+                   sources: dict[str, RankSource],
+                   ) -> tuple[np.ndarray, Optional[np.ndarray], str]:
+        extra = getattr(q, "_extra_sources", None)
+        if extra:
+            sources = {**sources, **extra}
+        evaluator = SortExprEvaluator(ns, rows, sources)
+        ranks_arr: Optional[np.ndarray] = None
+
+        # default rank array for with_rank() output
+        if sources:
+            if len(sources) == 1:
+                src = next(iter(sources.values()))
+                ranks_arr = src.rank_of(
+                    rows, default=(np.inf if src.ordering == RankOrdering.ASC
+                                   else -np.inf)).astype(np.float64)
+            else:
+                # hybrid: default fused rank is RRF (reference: hybrid.md —
+                # RRF is the default rank_function)
+                ranks_arr = evaluator.evaluate("RRF()")
+
+        if not q.sorts:
+            if sources:
+                if len(sources) == 1:
+                    src = next(iter(sources.values()))
+                    key = src.score_key(rows)
+                else:
+                    key = ranks_arr
+                order = np.argsort(-key, kind="stable")
+                return rows[order], (ranks_arr[order] if ranks_arr is not None
+                                     else None), "rank"
+            return rows, None, "-"
+
+        keys: list[np.ndarray] = []
+        sort_names = []
+        for se in q.sorts:
+            expr = se.expression.strip()
+            sort_names.append(expr + (" desc" if se.desc else ""))
+            if se.forced_values:
+                # forced sort order (reference: forcedSortOrder, sortexpression)
+                forced_pos = {v: i for i, v in enumerate(se.forced_values)}
+                col_vals = self._field_sort_values(ns, rows, expr)
+                primary = np.asarray(
+                    [forced_pos.get(v, len(forced_pos)) for v in col_vals],
+                    dtype=np.int64)
+                keys.append(primary)
+            if evaluator.is_plain_field(expr):
+                vals = self._field_sort_values(ns, rows, expr)
+                key = self._encode_sort_key(vals)
+            else:
+                key = evaluator.evaluate(expr)
+                if expr.upper().startswith("RRF") or "rank" in expr.lower():
+                    # expose the fused/returned rank to the caller
+                    ranks_arr = key.copy()
+            keys.append(-key if se.desc else key)
+
+        order = np.lexsort(tuple(reversed(keys)))
+        return rows[order], (ranks_arr[order] if ranks_arr is not None else None), \
+            ",".join(sort_names)
+
+    def _field_sort_values(self, ns: Namespace, rows: np.ndarray,
+                           field: str) -> list:
+        col = ns.column_values(field)
+        out = []
+        if col is not None and not col.is_array:
+            vals = col.values()
+            s = col.set_mask()
+            n = len(vals)
+            for r in rows:
+                ri = int(r)
+                out.append(vals[ri] if ri < n and s[ri] else None)
+            return out
+        for r in rows:
+            doc = ns.get_item(int(r))
+            v = None if doc is None else get_json_path(doc, field)
+            if isinstance(v, list):
+                v = v[0] if v else None
+            out.append(v)
+        return out
+
+    @staticmethod
+    def _encode_sort_key(vals: list) -> np.ndarray:
+        """Order-preserving numeric encoding of arbitrary column values
+        (None sorts first, like the reference's null handling)."""
+        if all(v is None or isinstance(v, (int, float, bool)) for v in vals):
+            return np.asarray(
+                [float("-inf") if v is None else float(v) for v in vals],
+                dtype=np.float64)
+        svals = ["" if v is None else str(v) for v in vals]
+        uniq, inv = np.unique(np.asarray(svals, dtype=object), return_inverse=True)
+        return inv.astype(np.float64)
+
+    # ==================================================================
+    # aggregation (reference: cpp_src/core/nsselecter/aggregator.h)
+    # ==================================================================
+    def _aggregate(self, ns: Namespace, rows: np.ndarray,
+                   agg) -> AggregationResult:
+        result = AggregationResult(agg.agg_type.value, agg.fields)
+        if agg.agg_type in (AggType.COUNT, AggType.COUNT_CACHED):
+            result.value = float(len(rows))
+            return result
+        if agg.agg_type == AggType.DISTINCT:
+            seen = []
+            seen_set = set()
+            for v in self._gather_field(ns, rows, agg.fields[0]):
+                for x in (v if isinstance(v, list) else [v]):
+                    if x is not None and x not in seen_set:
+                        seen_set.add(x)
+                        seen.append(x)
+            result.distincts = seen
+            return result
+        if agg.agg_type == AggType.FACET:
+            counts: dict[tuple, int] = {}
+            per_field = [self._gather_field(ns, rows, f) for f in agg.fields]
+            multi = len(agg.fields) > 1
+            for i in range(len(rows)):
+                vals = [pf[i] for pf in per_field]
+                if multi and any(isinstance(v, list) for v in vals):
+                    raise QueryError(
+                        "multifield facet cannot be applied to array fields")
+                if not multi and isinstance(vals[0], list):
+                    for x in vals[0]:
+                        counts[(x,)] = counts.get((x,), 0) + 1
+                    continue
+                key = tuple(vals)
+                if any(v is None for v in key):
+                    continue
+                counts[key] = counts.get(key, 0) + 1
+            facets = [FacetResult(k, c) for k, c in counts.items()]
+            facets = self._sort_facets(facets, agg)
+            off = agg.offset
+            lim = len(facets) if agg.limit < 0 else agg.limit
+            result.facets = facets[off:off + lim]
+            return result
+        # sum/avg/min/max
+        nums: list[float] = []
+        for v in self._gather_field(ns, rows, agg.fields[0]):
+            for x in (v if isinstance(v, list) else [v]):
+                if x is not None:
+                    try:
+                        nums.append(float(x))
+                    except (TypeError, ValueError):
+                        pass
+        if agg.agg_type == AggType.SUM:
+            result.value = float(np.sum(nums)) if nums else 0.0
+        elif agg.agg_type == AggType.AVG:
+            result.value = float(np.mean(nums)) if nums else 0.0
+        elif agg.agg_type == AggType.MIN:
+            result.value = float(np.min(nums)) if nums else None
+        elif agg.agg_type == AggType.MAX:
+            result.value = float(np.max(nums)) if nums else None
+        return result
+
+    def _sort_facets(self, facets: list[FacetResult], agg) -> list[FacetResult]:
+        if not agg.sort:
+            return sorted(facets, key=lambda f: -f.count)
+        for se in reversed(agg.sort):
+            expr = se.expression.strip()
+            if expr == "count":
+                facets.sort(key=lambda f: f.count, reverse=se.desc)
+            else:
+                try:
+                    fi = agg.fields.index(expr)
+                except ValueError:
+                    raise QueryError(f"facet sort field '{expr}' not in facet fields")
+                facets.sort(key=lambda f: (f.values[fi] is None, f.values[fi]),
+                            reverse=se.desc)
+        return facets
+
+    def _gather_field(self, ns: Namespace, rows: np.ndarray, field: str) -> list:
+        col = ns.column_values(field)
+        out = []
+        if col is not None:
+            vals = col.values()
+            s = col.set_mask()
+            n = len(vals)
+            for r in rows:
+                ri = int(r)
+                if ri < n and s[ri]:
+                    v = vals[ri]
+                    out.append(list(v) if isinstance(v, np.ndarray) else v)
+                else:
+                    out.append(None)
+            return out
+        for r in rows:
+            doc = ns.get_item(int(r))
+            out.append(None if doc is None else get_json_path(doc, field))
+        return out
+
+    def _distinct_filter(self, ns: Namespace, rows: np.ndarray,
+                         fields: tuple[str, ...]) -> np.ndarray:
+        """Keep the first row per distinct value (reference: distinct returns
+        one item per distinct key)."""
+        seen: set = set()
+        keep = []
+        per_field = [self._gather_field(ns, rows, f) for f in fields]
+        for i, r in enumerate(rows):
+            vals = tuple(tuple(v) if isinstance(v, list) else v
+                         for v in (pf[i] for pf in per_field))
+            if vals in seen:
+                continue
+            seen.add(vals)
+            keep.append(r)
+        return np.asarray(keep, dtype=np.int64)
+
+    # ==================================================================
+    # projection / select functions
+    # ==================================================================
+    @staticmethod
+    def _project(doc: dict, select_filter: tuple[str, ...]) -> dict:
+        if not select_filter or "*" in select_filter:
+            return doc
+        out: dict = {}
+        for f in select_filter:
+            v = get_json_path(doc, f)
+            if v is not None:
+                set_json_path(out, f, v)
+        return out
+
+    def _apply_select_functions(self, ns: Namespace, q: Query,
+                                items: list[ResultItem],
+                                sources: dict[str, RankSource]) -> None:
+        from ..ft.functions import apply_select_function
+        for fn in q.select_functions:
+            apply_select_function(ns, fn, items, sources)
+
+    # ==================================================================
+    # UPDATE / DELETE queries (reference: ReindexerImpl::Update/Delete(Query))
+    # ==================================================================
+    def _matched_rows(self, q: Query) -> tuple[Namespace, np.ndarray]:
+        ns = self.db.get_namespace(q.namespace)
+        exists = ns.exists_mask()
+        mask, _ = self._eval_entries(ns, q.entries, q, exists, [])
+        mask &= exists
+        rows = np.flatnonzero(mask).astype(np.int64)
+        if q.sorts or q.offset_ or q.limit_ is not None:
+            rows, _, _ = self._sort_rows(ns, q, rows, {})
+            lo = q.offset_
+            hi = len(rows) if q.limit_ is None else min(len(rows), lo + q.limit_)
+            rows = rows[lo:hi]
+        return ns, rows
+
+    def update(self, q: Query) -> QueryResults:
+        ns, rows = self._matched_rows(q)
+        items: list[ResultItem] = []
+        with ns.lock:
+            for row in rows:
+                doc = ns.get_item(int(row))
+                if doc is None:
+                    continue
+                new_doc = dict(doc)
+                for ue in q.update_entries:
+                    self._apply_update_entry(ns, new_doc, ue, int(row))
+                ns.upsert(new_doc)
+                items.append(ResultItem(doc=new_doc, row_id=int(row),
+                                        ns_name=ns.name))
+        return QueryResults(ns_name=ns.name, items=items, total_count=len(items))
+
+    def _apply_update_entry(self, ns: Namespace, doc: dict, ue: UpdateEntry,
+                            row: int) -> None:
+        if ue.mode == "drop":
+            parts = ue.field.split(".")
+            cur = doc
+            for p in parts[:-1]:
+                cur = cur.get(p) if isinstance(cur, dict) else None
+                if cur is None:
+                    return
+            if isinstance(cur, dict):
+                cur.pop(parts[-1], None)
+            return
+        if ue.mode == "set_expression":
+            evaluator = SortExprEvaluator(ns, np.asarray([row]), {})
+            val = float(evaluator.evaluate(str(ue.values[0]))[0])
+            if val.is_integer():
+                val = int(val)
+            set_json_path(doc, ue.field, val)
+            return
+        value = list(ue.values) if ue.is_array else ue.values[0]
+        set_json_path(doc, ue.field, value)
+
+    def delete(self, q: Query) -> int:
+        ns, rows = self._matched_rows(q)
+        with ns.lock:
+            for row in rows:
+                ns.delete_row(int(row))
+        return len(rows)

@@ -1,0 +1,176 @@
+"""Persistence: snapshot + write-ahead log per namespace.
+
+Semantic equivalent of the reference persistence stack
+(cpp_src/core/storage/: IDataStorage over LevelDB/RocksDB; AsyncStorage
+write-behind batching namespace/asyncstorage.cc; WAL cpp_src/wal/
+waltracker.h). Layout on disk:
+
+    <path>/<namespace>/indexes.json   — index definitions
+    <path>/<namespace>/meta.json      — user metadata
+    <path>/<namespace>/items.jsonl    — snapshot of documents (row order)
+    <path>/<namespace>/wal.jsonl      — append-only log since last snapshot
+
+Writes append to the WAL through a namespace hook (the analog of the
+reference's WAL tracker feeding AsyncStorage); `flush_namespace` compacts
+WAL into a fresh snapshot. Vector-index device state checkpoints through
+the ANN storage cache (storage/ann_cache.py), so restart skips HNSW/IVF
+rebuild like the reference (namespace/ann_storage_cache_helper.h).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+from typing import Optional
+
+from ..core.errors import StorageError
+from ..core.payload import IndexDef
+
+
+class FileStorage:
+    WAL_COMPACT_THRESHOLD = 10000  # records before auto-compaction
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._wal_files: dict[str, object] = {}
+        self._wal_counts: dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def _ns_dir(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def namespace_names(self) -> list[str]:
+        out = []
+        if not os.path.isdir(self.path):
+            return out
+        for entry in sorted(os.listdir(self.path)):
+            if os.path.isfile(os.path.join(self.path, entry, "indexes.json")):
+                out.append(entry)
+        return out
+
+    # ------------------------------------------------------------------
+    def attach_namespace(self, ns) -> None:
+        """Register the WAL hook so mutations stream to disk."""
+        os.makedirs(self._ns_dir(ns.name), exist_ok=True)
+        ns.wal_hooks.append(lambda op, payload, _n=ns.name: self._wal_append(_n, op, payload))
+
+    def _wal_append(self, ns_name: str, op: str, payload: dict) -> None:
+        with self._lock:
+            f = self._wal_files.get(ns_name)
+            if f is None:
+                f = open(os.path.join(self._ns_dir(ns_name), "wal.jsonl"), "a",
+                         encoding="utf-8")
+                self._wal_files[ns_name] = f
+                self._wal_counts[ns_name] = 0
+            try:
+                rec = {"op": op}
+                if op in ("upsert", "delete"):
+                    rec.update(payload)
+                elif op == "add_index":
+                    rec["index"] = payload
+                elif op == "drop_index":
+                    rec["name"] = payload["name"]
+                elif op in ("put_meta", "delete_meta"):
+                    rec.update(payload)
+                f.write(json.dumps(rec, ensure_ascii=False, default=str) + "\n")
+                f.flush()
+                self._wal_counts[ns_name] += 1
+            except (TypeError, ValueError) as e:
+                raise StorageError(f"WAL serialization failed: {e}")
+
+    # ------------------------------------------------------------------
+    def flush_namespace(self, ns) -> None:
+        """Write a full snapshot and truncate the WAL (compaction)."""
+        d = self._ns_dir(ns.name)
+        os.makedirs(d, exist_ok=True)
+        with self._lock, ns.lock:
+            with open(os.path.join(d, "indexes.json"), "w", encoding="utf-8") as f:
+                json.dump([idef.to_dict() for idef in ns.index_defs()], f)
+            with open(os.path.join(d, "meta.json"), "w", encoding="utf-8") as f:
+                json.dump(ns.meta, f, ensure_ascii=False)
+            tmp = os.path.join(d, "items.jsonl.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                for doc in ns.items:
+                    if doc is not None:
+                        f.write(json.dumps(doc, ensure_ascii=False, default=str) + "\n")
+            os.replace(tmp, os.path.join(d, "items.jsonl"))
+            walf = self._wal_files.pop(ns.name, None)
+            if walf is not None:
+                walf.close()
+            wal_path = os.path.join(d, "wal.jsonl")
+            if os.path.exists(wal_path):
+                os.remove(wal_path)
+            self._wal_counts[ns.name] = 0
+
+    def load_namespace(self, ns) -> None:
+        d = self._ns_dir(ns.name)
+        idx_path = os.path.join(d, "indexes.json")
+        if os.path.isfile(idx_path):
+            with open(idx_path, encoding="utf-8") as f:
+                for idef_dict in json.load(f):
+                    ns.add_index(IndexDef.from_dict(idef_dict))
+        meta_path = os.path.join(d, "meta.json")
+        if os.path.isfile(meta_path):
+            with open(meta_path, encoding="utf-8") as f:
+                ns.meta.update(json.load(f))
+        items_path = os.path.join(d, "items.jsonl")
+        if os.path.isfile(items_path):
+            with open(items_path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        ns.upsert(json.loads(line))
+        # replay WAL since last snapshot (reference: per-doc LSN replay,
+        # replication.md:39-44)
+        wal_path = os.path.join(d, "wal.jsonl")
+        if os.path.isfile(wal_path):
+            with open(wal_path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    op = rec.get("op")
+                    if op == "upsert" and "doc" in rec:
+                        ns.upsert(rec["doc"])
+                    elif op == "delete" and "doc" in rec:
+                        ns.delete(rec["doc"])
+                    elif op == "add_index":
+                        idef = IndexDef.from_dict(rec["index"])
+                        if idef.name not in ns.payload_type:
+                            ns.add_index(idef)
+                    elif op == "drop_index":
+                        if rec["name"] in ns.payload_type:
+                            ns.drop_index(rec["name"])
+                    elif op == "put_meta":
+                        ns.meta[rec["key"]] = rec["value"]
+                    elif op == "delete_meta":
+                        ns.meta.pop(rec["key"], None)
+                    elif op == "truncate":
+                        ns.truncate()
+
+    def drop_namespace(self, name: str) -> None:
+        with self._lock:
+            f = self._wal_files.pop(name, None)
+            if f is not None:
+                f.close()
+            d = self._ns_dir(name)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+    def rename_namespace(self, src: str, dst: str) -> None:
+        with self._lock:
+            f = self._wal_files.pop(src, None)
+            if f is not None:
+                f.close()
+            if os.path.isdir(self._ns_dir(src)):
+                os.replace(self._ns_dir(src), self._ns_dir(dst))
+
+    def close(self) -> None:
+        with self._lock:
+            for f in self._wal_files.values():
+                f.close()
+            self._wal_files.clear()

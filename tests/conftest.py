@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh so tests run fast
+and sharding tests work without TPU hardware (the driver separately
+dry-runs the multi-chip path; bench.py runs on the real chip)."""
+import os
+
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip())
+
+import jax
+
+# sitecustomize may have pre-imported jax with the TPU plugin; switching the
+# platform before first backend use still selects CPU.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,337 @@
+"""CRUD + scalar select behavior tests.
+
+Models the reference's Go behavioral suite (test/queries_test.go) at small
+scale: every query is re-verified against a naive Python model (the analog
+of queries_verifier.h).
+"""
+import numpy as np
+import pytest
+
+from reindexer_tpu import (CondType, IndexDef, IndexOpts, IndexType, FieldType,
+                           Query, Reindexer, ConflictError, NotFoundError,
+                           QueryError, StrictMode)
+
+
+def make_db():
+    db = Reindexer()
+    db.open_namespace("items", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("year", "tree", "int"),
+        IndexDef("name", "hash", "string"),
+        IndexDef("price", "tree", "double"),
+        IndexDef("genres", "hash", "int", opts=IndexOpts(is_array=True)),
+        IndexDef("desc", "-", "string"),
+    ])
+    return db
+
+
+DOCS = [
+    {"id": 1, "year": 2005, "name": "alpha", "price": 1.5, "genres": [1, 2], "desc": "aa", "extra": 7},
+    {"id": 2, "year": 2010, "name": "beta", "price": 2.5, "genres": [2, 3], "desc": "bb"},
+    {"id": 3, "year": 2015, "name": "gamma", "price": 0.5, "genres": [], "desc": "cc", "extra": 3},
+    {"id": 4, "year": 2020, "name": "alpha", "price": 9.5, "genres": [4], "desc": "dd"},
+    {"id": 5, "year": 2020, "name": "delta", "price": 4.0, "genres": [1, 4], "desc": "ee"},
+]
+
+
+@pytest.fixture
+def db():
+    d = make_db()
+    for doc in DOCS:
+        d.upsert("items", doc)
+    return d
+
+
+def ids(res):
+    return sorted(d["id"] for d in res.docs())
+
+
+def test_upsert_select_eq(db):
+    res = db.select(Query("items").where("id", "=", 3))
+    assert ids(res) == [3]
+    assert res.docs()[0]["name"] == "gamma"
+
+
+def test_insert_conflict_and_update_missing(db):
+    with pytest.raises(ConflictError):
+        db.insert("items", {"id": 1, "year": 1999, "name": "x", "price": 0.0})
+    with pytest.raises(NotFoundError):
+        db.update("items", {"id": 99, "year": 1999, "name": "x", "price": 0.0})
+
+
+def test_upsert_overwrites(db):
+    db.upsert("items", {"id": 1, "year": 2001, "name": "omega", "price": 1.0, "genres": [9]})
+    res = db.select(Query("items").where("id", "=", 1))
+    assert res.docs()[0]["name"] == "omega"
+    assert ids(db.select(Query("items").where("name", "=", "alpha"))) == [4]
+    assert ids(db.select(Query("items").where("genres", "=", 9))) == [1]
+    assert db.get_namespace("items").item_count() == 5
+
+
+def test_delete(db):
+    assert db.delete("items", {"id": 2}) is True
+    assert db.delete("items", {"id": 2}) is False
+    assert ids(db.select(Query("items"))) == [1, 3, 4, 5]
+
+
+def test_range_conditions(db):
+    assert ids(db.select(Query("items").where("year", ">", 2010))) == [3, 4, 5]
+    assert ids(db.select(Query("items").where("year", ">=", 2010))) == [2, 3, 4, 5]
+    assert ids(db.select(Query("items").where("year", "<", 2010))) == [1]
+    assert ids(db.select(Query("items").where("year", "range", [2010, 2015]))) == [2, 3]
+
+
+def test_composite_filter_and(db):
+    q = Query("items").where("year", ">", 2009).where("name", "=", "alpha")
+    assert ids(db.select(q)) == [4]
+
+
+def test_or_and_not(db):
+    q = Query("items").where("name", "=", "beta").op_or().where("name", "=", "delta")
+    assert ids(db.select(q)) == [2, 5]
+    q = Query("items").where("year", ">=", 2010).op_not().where("name", "=", "alpha")
+    assert ids(db.select(q)) == [2, 3, 5]
+
+
+def test_brackets(db):
+    # year >= 2010 AND (name = alpha OR name = delta)
+    q = (Query("items").where("year", ">=", 2010)
+         .open_bracket().where("name", "=", "alpha")
+         .op_or().where("name", "=", "delta").close_bracket())
+    assert ids(db.select(q)) == [4, 5]
+
+
+def test_set_and_allset_on_array(db):
+    assert ids(db.select(Query("items").where("genres", "set", [3, 4]))) == [2, 4, 5]
+    assert ids(db.select(Query("items").where("genres", "allset", [1, 4]))) == [5]
+
+
+def test_any_empty_on_array(db):
+    assert ids(db.select(Query("items").where("genres", CondType.ANY))) == [1, 2, 4, 5]
+    assert ids(db.select(Query("items").where("genres", CondType.EMPTY))) == [3]
+
+
+def test_store_index_comparator_fallback(db):
+    assert ids(db.select(Query("items").where("desc", "=", "cc"))) == [3]
+    assert ids(db.select(Query("items").where("desc", ">", "cc"))) == [4, 5]
+
+
+def test_like(db):
+    assert ids(db.select(Query("items").where("name", CondType.LIKE, "%eta"))) == [2]
+    assert ids(db.select(Query("items").where("name", CondType.LIKE, "_lpha"))) == [1, 4]
+
+
+def test_non_indexed_field(db):
+    assert ids(db.select(Query("items").where("extra", ">", 5))) == [1]
+    with pytest.raises(QueryError):
+        db.select(Query("items").strict(StrictMode.INDEXES).where("extra", ">", 5))
+    with pytest.raises(QueryError):
+        db.select(Query("items").where("no_such_field", "=", 1))
+    # strict none allows unknown fields
+    res = db.select(Query("items").strict(StrictMode.NONE).where("no_such_field", "=", 1))
+    assert len(res) == 0
+
+
+def test_sort_limit_offset(db):
+    res = db.select(Query("items").sort("price"))
+    assert [d["id"] for d in res.docs()] == [3, 1, 2, 5, 4]
+    res = db.select(Query("items").sort("price", desc=True).limit(2).offset(1))
+    assert [d["id"] for d in res.docs()] == [5, 2]
+    assert res.total_count is None
+    res = db.select(Query("items").sort("price").req_total_count().limit(2))
+    assert res.total_count == 5
+
+
+def test_multi_sort(db):
+    res = db.select(Query("items").sort("year", desc=True).sort("name"))
+    assert [d["id"] for d in res.docs()] == [4, 5, 3, 2, 1]
+
+
+def test_forced_sort(db):
+    res = db.select(Query("items").sort("id", forced_values=[3, 1]))
+    assert [d["id"] for d in res.docs()] == [3, 1, 2, 4, 5]
+
+
+def test_sort_expression(db):
+    res = db.select(Query("items").sort("price * 2 + year"))
+    years_prices = [(d["year"] + d["price"] * 2) for d in res.docs()]
+    assert years_prices == sorted(years_prices)
+
+
+def test_aggregations(db):
+    res = db.select(Query("items").aggregate_sum("price"))
+    assert res.agg_results()[0]["value"] == pytest.approx(18.0)
+    res = db.select(Query("items").aggregate_avg("year"))
+    assert res.agg_results()[0]["value"] == pytest.approx(np.mean([2005, 2010, 2015, 2020, 2020]))
+    res = db.select(Query("items").aggregate_min("price"))
+    assert res.agg_results()[0]["value"] == 0.5
+    res = db.select(Query("items").aggregate_max("price"))
+    assert res.agg_results()[0]["value"] == 9.5
+
+
+def test_facet(db):
+    res = db.select(Query("items").aggregate_facet("year"))
+    facets = {f["values"][0]: f["count"] for f in res.agg_results()[0]["facets"]}
+    assert facets == {2005: 1, 2010: 1, 2015: 1, 2020: 2}
+
+
+def test_facet_array_field(db):
+    res = db.select(Query("items").aggregate_facet("genres"))
+    facets = {f["values"][0]: f["count"] for f in res.agg_results()[0]["facets"]}
+    assert facets == {1: 2, 2: 2, 3: 1, 4: 2}
+
+
+def test_distinct(db):
+    res = db.select(Query("items").distinct("name"))
+    assert sorted(res.agg_results()[0]["distincts"]) == ["alpha", "beta", "delta", "gamma"]
+    # one item per distinct value
+    assert len(res) == 4
+
+
+def test_select_filter(db):
+    res = db.select(Query("items").where("id", "=", 1).select("id", "name"))
+    assert res.docs()[0] == {"id": 1, "name": "alpha"}
+
+
+def test_count_agg(db):
+    res = db.select(Query("items").where("year", ">=", 2010).aggregate("count"))
+    assert res.agg_results()[0]["value"] == 4
+
+
+def test_update_query(db):
+    res = db.update_query(Query("items").where("year", ">=", 2020).set("flagged", True))
+    assert len(res) == 2
+    assert ids(db.select(Query("items").where("flagged", "=", True))) == [4, 5]
+
+
+def test_update_set_expression(db):
+    db.update_query(Query("items").where("id", "=", 1).set_expression("price", "price * 2"))
+    assert db.select(Query("items").where("id", "=", 1)).docs()[0]["price"] == 3.0
+
+
+def test_delete_query(db):
+    n = db.delete_query(Query("items").where("year", "<", 2015))
+    assert n == 2
+    assert ids(db.select(Query("items"))) == [3, 4, 5]
+
+
+def test_between_fields(db):
+    db.upsert("items", {"id": 6, "year": 2000, "name": "x", "price": 2000.0, "genres": []})
+    q = Query("items").where_between_fields("price", "ge", "year")
+    assert ids(db.select(q)) == [6]
+
+
+def test_explain(db):
+    exp = db.explain(Query("items").where("year", ">", 2010))
+    assert exp["matched"] == 3
+    assert any(s["field"] == "year" for s in exp["selectors"])
+
+
+def test_transaction(db):
+    tx = db.new_transaction("items")
+    tx.upsert({"id": 10, "year": 2021, "name": "tx1", "price": 1.0, "genres": []})
+    tx.upsert({"id": 11, "year": 2022, "name": "tx2", "price": 2.0, "genres": []})
+    tx.delete({"id": 1})
+    assert tx.commit() == 3
+    assert ids(db.select(Query("items"))) == [2, 3, 4, 5, 10, 11]
+
+
+def test_meta(db):
+    db.put_meta("items", "k1", "v1")
+    assert db.get_meta("items", "k1") == "v1"
+    assert db.enum_meta("items") == ["k1"]
+    db.delete_meta("items", "k1")
+    assert db.get_meta("items", "k1") is None
+
+
+def test_namespaces_lifecycle():
+    db = Reindexer()
+    db.open_namespace("a", [IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+    db.upsert("a", {"id": 1})
+    db.rename_namespace("a", "b")
+    assert db.namespace_names() == ["b"]
+    db.truncate_namespace("b")
+    assert len(db.select(Query("b"))) == 0
+    db.drop_namespace("b")
+    with pytest.raises(NotFoundError):
+        db.select(Query("b"))
+
+
+def test_system_namespaces(db):
+    res = db.select(Query("#namespaces"))
+    assert res.docs()[0]["name"] == "items"
+    res = db.select(Query("#memstats"))
+    assert res.docs()[0]["items_count"] == 5
+    db.select(Query("items"))
+    res = db.select(Query("#perfstats"))
+    assert res.docs()[0]["selects"]["total_queries_count"] >= 1
+    res = db.select(Query("#config"))
+    assert any(d["type"] == "profiling" for d in res.docs())
+
+
+def test_merge_queries(db):
+    db.open_namespace("others", [IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+    db.upsert("others", {"id": 100})
+    q = Query("items").where("id", "=", 1).merge(Query("others"))
+    res = db.select(q)
+    assert sorted(d["id"] for d in res.docs()) == [1, 100]
+
+
+def test_add_index_backfill(db):
+    # adding an index over existing docs backfills it
+    db.add_index("items", IndexDef("extra", "tree", "int"))
+    assert ids(db.select(Query("items").where("extra", ">", 5))) == [1]
+
+
+def test_drop_index(db):
+    db.drop_index("items", "year")
+    # falls back to non-indexed comparator
+    assert ids(db.select(Query("items").where("year", ">", 2010))) == [3, 4, 5]
+
+
+def test_dwithin_non_indexed(db):
+    db.upsert("items", {"id": 7, "year": 1, "name": "p", "price": 0.0,
+                        "genres": [], "pt": [1.0, 1.0]})
+    q = Query("items").dwithin("pt", (0.0, 0.0), 2.0)
+    assert ids(db.select(q)) == [7]
+
+
+def test_rtree_index():
+    db = Reindexer()
+    db.open_namespace("geo", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("pt", "rtree", "point"),
+    ])
+    db.upsert("geo", {"id": 1, "pt": [0.0, 0.0]})
+    db.upsert("geo", {"id": 2, "pt": [5.0, 5.0]})
+    res = db.select(Query("geo").dwithin("pt", (0.5, 0.5), 1.0))
+    assert [d["id"] for d in res.docs()] == [1]
+
+
+def test_ttl_index():
+    import time
+    db = Reindexer()
+    db.open_namespace("sessions", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("ts", "ttl", "int64", opts=IndexOpts(expire_after=10)),
+    ])
+    now = int(time.time())
+    db.upsert("sessions", {"id": 1, "ts": now - 100})   # expired
+    db.upsert("sessions", {"id": 2, "ts": now})          # fresh
+    res = db.select(Query("sessions"))
+    assert [d["id"] for d in res.docs()] == [2]
+
+
+def test_composite_index():
+    db = Reindexer()
+    db.open_namespace("c", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("a", "-", "int"),
+        IndexDef("b", "-", "string"),
+        IndexDef("a+b", "hash", "composite", json_paths=("a", "b")),
+    ])
+    db.upsert("c", {"id": 1, "a": 1, "b": "x"})
+    db.upsert("c", {"id": 2, "a": 1, "b": "y"})
+    db.upsert("c", {"id": 3, "a": 2, "b": "x"})
+    res = db.select(Query("c").where("a+b", "=", [(1, "x")]))
+    assert [d["id"] for d in res.docs()] == [1]
