@@ -160,7 +160,18 @@ class Namespace:
         if idef.is_vector:
             return vals[0] if vals else None
         if idef.is_fulltext:
-            return vals  # list of text chunks over the ft fields
+            # per-field texts aligned with json_paths ("" for missing fields)
+            # so the FT engine can attribute postings to fields correctly
+            texts: list = []
+            for path in idef.json_paths:
+                v = get_json_path(doc, path)
+                if v is None:
+                    texts.append("")
+                elif isinstance(v, list):
+                    texts.append(" ".join(str(x) for x in v if x is not None))
+                else:
+                    texts.append(str(v))
+            return texts
         if not vals:
             return None
         return vals if (idef.opts.is_array or len(vals) > 1) else vals[0]

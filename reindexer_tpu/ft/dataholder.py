@@ -1,0 +1,245 @@
+"""FT posting store: host dictionary + device CSR posting arrays.
+
+TPU-native re-design of the reference DataHolder/DataProcessor
+(cpp_src/core/ft/ft_fast/dataholder.h:69-207, dataprocessor.cc:23-75,
+idrelset.h): instead of per-word hash maps with packed posting vectors walked
+by a scalar merge loop, the inverted index is a flat CSR layout —
+
+    word_start[W+1] -> postings  (one posting per (word, doc, field):
+        post_doc[P] int32, post_field[P] int32, post_tf[P] f32,
+        post_minpos[P] int32)
+    pos_start[P+1] -> pos_flat   (all token positions, host-only: used for
+                                  phrase verification and highlight areas)
+
+The postings arrays are mirrored to device memory where the BM25 scorer
+(scorer.py) consumes them with gathers + segment scatter-adds; the dictionary
+(vocab, prefix/suffix ordering, typo map) stays host-side — the split
+mandated by SURVEY.md §7 ("string-heavy FT dictionary ops don't fit TPU").
+
+The whole build is vectorized numpy (np.unique/lexsort/bincount — the batch
+analog of the reference's multithreaded buildWordsMap fan-out, P2 in
+SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import bisect
+from typing import Iterable, Optional
+
+import numpy as np
+
+from .config import FtFastConfig
+from .tokenizer import tokenize
+from .typos import TypoDict
+
+
+def _pad_pow2(n: int, floor: int = 1024) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
+class FtDataHolder:
+    """One committed full-text index build over a namespace's text fields."""
+
+    def __init__(self, cfg: FtFastConfig, field_names: list[str]):
+        self.cfg = cfg
+        self.field_names = list(field_names)
+        self.words: np.ndarray = np.empty(0, dtype=object)  # sorted vocab
+        self.vocab: dict[str, int] = {}
+        self.rev_words: list[str] = []        # sorted reversed words
+        self.rev_ids: np.ndarray = np.empty(0, dtype=np.int64)
+        self.word_start = np.zeros(1, dtype=np.int64)
+        self.word_ndocs = np.empty(0, dtype=np.int64)
+        self.post_doc = np.empty(0, dtype=np.int32)
+        self.post_field = np.empty(0, dtype=np.int32)
+        self.post_tf = np.empty(0, dtype=np.float32)
+        self.post_minpos = np.empty(0, dtype=np.int32)
+        self.pos_start = np.zeros(1, dtype=np.int64)
+        self.pos_flat = np.empty(0, dtype=np.int32)
+        self.doc_words = np.empty(0, dtype=np.float32)
+        self.total_docs = 0
+        self.avg_doc_len = 1.0
+        self._typo_dict: Optional[TypoDict] = None
+        # device mirrors (lazy)
+        self._device: Optional[dict] = None
+
+    # ------------------------------------------------------------------
+    # build (reference: DataProcessor::Process, dataprocessor.cc:23)
+    # ------------------------------------------------------------------
+    def build(self, docs: Iterable[tuple[int, list[str]]], rows_capacity: int,
+              ) -> None:
+        """docs: iterable of (row_id, [text per ft field])."""
+        tokens: list[str] = []
+        t_doc: list[np.ndarray] = []
+        t_field: list[np.ndarray] = []
+        t_pos: list[np.ndarray] = []
+        stop = self.cfg.stop_words
+        extra = self.cfg.extra_word_symbols
+        max_row = -1
+        ndocs = 0
+        for row, field_texts in docs:
+            max_row = max(max_row, row)
+            ndocs += 1
+            for f_idx, text in enumerate(field_texts):
+                if not text:
+                    continue
+                toks = tokenize(text, extra)
+                if stop:
+                    toks = [t for t in toks if t not in stop]
+                if not toks:
+                    continue
+                n = len(toks)
+                tokens.extend(toks)
+                t_doc.append(np.full(n, row, dtype=np.int32))
+                t_field.append(np.full(n, f_idx, dtype=np.int32))
+                t_pos.append(np.arange(n, dtype=np.int32))
+
+        self.total_docs = ndocs
+        cap = max(rows_capacity, max_row + 1, 1)
+        if not tokens:
+            self.doc_words = np.zeros(cap, dtype=np.float32)
+            self._device = None
+            return
+
+        tok_arr = np.asarray(tokens, dtype=object)
+        doc_arr = np.concatenate(t_doc)
+        field_arr = np.concatenate(t_field)
+        pos_arr = np.concatenate(t_pos)
+        del tokens, t_doc, t_field, t_pos
+
+        # vocabulary + token -> word-id in one shot
+        self.words, tok_wid = np.unique(tok_arr, return_inverse=True)
+        tok_wid = tok_wid.astype(np.int64)
+        self.vocab = {w: i for i, w in enumerate(self.words)}
+        rev = sorted(range(len(self.words)),
+                     key=lambda i: self.words[i][::-1])
+        self.rev_words = [self.words[i][::-1] for i in rev]
+        self.rev_ids = np.asarray(rev, dtype=np.int64)
+
+        # group tokens into postings: sort by (word, doc, field, pos)
+        order = np.lexsort((pos_arr, field_arr, doc_arr, tok_wid))
+        w_s = tok_wid[order]
+        d_s = doc_arr[order]
+        f_s = field_arr[order]
+        p_s = pos_arr[order]
+
+        # posting boundaries where (word, doc, field) changes
+        change = np.empty(len(w_s), dtype=bool)
+        change[0] = True
+        change[1:] = ((w_s[1:] != w_s[:-1]) | (d_s[1:] != d_s[:-1])
+                      | (f_s[1:] != f_s[:-1]))
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(w_s)))
+
+        self.post_doc = d_s[starts].astype(np.int32)
+        self.post_field = f_s[starts].astype(np.int32)
+        self.post_tf = counts.astype(np.float32)
+        self.post_minpos = p_s[starts].astype(np.int32)  # pos sorted per group
+        self.pos_flat = p_s.astype(np.int32)
+        self.pos_start = np.concatenate(
+            [starts, [len(p_s)]]).astype(np.int64)
+
+        post_wid = w_s[starts]
+        self.word_start = np.searchsorted(
+            post_wid, np.arange(len(self.words) + 1)).astype(np.int64)
+
+        # per-word distinct-doc counts (M in the idf formula)
+        wd_change = np.empty(len(w_s), dtype=bool)
+        wd_change[0] = True
+        wd_change[1:] = (w_s[1:] != w_s[:-1]) | (d_s[1:] != d_s[:-1])
+        wd_words = w_s[wd_change]
+        self.word_ndocs = np.bincount(
+            wd_words, minlength=len(self.words)).astype(np.int64)
+
+        self.doc_words = np.bincount(
+            doc_arr, minlength=cap).astype(np.float32)
+        used = self.doc_words > 0
+        self.avg_doc_len = float(self.doc_words[used].mean()) if used.any() else 1.0
+        self._typo_dict = None
+        self._device = None
+
+    # ------------------------------------------------------------------
+    # dictionary lookups (host)
+    # ------------------------------------------------------------------
+    def word_id(self, word: str) -> Optional[int]:
+        return self.vocab.get(word)
+
+    def word_of(self, wid: int) -> str:
+        return self.words[wid]
+
+    def prefix_match_ids(self, prefix: str, limit: int = 512) -> list[int]:
+        """Vocabulary words starting with `prefix` (suffix-array analog:
+        sorted-vocab bisect; reference: estl/suffix_map.h lookups)."""
+        lo = np.searchsorted(self.words, prefix)
+        hi = np.searchsorted(self.words, prefix + "￿")
+        return list(range(int(lo), int(min(hi, lo + limit))))
+
+    def suffix_match_ids(self, suffix: str, limit: int = 512) -> list[int]:
+        rsuf = suffix[::-1]
+        lo = bisect.bisect_left(self.rev_words, rsuf)
+        out = []
+        for i in range(lo, len(self.rev_words)):
+            if not self.rev_words[i].startswith(rsuf):
+                break
+            out.append(int(self.rev_ids[i]))
+            if len(out) >= limit:
+                break
+        return out
+
+    @property
+    def typo_dict(self) -> TypoDict:
+        """Lazily-built deletion dictionary (reference builds typo maps during
+        commit, dataprocessor buildTyposMap; we defer to first `~` query)."""
+        if self._typo_dict is None:
+            td = TypoDict(self.cfg.max_typos, self.cfg.max_typo_len)
+            for wid, w in enumerate(self.words):
+                td.add_word(w, wid)
+            self._typo_dict = td
+        return self._typo_dict
+
+    # ------------------------------------------------------------------
+    # postings access
+    # ------------------------------------------------------------------
+    def posting_range(self, wid: int) -> tuple[int, int]:
+        return int(self.word_start[wid]), int(self.word_start[wid + 1])
+
+    def positions_of(self, posting_idx: int) -> np.ndarray:
+        s, e = self.pos_start[posting_idx], self.pos_start[posting_idx + 1]
+        return self.pos_flat[s:e]
+
+    @property
+    def num_postings(self) -> int:
+        return len(self.post_doc)
+
+    def device_arrays(self) -> dict:
+        """Device mirrors, padded to pow-2 buckets so scorer jit shapes are
+        stable across commits."""
+        if self._device is None:
+            import jax.numpy as jnp
+            p = len(self.post_doc)
+            pp = _pad_pow2(max(p, 1))
+            cap = len(self.doc_words)
+            capp = _pad_pow2(max(cap, 1))
+
+            def pad(a, n, fill=0):
+                out = np.full(n, fill, dtype=a.dtype)
+                out[: len(a)] = a
+                return out
+
+            self._device = {
+                "post_doc": jnp.asarray(pad(self.post_doc, pp)),
+                "post_field": jnp.asarray(pad(self.post_field, pp)),
+                "post_tf": jnp.asarray(pad(self.post_tf, pp)),
+                "post_minpos": jnp.asarray(pad(self.post_minpos, pp)),
+                "doc_words": jnp.asarray(pad(self.doc_words, capp)),
+                "cap": capp,
+            }
+        return self._device
+
+    def memstat(self) -> dict:
+        return {
+            "words_count": len(self.words),
+            "postings_count": int(self.num_postings),
+            "data_size": int(self.num_postings * 16 + self.pos_flat.nbytes),
+        }

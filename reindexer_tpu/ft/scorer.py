@@ -1,0 +1,122 @@
+"""Device BM25 scoring + ranked merge.
+
+TPU-native replacement for the reference's scalar posting-merge loop
+(cpp_src/core/ft/ft_fast/merger.h Merger::Merge + mergerimpl.h mergeTerm):
+the host selects which postings participate (variant expansion -> gather
+index list); the device then computes, for every gathered posting, the
+sub-term rank
+
+    subTermRank = fieldBoost * termProc * bm25_norm * termBoost
+                  * termLenBoost * positionRank           (mergerimpl.h:95-124)
+
+with bm25_norm = (1-w) + bm25*boost*w and the piecewise pos2rank curve
+(ftconfig.h:126-147), scatter-maxes it into a [terms, docs] accumulator
+(= "max subTermRank per term"), and folds docRank = sum_t max_t with
+must/not masks — one fused XLA program ending in top-k (mergeLimit cap,
+ftconfig.h merge_limit).
+
+IDF choices mirror bm25.h: rx = max(0.2, log((N-M+1)/M)/log(1+N)),
+classic = log(N/(M+1))+1, word_count = 0 (rank = raw term count).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def idf_host(total_docs: int, matched_docs: np.ndarray, bm25_type: str,
+             ) -> np.ndarray:
+    """Per-word IDF on host (reference: bm25.h IDF formulas)."""
+    n = float(max(total_docs, 1))
+    m = np.maximum(matched_docs.astype(np.float64), 1.0)
+    if bm25_type == "classic":
+        return (np.log(n / (m + 1.0)) + 1.0).astype(np.float32)
+    if bm25_type == "word_count":
+        return np.zeros_like(m, dtype=np.float32)
+    f = np.log((n - m + 1.0) / m) / np.log(1.0 + n)
+    return np.maximum(f, 0.2).astype(np.float32)
+
+
+def _pos2rank(pos: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise position rank (reference: FTFieldConfig::pos2rank,
+    ftconfig.h:126-144)."""
+    p = pos.astype(jnp.float32)
+    return jnp.where(
+        p <= 10, 1.0 - p / 100.0,
+        jnp.where(p <= 100, 0.9 - p / 1000.0,
+                  jnp.where(p <= 1000, 0.8 - p / 10000.0,
+                            jnp.where(p <= 10000, 0.7 - p / 100000.0,
+                                      jnp.where(p <= 100000, 0.6 - p / 1e6,
+                                                0.5)))))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_count", "cap", "merge_k", "bm25_type"))
+def score_and_merge(
+    gather_idx: jnp.ndarray,     # int32[G] posting indices (pad -> 0)
+    g_term: jnp.ndarray,         # int32[G] query-term id per gathered posting
+    g_weight: jnp.ndarray,       # f32[G] termProc/100 (0 for padding)
+    g_idf: jnp.ndarray,          # f32[G] idf of the matched word
+    post_doc: jnp.ndarray,       # int32[P]
+    post_field: jnp.ndarray,     # int32[P]
+    post_tf: jnp.ndarray,        # f32[P]
+    post_minpos: jnp.ndarray,    # int32[P]
+    doc_words: jnp.ndarray,      # f32[cap]
+    field_boost: jnp.ndarray,        # f32[F] 0 = field not searched
+    field_bm25_boost: jnp.ndarray,   # f32[F]
+    field_bm25_weight: jnp.ndarray,  # f32[F]
+    field_pos_boost: jnp.ndarray,    # f32[F]
+    field_pos_weight: jnp.ndarray,   # f32[F]
+    term_boost: jnp.ndarray,     # f32[T]
+    term_lenboost: jnp.ndarray,  # f32[T]
+    must_mask: jnp.ndarray,      # bool[T] term must match
+    not_mask: jnp.ndarray,       # bool[T] term must NOT match
+    k1: float, b: float, avg_len: float,
+    t_count: int, cap: int, merge_k: int, bm25_type: str,
+):
+    """Returns (scores f32[merge_k], doc_ids int32[merge_k]); empty slots
+    have score -inf / id -1. Scores are un-normalized docRank sums — the
+    caller applies the *255/allmax normalization (mergerimpl.h:107)."""
+    doc = post_doc[gather_idx]
+    fld = post_field[gather_idx]
+    tf = post_tf[gather_idx]
+    minpos = post_minpos[gather_idx]
+    wdoc = jnp.maximum(doc_words[doc], 1.0)
+
+    if bm25_type == "word_count":
+        bm25 = tf
+    else:
+        t_freq = tf / wdoc if bm25_type == "classic" else tf
+        bm25 = (g_idf * t_freq * (k1 + 1.0)
+                / (t_freq + k1 * (1.0 - b + b * wdoc / avg_len)))
+
+    w_f = field_bm25_weight[fld]
+    bm25_norm = (1.0 - w_f) + bm25 * field_bm25_boost[fld] * w_f
+    pw = field_pos_weight[fld]
+    posrank = (1.0 - pw) + _pos2rank(minpos) * field_pos_boost[fld] * pw
+
+    subrank = (field_boost[fld] * g_weight * bm25_norm
+               * term_boost[g_term] * term_lenboost[g_term] * posrank)
+
+    # max sub-term rank per (term, doc)
+    acc = jnp.zeros((t_count, cap), dtype=jnp.float32)
+    acc = acc.at[g_term, doc].max(subrank, mode="drop")
+
+    present = acc > 0.0
+    # NOT terms: exclude their docs and drop their rank contribution
+    excluded = jnp.any(present & not_mask[:, None], axis=0)
+    rank_acc = jnp.where(not_mask[:, None], 0.0, acc)
+    sum_rank = jnp.sum(rank_acc, axis=0)
+    all_must = jnp.all(present | ~must_mask[:, None], axis=0)
+
+    ok = all_must & ~excluded & (sum_rank > 0.0)
+    sum_rank = jnp.where(ok, sum_rank, NEG_INF)
+    top_s, top_i = jax.lax.top_k(sum_rank, merge_k)
+    top_i = jnp.where(top_s > NEG_INF, top_i, -1)
+    return top_s, top_i

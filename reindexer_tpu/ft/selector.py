@@ -1,0 +1,349 @@
+"""FT query pipeline: variant expansion (host) -> device scoring -> merge.
+
+Semantic equivalent of the reference Selector
+(cpp_src/core/ft/ft_fast/selecterimpl.h:631 Process, selecter.h:149-168
+tryToCorrectTypos/transliterate/stem/addSynonyms): each DSL term expands into
+dictionary *variants* — exact word, prefix/suffix matches, typo candidates,
+stem-prefix matches, transliteration, keyboard layout, synonyms — each with
+its base relevancy proc (FtSubTermProcs). The variants select CSR posting
+ranges; the device scorer (scorer.py) folds them into ranked docs.
+
+Partial-match relevancy mirrors ftconfig.h:183-185:
+    proc = fullMatch - partialMatchDecrease * unmatched / matched
+clamped to prefixMin/suffixMin.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .config import FtFastConfig
+from .dataholder import FtDataHolder
+from .dsl import FtDslQuery, FtTerm, parse_ft_dsl
+from .scorer import idf_host, score_and_merge
+from .stemmer import get_stemmer
+from .tokenizer import tokenize
+from .variants import SynonymsMap, kblayout_variants, translit_variants
+
+_MAX_VARIANT_WORDS = 1024
+_MIN_STEM_LEN = 3
+
+
+def _pad_pow2(n: int, floor: int = 64) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
+@dataclasses.dataclass
+class FtSelectResult:
+    ids: np.ndarray            # int64 doc rows, best rank first
+    ranks: np.ndarray          # float32 0..255 (reference rank scale)
+    matched_words: set         # vocabulary words that produced matches
+    holder: Optional[FtDataHolder] = None
+
+
+class FtSelector:
+    def __init__(self, holder: FtDataHolder, cfg: FtFastConfig):
+        self.holder = holder
+        self.cfg = cfg
+        self.synonyms = SynonymsMap(cfg.synonyms)
+
+    # ------------------------------------------------------------------
+    def process(self, dsl: str) -> FtSelectResult:
+        q = parse_ft_dsl(dsl)
+        return self.process_query(q)
+
+    def process_query(self, q: FtDslQuery) -> FtSelectResult:
+        h = self.holder
+        cfg = self.cfg
+        empty = FtSelectResult(np.empty(0, dtype=np.int64),
+                               np.empty(0, dtype=np.float32), set(), h)
+        if h.total_docs == 0 or not len(h.words):
+            return empty
+
+        # multi-word synonym spans add alternative variant terms
+        terms = list(q.terms)
+        patterns = [t.pattern for t in terms]
+        for start, end, alts in self.synonyms.multi_matches(patterns):
+            for alt in alts:
+                for tok in tokenize(alt, cfg.extra_word_symbols):
+                    terms.append(dataclasses.replace(
+                        terms[start], pattern=tok, phrase_group=-1,
+                        op="or" if terms[start].op != "not" else "not"))
+
+        # drop stop-word query terms (reference: stop words skipped in query)
+        terms = [t for t in terms
+                 if t.pattern not in cfg.stop_words
+                 and t.pattern not in cfg.morpheme_stop_words]
+        if not terms:
+            return empty
+
+        # --- expand variants per term: word_id -> proc (max if several)
+        variants: list[dict[int, float]] = [self._expand(t) for t in terms]
+        if not any(variants):
+            return empty
+
+        # --- build gather arrays over posting CSR ranges
+        g_idx_parts, g_term_parts, g_w_parts, g_idf_parts = [], [], [], []
+        matched_words: set = set()
+        bm25_type = cfg.bm25.bm25_type
+        for t_idx, var in enumerate(variants):
+            if not var:
+                continue
+            wids = np.fromiter(var.keys(), dtype=np.int64, count=len(var))
+            procs = np.fromiter(var.values(), dtype=np.float32, count=len(var))
+            idfs = idf_host(h.total_docs, h.word_ndocs[wids], bm25_type)
+            starts = h.word_start[wids]
+            ends = h.word_start[wids + 1]
+            lens = (ends - starts).astype(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            if terms[t_idx].op != "not":
+                for w in wids:
+                    matched_words.add(h.words[w])
+            idx = np.concatenate(
+                [np.arange(s, e, dtype=np.int32)
+                 for s, e in zip(starts, ends) if e > s]) if total else \
+                np.empty(0, dtype=np.int32)
+            g_idx_parts.append(idx)
+            g_term_parts.append(np.full(total, t_idx, dtype=np.int32))
+            g_w_parts.append(np.repeat(procs / 100.0, lens))
+            g_idf_parts.append(np.repeat(idfs, lens))
+
+        if not g_idx_parts:
+            return empty
+        g_idx = np.concatenate(g_idx_parts)
+        g_term = np.concatenate(g_term_parts)
+        g_w = np.concatenate(g_w_parts)
+        g_idf = np.concatenate(g_idf_parts)
+
+        gpad = _pad_pow2(len(g_idx))
+        pad = gpad - len(g_idx)
+        if pad:
+            g_idx = np.concatenate([g_idx, np.zeros(pad, dtype=np.int32)])
+            g_term = np.concatenate([g_term, np.zeros(pad, dtype=np.int32)])
+            g_w = np.concatenate([g_w, np.zeros(pad, dtype=np.float32)])
+            g_idf = np.concatenate([g_idf, np.zeros(pad, dtype=np.float32)])
+
+        # --- per-term / per-field parameter vectors
+        t_count = _pad_pow2(len(terms), 2)
+        term_boost = np.ones(t_count, dtype=np.float32)
+        term_lenb = np.ones(t_count, dtype=np.float32)
+        must = np.zeros(t_count, dtype=np.bool_)
+        notm = np.zeros(t_count, dtype=np.bool_)
+        for i, t in enumerate(terms):
+            term_boost[i] = t.boost
+            term_lenb[i] = self._term_len_bound(t.term_len_boost)
+            must[i] = (t.op == "must") or t.phrase_group >= 0
+            notm[i] = t.op == "not"
+
+        fb, bb, bw, pb, pw = self._field_params(q)
+
+        dev = h.device_arrays()
+        import jax.numpy as jnp
+        cap = dev["cap"]
+        merge_k = min(cfg.merge_limit, cap)
+        scores, docs = score_and_merge(
+            jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
+            jnp.asarray(g_idf),
+            dev["post_doc"], dev["post_field"], dev["post_tf"],
+            dev["post_minpos"], dev["doc_words"],
+            jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(bw),
+            jnp.asarray(pb), jnp.asarray(pw),
+            jnp.asarray(term_boost), jnp.asarray(term_lenb),
+            jnp.asarray(must), jnp.asarray(notm),
+            cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
+            t_count, cap, merge_k, bm25_type)
+        scores = np.asarray(scores)
+        docs = np.asarray(docs)
+        keep = docs >= 0
+        scores, docs = scores[keep], docs[keep]
+        if len(docs) == 0:
+            return empty
+
+        # --- phrase verification on host (positions CSR)
+        if q.phrase_distance:
+            pmask = self._verify_phrases(q, terms, variants, docs)
+            scores, docs = scores[pmask], docs[pmask]
+            if len(docs) == 0:
+                return empty
+
+        # --- normalize to 0..255 (mergerimpl.h: docRank=sum*255/allmax)
+        allmax = float(scores[0]) if len(scores) else 1.0
+        ranks = scores * (255.0 / max(allmax, 1e-30))
+        keep = ranks >= cfg.min_rank
+        ranks, docs = ranks[keep], docs[keep]
+        return FtSelectResult(docs.astype(np.int64), ranks.astype(np.float32),
+                              matched_words, h)
+
+    # ------------------------------------------------------------------
+    def _term_len_bound(self, k: float) -> float:
+        """bound(termLenBoost, weight, boost) (ftconfig.h:146)."""
+        f = self.cfg.default_field
+        return (1.0 - f.term_len_weight) + k * f.term_len_boost * f.term_len_weight
+
+    def _field_params(self, q: FtDslQuery):
+        names = self.holder.field_names
+        fpad = _pad_pow2(max(len(names), 1), 8)
+        fb = np.zeros(fpad, dtype=np.float32)
+        bb = np.ones(fpad, dtype=np.float32)
+        bw = np.full(fpad, self.cfg.default_field.bm25_weight, dtype=np.float32)
+        pb = np.ones(fpad, dtype=np.float32)
+        pw = np.full(fpad, self.cfg.default_field.position_weight,
+                     dtype=np.float32)
+        sel = {f.name: f.boost for f in q.fields} if q.fields else None
+        all_fields = sel is None or "*" in (sel or {})
+        for i, name in enumerate(names):
+            fcfg = self.cfg.fields.get(name, self.cfg.default_field)
+            bb[i] = fcfg.bm25_boost
+            bw[i] = fcfg.bm25_weight
+            pb[i] = fcfg.position_boost
+            pw[i] = fcfg.position_weight
+            if all_fields:
+                fb[i] = (sel or {}).get("*", 1.0)
+            elif name in sel:
+                fb[i] = sel[name]
+        return fb, bb, bw, pb, pw
+
+    # ------------------------------------------------------------------
+    # variant expansion (reference: Selector::prepareVariants)
+    # ------------------------------------------------------------------
+    def _expand(self, t: FtTerm) -> dict[int, float]:
+        h, cfg, procs = self.holder, self.cfg, self.cfg.procs
+        out: dict[int, float] = {}
+
+        def add(wid: Optional[int], proc: float) -> None:
+            if wid is not None and proc > out.get(wid, 0.0) \
+                    and len(out) < _MAX_VARIANT_WORDS:
+                out[wid] = proc
+
+        pat = t.pattern
+        add(h.word_id(pat), float(procs.full_match))
+        if t.exact:
+            return out
+
+        if t.prefix or t.suffix:
+            matched = max(len(pat), 1)
+            if t.prefix and not t.suffix:
+                for wid in h.prefix_match_ids(pat):
+                    unmatched = len(h.word_of(wid)) - len(pat)
+                    add(wid, max(float(procs.prefix_min),
+                                 procs.full_match
+                                 - cfg.partial_match_decrease * unmatched / matched))
+            elif t.suffix and not t.prefix:
+                for wid in h.suffix_match_ids(pat):
+                    unmatched = len(h.word_of(wid)) - len(pat)
+                    add(wid, max(float(procs.suffix_min),
+                                 procs.full_match
+                                 - cfg.partial_match_decrease * unmatched / matched))
+            else:
+                # *term*: contains — scan vocab (bounded)
+                cnt = 0
+                for wid, w in enumerate(h.words):
+                    if pat in w:
+                        unmatched = len(w) - len(pat)
+                        add(wid, max(float(procs.suffix_min),
+                                     procs.full_match
+                                     - cfg.partial_match_decrease * unmatched / matched))
+                        cnt += 1
+                        if cnt >= _MAX_VARIANT_WORDS:
+                            break
+
+        if t.typos:
+            td = h.typo_dict
+            for wid, ntypos in td.candidates(pat, h.word_id, h.word_of).items():
+                add(wid, max(1.0, procs.typo
+                             - procs.typo_penalty * max(ntypos - 1, 0)))
+
+        # stem variants as prefix searches (reference: selecterimpl.h:204-220)
+        if not t.prefix and not t.suffix:
+            stem_proc = float(procs.full_match - procs.stemmer_penalty)
+            for lang in cfg.stemmers:
+                st = get_stemmer(lang)
+                if st is None:
+                    continue
+                stem = st(pat)
+                if len(stem) < _MIN_STEM_LEN or stem == pat:
+                    continue
+                for wid in h.prefix_match_ids(stem):
+                    w = h.word_of(wid)
+                    # guard against wildly longer words
+                    if len(w) - len(stem) <= 4:
+                        add(wid, stem_proc)
+
+        if cfg.enable_translit:
+            for v in translit_variants(pat):
+                add(h.word_id(v), float(procs.translit))
+        if cfg.enable_kb_layout:
+            for v in kblayout_variants(pat):
+                add(h.word_id(v), float(procs.kblayout))
+        for alt in self.synonyms.for_term(pat):
+            for tok in tokenize(alt, cfg.extra_word_symbols):
+                add(h.word_id(tok), float(procs.synonyms))
+        return out
+
+    # ------------------------------------------------------------------
+    # phrase verification (host, positions CSR)
+    # ------------------------------------------------------------------
+    def _verify_phrases(self, q: FtDslQuery, terms: list[FtTerm],
+                        variants: list[dict[int, float]],
+                        docs: np.ndarray) -> np.ndarray:
+        h = self.holder
+        groups: dict[int, list[int]] = {}
+        for i, t in enumerate(terms):
+            if t.phrase_group >= 0:
+                groups.setdefault(t.phrase_group, []).append(i)
+        mask = np.ones(len(docs), dtype=np.bool_)
+        for gid, tidx in groups.items():
+            tidx.sort(key=lambda i: terms[i].phrase_pos)
+            dist = q.phrase_distance.get(gid, 1)
+            # positions per (doc, field) per phrase slot
+            for di, doc in enumerate(docs):
+                if not mask[di]:
+                    continue
+                if not self._phrase_in_doc(int(doc), tidx, variants, dist):
+                    mask[di] = False
+        return mask
+
+    def _phrase_in_doc(self, doc: int, tidx: list[int],
+                       variants: list[dict[int, float]], dist: int) -> bool:
+        h = self.holder
+        # field -> list of position sets per slot
+        per_slot: list[dict[int, np.ndarray]] = []
+        for ti in tidx:
+            fields: dict[int, list[np.ndarray]] = {}
+            for wid in variants[ti]:
+                s, e = h.posting_range(wid)
+                lo = s + int(np.searchsorted(h.post_doc[s:e], doc, "left"))
+                hi = s + int(np.searchsorted(h.post_doc[s:e], doc, "right"))
+                for p in range(lo, hi):
+                    fields.setdefault(int(h.post_field[p]), []).append(
+                        h.positions_of(p))
+            if not fields:
+                return False
+            per_slot.append({f: np.unique(np.concatenate(v))
+                             for f, v in fields.items()})
+        for f in per_slot[0]:
+            cur = per_slot[0][f]
+            ok = True
+            for nxt_slot in per_slot[1:]:
+                nxt = nxt_slot.get(f)
+                if nxt is None:
+                    ok = False
+                    break
+                # need next position within (0, dist] after some current pos
+                hits = []
+                for d in range(1, dist + 1):
+                    hits.append(nxt[np.isin(nxt, cur + d)])
+                cur = np.unique(np.concatenate(hits)) if hits else np.empty(0)
+                if len(cur) == 0:
+                    ok = False
+                    break
+            if ok:
+                return True
+        return False

@@ -30,6 +30,8 @@ class SelectKeyResult:
     # fall back to a column comparator (reference: comparators fallback,
     # nsselecter/comparator/)
     unmatched: bool = False
+    # extra per-result data (e.g. FT matched words for highlight/snippet)
+    aux: Optional[dict] = None
 
     @staticmethod
     def empty() -> "SelectKeyResult":

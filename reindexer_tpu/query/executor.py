@@ -204,7 +204,8 @@ class Selecter:
             src = RankSource(field=entry.field, kind="ft", ids=res.ids,
                              ranks=(res.ranks if res.ranks is not None
                                     else np.zeros(len(res.ids), dtype=np.float32)),
-                             ordering=res.ordering)
+                             ordering=res.ordering,
+                             matched_words=(res.aux or {}).get("matched_words"))
             return self._ids_to_mask(res.ids, cap), src
 
         if index is not None and index.supports(entry.condition):

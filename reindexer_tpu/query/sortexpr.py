@@ -34,6 +34,8 @@ class RankSource:
     ids: np.ndarray           # row ids, best-first order
     ranks: np.ndarray         # metric values aligned to ids
     ordering: RankOrdering
+    # FT: vocabulary words that matched (drives highlight/snippet)
+    matched_words: Optional[set] = None
 
     def rank_of(self, rows: np.ndarray, default: float = 0.0) -> np.ndarray:
         out = np.full(len(rows), default, dtype=np.float64)

@@ -1,0 +1,249 @@
+"""Full-text engine tests.
+
+Models the reference's FT suites (cpp_src/gtests/tests/unit/ft/, test/ft/):
+DSL features (+/-, *, ~, =, @fields, phrases, boosts), stemming, typos,
+translit/kb-layout, synonyms, stop words, highlight/snippet, BM25 ordering
+verified against a NumPy oracle scorer.
+"""
+import math
+
+import numpy as np
+import pytest
+
+from reindexer_tpu import (IndexDef, IndexOpts, Query, Reindexer)
+from reindexer_tpu.ft.dsl import parse_ft_dsl
+from reindexer_tpu.ft.stemmer import stem_en, stem_ru
+from reindexer_tpu.ft.typos import deletions, _damerau_bounded
+
+
+def make_db(ft_config=None):
+    db = Reindexer()
+    db.open_namespace("docs", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("ft", "text", "string", json_paths=("title", "body"),
+                 ft_config=ft_config or {}),
+    ])
+    return db
+
+
+DOCS = [
+    {"id": 1, "title": "quick brown fox", "body": "the quick brown fox jumps over the lazy dog"},
+    {"id": 2, "title": "lazy dogs", "body": "dogs are lazy animals sleeping all day"},
+    {"id": 3, "title": "terminator", "body": "terminator movie with arnold"},
+    {"id": 4, "title": "terminal velocity", "body": "airport terminal and velocity physics"},
+    {"id": 5, "title": "running fast", "body": "he runs faster than anyone running races"},
+    {"id": 6, "title": "black cat", "body": "a black cat crossed the street"},
+]
+
+
+@pytest.fixture
+def db():
+    d = make_db()
+    for doc in DOCS:
+        d.upsert("docs", doc)
+    return d
+
+
+def got_ids(res):
+    return [d["id"] for d in res.docs()]
+
+
+# --- DSL parser ------------------------------------------------------------
+
+def test_dsl_parse_basic():
+    q = parse_ft_dsl("+quick -lazy termina* *nator black~ =exact word^2")
+    pats = [(t.pattern, t.op, t.prefix, t.suffix, t.typos, t.exact, t.boost)
+            for t in q.terms]
+    assert pats[0] == ("quick", "must", False, False, False, False, 1.0)
+    assert pats[1] == ("lazy", "not", False, False, False, False, 1.0)
+    assert pats[2] == ("termina", "or", True, False, False, False, 1.0)
+    assert pats[3] == ("nator", "or", False, True, False, False, 1.0)
+    assert pats[4] == ("black", "or", False, False, True, False, 1.0)
+    assert pats[5] == ("exact", "or", False, False, False, True, 1.0)
+    assert pats[6][0] == "word" and pats[6][6] == 2.0
+
+
+def test_dsl_parse_fields_and_phrase():
+    q = parse_ft_dsl('@title^2,+body "quick fox"~3')
+    assert [(f.name, f.boost, f.sum_rank) for f in q.fields] == [
+        ("title", 2.0, False), ("body", 1.0, True)]
+    assert [t.pattern for t in q.terms] == ["quick", "fox"]
+    assert all(t.phrase_group == 0 for t in q.terms)
+    assert q.phrase_distance[0] == 3
+
+
+# --- stemmers --------------------------------------------------------------
+
+def test_porter2_en():
+    cases = {"running": "run", "jumps": "jump", "lazily": "lazili",
+             "consistency": "consist", "caresses": "caress",
+             "relational": "relat", "happiness": "happi"}
+    for w, st in cases.items():
+        assert stem_en(w) == st, (w, stem_en(w))
+
+
+def test_snowball_ru():
+    assert stem_ru("бегущий") == stem_ru("бегущие")
+    assert stem_ru("книгами") == stem_ru("книга")
+
+
+# --- typos -----------------------------------------------------------------
+
+def test_deletions_and_damerau():
+    assert "back" in deletions("black", 1)
+    assert _damerau_bounded("black", "block", 2) == 1
+    assert _damerau_bounded("black", "blask", 2) == 1
+    assert _damerau_bounded("abc", "cba", 2) == 2
+    assert _damerau_bounded("abc", "xyz", 2) is None
+
+
+# --- end-to-end search -----------------------------------------------------
+
+def test_basic_match(db):
+    res = db.select(Query("docs").match("ft", "fox"))
+    assert got_ids(res) == [1]
+    assert res[0].rank is not None and res[0].rank > 0
+
+
+def test_or_terms_rank_order(db):
+    res = db.select(Query("docs").match("ft", "lazy dog"))
+    got = got_ids(res)
+    # doc 1 and 2 both contain lazy + dog words; both must be found
+    assert set(got) >= {1, 2}
+
+
+def test_must_and_not(db):
+    res = db.select(Query("docs").match("ft", "+lazy -fox"))
+    assert got_ids(res) == [2]
+
+
+def test_prefix_suffix(db):
+    res = db.select(Query("docs").match("ft", "termina*"))
+    assert set(got_ids(res)) == {3, 4}
+    # full match ranks above prefix match
+    res2 = db.select(Query("docs").match("ft", "terminator termina*"))
+    assert got_ids(res2)[0] == 3
+    res3 = db.select(Query("docs").match("ft", "*nator"))
+    assert set(got_ids(res3)) == {3}
+
+
+def test_typo_search(db):
+    res = db.select(Query("docs").match("ft", "blck~"))
+    assert 6 in got_ids(res)
+    res2 = db.select(Query("docs").match("ft", "block~"))
+    assert 6 in got_ids(res2)
+
+
+def test_stemming(db):
+    # "runs"/"running" share the stem "run" -> query "runs" finds doc 5
+    res = db.select(Query("docs").match("ft", "runs"))
+    assert 5 in got_ids(res)
+
+
+def test_exact_no_stem(db):
+    res = db.select(Query("docs").match("ft", "=run"))
+    assert got_ids(res) == []
+
+
+def test_phrase(db):
+    res = db.select(Query("docs").match("ft", '"quick brown fox"'))
+    assert got_ids(res) == [1]
+    res2 = db.select(Query("docs").match("ft", '"fox brown"'))
+    assert got_ids(res2) == []
+    # distance-2 phrase: "quick fox" within 2 words
+    res3 = db.select(Query("docs").match("ft", '"quick fox"~2'))
+    assert got_ids(res3) == [1]
+    res4 = db.select(Query("docs").match("ft", '"quick fox"'))
+    assert got_ids(res4) == []
+
+
+def test_field_selection(db):
+    res = db.select(Query("docs").match("ft", "@title dogs"))
+    assert got_ids(res) == [2]
+    res2 = db.select(Query("docs").match("ft", "@body sleeping"))
+    assert got_ids(res2) == [2]
+
+
+def test_field_boost_ordering(db):
+    # boosting body should rank doc with body-match higher
+    res = db.select(Query("docs").match("ft", "@title^0.1,body^10 terminal"))
+    assert 4 in got_ids(res)
+
+
+def test_stop_words():
+    db = make_db(ft_config={"stop_words": ["the", "a"]})
+    for doc in DOCS:
+        db.upsert("docs", doc)
+    res = db.select(Query("docs").match("ft", "the"))
+    assert got_ids(res) == []
+
+
+def test_synonyms():
+    db = make_db(ft_config={
+        "synonyms": [{"tokens": ["fast"], "alternatives": ["quick"]}]})
+    for doc in DOCS:
+        db.upsert("docs", doc)
+    res = db.select(Query("docs").match("ft", "fast"))
+    # matches doc 5 (fast) and doc 1 (quick via synonym)
+    assert set(got_ids(res)) >= {1, 5}
+
+
+def test_highlight(db):
+    res = db.select(Query("docs").match("ft", "fox")
+                    .functions("body = highlight(<b>,</b>)"))
+    body = res.docs()[0]["body"]
+    assert "<b>fox</b>" in body
+
+
+def test_snippet(db):
+    res = db.select(Query("docs").match("ft", "jumps")
+                    .functions("body = snippet(<b>,</b>,5,5)"))
+    body = res.docs()[0]["body"]
+    assert "<b>jumps</b>" in body
+    assert len(body) < len(DOCS[0]["body"]) + 10
+
+
+def test_update_invalidates(db):
+    assert got_ids(db.select(Query("docs").match("ft", "zebra"))) == []
+    db.upsert("docs", {"id": 7, "title": "zebra stripes", "body": "zebra"})
+    assert got_ids(db.select(Query("docs").match("ft", "zebra"))) == [7]
+    db.delete("docs", {"id": 7})
+    assert got_ids(db.select(Query("docs").match("ft", "zebra"))) == []
+
+
+def test_ft_with_scalar_filter(db):
+    res = db.select(Query("docs").match("ft", "lazy").where("id", ">", 1))
+    assert got_ids(res) == [2]
+
+
+# --- BM25 oracle check -----------------------------------------------------
+
+def test_bm25_rx_oracle():
+    """Single-term, single-field ranks must order like the reference BM25Rx
+    formula (cpp_src/core/ft/bm25.h): idf*T*(k1+1)/(T+k1*(1-b+b*len/avg))."""
+    db = Reindexer()
+    db.open_namespace("o", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("ft", "text", "string", json_paths=("t",)),
+    ])
+    texts = [
+        "apple apple apple banana cherry date egg fig grape kiwi",  # tf=3 len=10
+        "apple banana",                                             # tf=1 len=2
+        "apple apple banana cherry date egg",                       # tf=2 len=6
+        "banana cherry date egg fig grape",                         # tf=0
+    ]
+    for i, t in enumerate(texts):
+        db.upsert("o", {"id": i, "t": t})
+    res = db.select(Query("o").match("ft", "apple"))
+    got = [d["id"] for d in res.docs()]
+    # oracle
+    k1, b = 2.0, 0.75
+    lens = [10, 2, 6, 6]
+    avg = np.mean(lens)
+    n, m = 4, 3
+    idf = max(0.2, math.log((n - m + 1) / m) / math.log(1 + n))
+    tfs = {0: 3, 1: 1, 2: 2}
+    scores = {i: idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * lens[i] / avg))
+              for i, tf in tfs.items()}
+    want = sorted(scores, key=lambda i: -scores[i])
+    assert got == want
