@@ -20,16 +20,48 @@ from .params import KnnSearchParams
 
 
 class BruteForceIndex(FloatVectorIndexBase):
+    def __init__(self, definition):
+        super().__init__(definition)
+        qc = definition.vector_opts.quantization
+        self._quant = None
+        if qc.enabled:
+            from .quantization import QuantizedStore
+            self._quant = QuantizedStore(qc.left_quantile, qc.right_quantile,
+                                         qc.min_elements)
+
+    def _maybe_quantize(self) -> None:
+        if self._quant is None:
+            return
+        if self._quant.need_requantize(self.keeper.count,
+                                       self.keeper.capacity):
+            self._quant.quantize(self.keeper)
+        elif self._quant.need_refresh(self.keeper.count):
+            self._quant.refresh(self.keeper)
+
+    def memstat(self) -> dict:
+        st = super().memstat()
+        if self._quant is not None:
+            st.update(self._quant.memstat())
+        return st
+
     def select(self, query: np.ndarray, params: KnnSearchParams) -> SelectKeyResult:
         self.keeper.flush()
         kp = self.keeper
         if kp.count == 0:
             return SelectKeyResult.empty()
         q = jnp.asarray(kp.prepare_query(query)[None, :])
+        self._maybe_quantize()
 
         if params.k is not None:
             k = min(params.k, kp.capacity)
-            scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k, self.metric)
+            if self._quant is not None and self._quant.active:
+                from .quantization import knn_scan_quantized
+                scores, idx = knn_scan_quantized(
+                    q, self._quant.codes, self._quant.lo, self._quant.alpha,
+                    kp.valid, kp.sq, k, self.metric)
+            else:
+                scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k,
+                                       self.metric)
             scores = np.asarray(scores[0])
             idx = np.asarray(idx[0])
             keep = idx >= 0

@@ -1,13 +1,456 @@
-"""HNSW vector index — batched beam search over a padded neighbor table.
+"""HNSW vector index — batched beam search over padded neighbor tables.
 
-(Temporary scaffold: currently answers via the exact brute-force engine so
-behavior is correct end-to-end; the device graph engine lands in
-ops/hnsw_kernels.py — see SURVEY.md §7 stage 4.)
+TPU-native re-design of the reference HNSW stack
+(cpp_src/core/index/float_vector/hnswlib/hnswalg.h + hnsw_index.cc adapter):
+
+- graph layout: layer 0 is a device-resident int32[cap, 2M] neighbor table,
+  upper layers a top-first stacked int32[Lu, cap, M] (hnswlib maxM0 = 2*M,
+  hnswalg.h); -1 marks empty slots. Device tables are updated with row
+  scatters, never full re-uploads.
+- search (reference SearchKnn, hnswalg.h:1988): one `greedy_descend` device
+  program walks all upper layers, one `beam_search_layer` program runs the
+  ef-beam on layer 0 — batched over queries (ops/hnsw_kernels.py).
+- insertion (reference addPoint hnswalg.h:1402 + the namespace's
+  multithreaded tx inserter, tx_concurrent_inserter.h:160): points queue on
+  upsert and commit in growing batches; each batch beam-searches the current
+  graph for efConstruction candidates (device), selects M neighbors with the
+  batched heuristic kernel (reference getNeighborsByHeuristic2,
+  hnswalg.h:978), then links bidirectionally on host; reverse overflow keeps
+  the M closest links (a simplification of the reference's reverse-edge
+  heuristic re-run — recall validated against the BF oracle in tests).
+- deletes are mark-delete (hnswalg.h markDelete): traversal continues through
+  deleted nodes; results filter them out.
 """
 from __future__ import annotations
 
-from .brute_force import BruteForceIndex
+import math
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...core.payload import IndexDef
+from ...core.type_consts import RankOrdering, VectorMetric
+from ...ops.distance import normalize_rows, scores_to_ranks
+from ...ops.hnsw_kernels import beam_search_layer, greedy_descend, \
+    heuristic_select
+from ..base import SelectKeyResult
+from .base import FloatVectorIndexBase
+from .params import HnswSearchParams, KnnSearchParams
+
+_Q_BUCKET = 8
+_CHUNK_START = 32
+_CHUNK_MAX = 1024
 
 
-class HnswIndex(BruteForceIndex):
-    pass
+def _pow2(n: int, floor: int = 8) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
+class HnswIndex(FloatVectorIndexBase):
+    def __init__(self, definition: IndexDef):
+        super().__init__(definition)
+        vo = definition.vector_opts
+        self.m = max(int(vo.m), 2)
+        self.m0 = 2 * self.m
+        self.ef_construction = max(int(vo.ef_construction), self.m)
+        self._mult = 1.0 / math.log(self.m)
+        self._rng = np.random.default_rng(0xC0FFEE)
+        cap = self.keeper.capacity
+        self._levels = np.full(cap, -1, dtype=np.int32)
+        self._deleted = np.zeros(cap, dtype=np.bool_)
+        self._links0 = np.full((cap, self.m0), -1, dtype=np.int32)
+        self._upper: list[np.ndarray] = []   # top-first, each [cap, m]
+        self._host_vecs = np.zeros((cap, self.dims), dtype=np.float32)
+        self._entry = -1
+        self._max_level = -1
+        self._pending: dict[int, np.ndarray] = {}
+        # device mirrors + dirty row tracking
+        self._d_links0: Optional[jnp.ndarray] = None
+        self._d_upper: Optional[jnp.ndarray] = None   # [Lu, cap, m]
+        self._dirty0: set[int] = set()
+        self._dirty_upper: dict[int, set[int]] = {}   # layer idx -> rows
+        self._full_sync = True
+
+    # ------------------------------------------------------------------
+    # mutation
+    # ------------------------------------------------------------------
+    def upsert(self, row_id: int, values) -> None:
+        super().upsert(row_id, values)   # keeper bookkeeping
+        if values is None or (hasattr(values, "__len__") and len(values) == 0):
+            self._pending.pop(row_id, None)
+            if row_id < len(self._levels) and self._levels[row_id] >= 0:
+                self._deleted[row_id] = True
+            return
+        vec = np.asarray(values, dtype=np.float32).reshape(-1)
+        if self.metric == VectorMetric.COSINE:
+            vec = normalize_rows(vec[None, :])[0]
+        if row_id < len(self._levels) and self._levels[row_id] >= 0:
+            # in-place vector update of an existing node: links are kept
+            # (hnswlib updatePoint analog without link repair)
+            self._grow(row_id + 1)
+            self._host_vecs[row_id] = vec
+            self._deleted[row_id] = False
+            return
+        self._pending[row_id] = vec
+
+    def delete(self, row_id: int, values) -> None:
+        super().delete(row_id, values)
+        self._pending.pop(row_id, None)
+        if row_id < len(self._levels) and self._levels[row_id] >= 0:
+            self._deleted[row_id] = True
+            if row_id == self._entry:
+                self._reassign_entry()
+
+    def _reassign_entry(self) -> None:
+        for lvl in range(self._max_level, -1, -1):
+            cand = np.flatnonzero((self._levels >= lvl) & ~self._deleted)
+            if len(cand):
+                self._entry = int(cand[0])
+                self._max_level = int(self._levels[self._entry])
+                return
+        self._entry = -1
+        self._max_level = -1
+
+    def clear(self) -> None:
+        super().clear()
+        cap = self.keeper.capacity
+        self._levels = np.full(cap, -1, dtype=np.int32)
+        self._deleted = np.zeros(cap, dtype=np.bool_)
+        self._links0 = np.full((cap, self.m0), -1, dtype=np.int32)
+        self._upper = []
+        self._host_vecs = np.zeros((cap, self.dims), dtype=np.float32)
+        self._entry = -1
+        self._max_level = -1
+        self._pending.clear()
+        self._d_links0 = self._d_upper = None
+        self._full_sync = True
+
+    # ------------------------------------------------------------------
+    # capacity
+    # ------------------------------------------------------------------
+    def _grow(self, need: int) -> None:
+        cap = len(self._levels)
+        if need <= cap:
+            return
+        new_cap = cap
+        while new_cap < need:
+            new_cap *= 2
+
+        def pad(a, fill):
+            shape = (new_cap - cap,) + a.shape[1:]
+            return np.concatenate([a, np.full(shape, fill, dtype=a.dtype)])
+
+        self._levels = pad(self._levels, -1)
+        self._deleted = pad(self._deleted, False)
+        self._links0 = pad(self._links0, -1)
+        self._upper = [pad(u, -1) for u in self._upper]
+        self._host_vecs = pad(self._host_vecs, 0.0)
+        self._full_sync = True
+
+    # ------------------------------------------------------------------
+    # commit: batched insertion
+    # ------------------------------------------------------------------
+    def commit(self) -> None:
+        self._commit()
+
+    def _commit(self) -> None:
+        self.keeper.flush()
+        if not self._pending:
+            return
+        rows = sorted(self._pending.keys())
+        self._grow(max(rows) + 1)
+        for r in rows:
+            self._host_vecs[r] = self._pending[r]
+            self._deleted[r] = False
+        chunk = _CHUNK_START
+        i = 0
+        while i < len(rows):
+            batch = rows[i: i + chunk]
+            self._insert_batch(batch)
+            i += len(batch)
+            chunk = min(chunk * 2, _CHUNK_MAX)
+        self._pending.clear()
+
+    def _sample_level(self) -> int:
+        return int(-math.log(max(self._rng.random(), 1e-12)) * self._mult)
+
+    def _insert_batch(self, rows: list[int]) -> None:
+        if self._entry < 0:
+            # bootstrap: first point becomes the entry
+            r0 = rows[0]
+            lvl = self._sample_level()
+            self._set_level(r0, lvl)
+            self._entry, self._max_level = r0, lvl
+            rows = rows[1:]
+            if not rows:
+                return
+        levels = np.asarray([self._sample_level() for _ in rows],
+                            dtype=np.int32)
+        B = len(rows)
+        vecs = self._host_vecs[rows]
+        self._sync_device()
+
+        qpad = _pow2(B)
+        q = np.zeros((qpad, self.dims), dtype=np.float32)
+        q[:B] = vecs
+        qd = jnp.asarray(q)
+        data, sq = self.keeper.data, self.keeper.sq
+
+        ents = np.full(qpad, self._entry, dtype=np.int32)
+        efc = _pow2(self.ef_construction)
+
+        # chunk-internal KNN so batch members interconnect (they are not in
+        # the link tables yet, so beams cannot see them; without this, early
+        # batches form a star around the entry and reverse pruning orphans
+        # nodes — the sequential reference never has this problem because
+        # every insert sees all previous ones, hnswalg.h:1402)
+        row_arr = np.asarray(rows, dtype=np.int32)
+        if self.metric == VectorMetric.L2:
+            d2 = (np.sum(vecs ** 2, axis=1)[:, None]
+                  + np.sum(vecs ** 2, axis=1)[None, :]
+                  - 2.0 * vecs @ vecs.T)
+            chunk_sc = -d2
+        else:
+            chunk_sc = vecs @ vecs.T
+        np.fill_diagonal(chunk_sc, -np.inf)
+        kc = min(B - 1, self.m0)
+        if kc > 0:
+            nn = np.argsort(-chunk_sc, axis=1)[:, :kc]
+            chunk_ids = row_arr[nn]
+            chunk_scores = np.take_along_axis(chunk_sc, nn, axis=1)
+        else:
+            chunk_ids = np.empty((B, 0), dtype=np.int32)
+            chunk_scores = np.empty((B, 0), dtype=np.float32)
+
+        # walk down from the top; connect at layers <= point level
+        for lc in range(self._max_level, -1, -1):
+            links_l = self._device_layer(lc)
+            connect_here = np.flatnonzero(levels >= lc) if lc > 0 else \
+                np.arange(B)
+            if len(connect_here) == 0:
+                # pure descent on this layer
+                nxt = greedy_descend(
+                    qd, data, sq, links_l[None], jnp.asarray(ents),
+                    self.metric)
+                ents = np.asarray(nxt)
+                continue
+            bs, bi = beam_search_layer(
+                qd, data, sq, links_l, jnp.asarray(ents)[:, None],
+                ef=efc, expand=2, max_iters=2 * efc, metric=self.metric)
+            bs_np, bi_np = np.asarray(bs), np.asarray(bi)
+            ents = np.where(bi_np[:, 0] >= 0, bi_np[:, 0], ents)
+            sub = connect_here
+            ci = bi_np[:B][sub]
+            cs = bs_np[:B][sub]
+            if kc > 0:
+                # only chunk members that reach this layer are candidates
+                lvl_of = {int(r): int(levels[j]) for j, r in enumerate(rows)}
+                cm_ids = chunk_ids[sub]
+                cm_sc = chunk_scores[sub].copy()
+                if lc > 0:
+                    ok = np.vectorize(
+                        lambda r: lvl_of.get(int(r), -1) >= lc)(cm_ids)
+                    cm_sc = np.where(ok, cm_sc, -np.inf)
+                ci = np.concatenate([ci, cm_ids], axis=1)
+                cs = np.concatenate([cs, cm_sc], axis=1)
+                order = np.argsort(-cs, axis=1, kind="stable")
+                ci = np.take_along_axis(ci, order, axis=1)
+                cs = np.take_along_axis(cs, order, axis=1)
+                ci = np.where(cs > -np.inf, ci, -1)
+            self._connect(lc, [rows[j] for j in sub], ci, cs)
+
+        # register levels / entry updates
+        for j, r in enumerate(rows):
+            self._set_level(r, int(levels[j]))
+        top = int(levels.max()) if B else -1
+        if top > self._max_level:
+            j = int(np.argmax(levels))
+            self._entry = rows[j]
+            self._max_level = top
+
+    def _set_level(self, row: int, lvl: int) -> None:
+        self._levels[row] = lvl
+        while len(self._upper) < lvl:
+            self._upper.insert(0, np.full((len(self._levels), self.m), -1,
+                                          dtype=np.int32))
+            self._full_sync = True
+
+    def _connect(self, layer: int, rows: list[int], cand_ids: np.ndarray,
+                 cand_scores: np.ndarray) -> None:
+        """Link `rows` into `layer` given their beam candidates."""
+        B = len(rows)
+        m_l = self.m0 if layer == 0 else self.m
+        C = cand_ids.shape[1]
+        bpad = _pow2(B)
+        ci = np.full((bpad, C), -1, dtype=np.int32)
+        cs = np.full((bpad, C), -np.inf, dtype=np.float32)
+        ci[:B], cs[:B] = cand_ids, cand_scores
+        safe = np.where(ci >= 0, ci, 0)
+        cv = self._host_vecs[safe]
+        sel = np.asarray(heuristic_select(
+            jnp.asarray(ci), jnp.asarray(cs), jnp.asarray(cv),
+            m=self.m, metric=self.metric))[:B]
+
+        links = self._links0 if layer == 0 else self._upper[
+            len(self._upper) - layer]
+        dirty = self._dirty0 if layer == 0 else \
+            self._dirty_upper.setdefault(layer, set())
+        for j, row in enumerate(rows):
+            nbrs = sel[j][sel[j] >= 0]
+            nbrs = nbrs[nbrs != row][: m_l]
+            links[row, :] = -1
+            links[row, : len(nbrs)] = nbrs
+            dirty.add(row)
+            # reverse edges with prune-to-closest on overflow
+            for s in nbrs:
+                srow = links[s]
+                free = np.flatnonzero(srow < 0)
+                if len(free):
+                    links[s, free[0]] = row
+                else:
+                    cand = np.concatenate([srow, [row]])
+                    d = self._host_dists(int(s), cand)
+                    keep = cand[np.argsort(d)[:m_l]]
+                    links[s, :] = -1
+                    links[s, : len(keep)] = keep
+                dirty.add(int(s))
+
+    def _host_dists(self, center: int, ids: np.ndarray) -> np.ndarray:
+        c = self._host_vecs[center]
+        v = self._host_vecs[ids]
+        if self.metric == VectorMetric.L2:
+            return np.sum((v - c) ** 2, axis=1)
+        return -v @ c
+
+    # ------------------------------------------------------------------
+    # device mirrors
+    # ------------------------------------------------------------------
+    def _sync_device(self) -> None:
+        if self._full_sync or self._d_links0 is None \
+                or self._d_links0.shape[0] != len(self._levels):
+            self._d_links0 = jnp.asarray(self._links0)
+            self._d_upper = (jnp.asarray(np.stack(self._upper))
+                             if self._upper else None)
+            self._dirty0.clear()
+            self._dirty_upper.clear()
+            self._full_sync = False
+            return
+        if self._dirty0:
+            r = np.fromiter(self._dirty0, dtype=np.int32,
+                            count=len(self._dirty0))
+            self._d_links0 = self._d_links0.at[jnp.asarray(r)].set(
+                jnp.asarray(self._links0[r]))
+            self._dirty0.clear()
+        if self._dirty_upper:
+            if self._d_upper is None or \
+                    self._d_upper.shape[0] != len(self._upper):
+                self._d_upper = (jnp.asarray(np.stack(self._upper))
+                                 if self._upper else None)
+            else:
+                for layer, rows in self._dirty_upper.items():
+                    li = len(self._upper) - layer
+                    r = np.fromiter(rows, dtype=np.int32, count=len(rows))
+                    self._d_upper = self._d_upper.at[li, jnp.asarray(r)].set(
+                        jnp.asarray(self._upper[li][r]))
+            self._dirty_upper.clear()
+
+    def _device_layer(self, layer: int) -> jnp.ndarray:
+        if layer == 0:
+            return self._d_links0
+        return self._d_upper[len(self._upper) - layer]
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+    def select(self, query: np.ndarray, params: KnnSearchParams,
+               ) -> SelectKeyResult:
+        self._commit()
+        if self._entry < 0:
+            return SelectKeyResult.empty()
+        k = params.k
+        ef = getattr(params, "ef", None) or max(k or 10, 10)
+        if k is not None:
+            ef = max(ef, k)
+        scores, ids = self._search_batch(
+            self.keeper.prepare_query(query)[None, :], ef)
+        scores, ids = scores[0], ids[0]
+        keep = ids >= 0
+        scores, ids = scores[keep], ids[keep]
+        if k is not None:
+            scores, ids = scores[:k], ids[:k]
+        ranks = np.asarray(scores_to_ranks(scores, self.metric))
+        ranks, ids = self._apply_radius(ranks, ids, params.radius)
+        return SelectKeyResult(ids.astype(np.int64),
+                               ranks.astype(np.float32), self.ordering)
+
+    def _search_batch(self, queries: np.ndarray, ef: int,
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched HNSW search; returns (scores, ids) [Q, ef] best-first with
+        deleted/invalid rows filtered out (-inf/-1)."""
+        self._commit()
+        self._sync_device()
+        Q = queries.shape[0]
+        qpad = _pow2(Q, _Q_BUCKET)
+        q = np.zeros((qpad, self.dims), dtype=np.float32)
+        q[:Q] = queries
+        qd = jnp.asarray(q)
+        data, sq = self.keeper.data, self.keeper.sq
+
+        ents = np.full(qpad, self._entry, dtype=np.int32)
+        if self._max_level > 0 and self._d_upper is not None:
+            ents = np.asarray(greedy_descend(
+                qd, data, sq, self._d_upper, jnp.asarray(ents), self.metric))
+        ef_pad = _pow2(ef, 16)
+        bs, bi = beam_search_layer(
+            qd, data, sq, self._d_links0, jnp.asarray(ents)[:, None],
+            ef=ef_pad, expand=2, max_iters=2 * ef_pad, metric=self.metric)
+        bs = np.asarray(bs)[:Q]
+        bi = np.asarray(bi)[:Q]
+        # filter deleted / invalid
+        safe = np.where(bi >= 0, bi, 0)
+        bad = (bi < 0) | self._deleted[safe]
+        bs = np.where(bad, -np.inf, bs)
+        bi = np.where(bad, -1, bi)
+        # re-sort after filtering
+        order = np.argsort(-bs, axis=1, kind="stable")
+        return (np.take_along_axis(bs, order, axis=1)[:, :ef],
+                np.take_along_axis(bi, order, axis=1)[:, :ef])
+
+    # ------------------------------------------------------------------
+    def memstat(self) -> dict:
+        st = super().memstat()
+        st["levels"] = int(self._max_level)
+        st["data_size"] += int(self._links0.nbytes
+                               + sum(u.nbytes for u in self._upper))
+        return st
+
+    def state_dict(self) -> dict:
+        self._commit()
+        n = len(self._levels)
+        return {
+            "keeper": self.keeper.state_dict(),
+            "levels": self._levels.copy(),
+            "deleted": self._deleted.copy(),
+            "links0": self._links0.copy(),
+            "upper": [u.copy() for u in self._upper],
+            "host_vecs": self._host_vecs.copy(),
+            "entry": self._entry,
+            "max_level": self._max_level,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.clear()
+        self.keeper.load_state_dict(state["keeper"])
+        self._levels = np.asarray(state["levels"], dtype=np.int32)
+        self._deleted = np.asarray(state["deleted"], dtype=np.bool_)
+        self._links0 = np.asarray(state["links0"], dtype=np.int32)
+        self._upper = [np.asarray(u, dtype=np.int32)
+                       for u in state["upper"]]
+        self._host_vecs = np.asarray(state["host_vecs"], dtype=np.float32)
+        self._entry = int(state["entry"])
+        self._max_level = int(state["max_level"])
+        self._full_sync = True

@@ -1,13 +1,225 @@
-"""IVF vector index — two-stage matmul (centroid scan -> list scan).
+"""IVF vector index — two-stage matmul (centroid probe -> list scan).
 
-(Temporary scaffold: currently answers via the exact brute-force engine so
-behavior is correct end-to-end; the device k-means + nprobe engine lands in
-ops/ivf_kernels.py — see SURVEY.md §7 stage 4.)
+Semantic equivalent of the reference IVF index
+(cpp_src/core/index/float_vector/ivf_index.cc: FAISS IndexIVFFlat wrapper —
+k-means training on 39 x nlist samples (ivf_index.h:62), nprobe search,
+RebuildCentroids action), re-built TPU-first: training and both search
+stages are device matmuls (ops/ivf_kernels.py), the inverted lists are a
+host CSR over row ids rebuilt lazily from the assignment array.
+
+Recommended nlist 4*sqrt(N)..16*sqrt(N) (float_vector.md:56-57) is the
+default when centroids_count is 0.
 """
 from __future__ import annotations
 
-from .brute_force import BruteForceIndex
+import math
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...core.payload import IndexDef
+from ...core.type_consts import VectorMetric
+from ...ops.distance import scores_to_ranks
+from ...ops.ivf_kernels import (assign_lists, kmeans_l2, probe_centroids,
+                                scan_lists)
+from ..base import SelectKeyResult
+from .base import FloatVectorIndexBase
+from .params import IvfSearchParams, KnnSearchParams
+
+_TRAIN_FACTOR = 39      # reference: ivf_index.h:62
+_KMEANS_ITERS = 20
+_MIN_TRAIN = 64
 
 
-class IvfIndex(BruteForceIndex):
-    pass
+def _pow2(n: int, floor: int = 256) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
+class IvfIndex(FloatVectorIndexBase):
+    def __init__(self, definition: IndexDef):
+        super().__init__(definition)
+        vo = definition.vector_opts
+        self.nlist_cfg = int(vo.centroids_count or 0)
+        self.centroids: Optional[jnp.ndarray] = None
+        self._assign = np.full(self.keeper.capacity, -1, dtype=np.int32)
+        self._pending_rows: list[int] = []
+        self._csr_dirty = True
+        self._list_start = np.zeros(1, dtype=np.int64)
+        self._list_rows = np.empty(0, dtype=np.int32)
+        self._rng = np.random.default_rng(0x1F5)
+
+    # ------------------------------------------------------------------
+    def upsert(self, row_id: int, values) -> None:
+        super().upsert(row_id, values)
+        self._grow(row_id + 1)
+        if values is None or (hasattr(values, "__len__") and len(values) == 0):
+            self._assign[row_id] = -1
+        else:
+            self._pending_rows.append(row_id)
+        self._csr_dirty = True
+
+    def delete(self, row_id: int, values) -> None:
+        super().delete(row_id, values)
+        if row_id < len(self._assign):
+            self._assign[row_id] = -1
+        self._csr_dirty = True
+
+    def clear(self) -> None:
+        super().clear()
+        self.centroids = None
+        self._assign = np.full(self.keeper.capacity, -1, dtype=np.int32)
+        self._pending_rows.clear()
+        self._csr_dirty = True
+
+    def _grow(self, need: int) -> None:
+        if need <= len(self._assign):
+            return
+        cap = len(self._assign)
+        while cap < need:
+            cap *= 2
+        self._assign = np.concatenate(
+            [self._assign, np.full(cap - len(self._assign), -1,
+                                   dtype=np.int32)])
+
+    # ------------------------------------------------------------------
+    @property
+    def nlist(self) -> int:
+        if self.centroids is not None:
+            return self.centroids.shape[0]
+        if self.nlist_cfg > 0:
+            return self.nlist_cfg
+        n = max(self.keeper.count, 1)
+        return max(1, min(int(4 * math.sqrt(n)), n))
+
+    def _train(self) -> None:
+        """k-means on up to 39*nlist sampled vectors (reference
+        ivf_index.h:62; faiss Clustering -> jitted Lloyd)."""
+        self.keeper.flush()
+        valid = np.asarray(self.keeper.valid)
+        rows = np.flatnonzero(valid)
+        if len(rows) == 0:
+            return
+        nlist = min(self.nlist, len(rows))
+        n_train = min(len(rows), max(_TRAIN_FACTOR * nlist, _MIN_TRAIN))
+        sample = self._rng.choice(rows, size=n_train, replace=False)
+        data = np.asarray(self.keeper.data)
+        train = data[sample]
+        init = train[self._rng.choice(n_train, size=nlist, replace=False)]
+        self.centroids = kmeans_l2(jnp.asarray(train), jnp.asarray(init),
+                                   _KMEANS_ITERS)
+        # re-assign every valid vector
+        assign = np.asarray(assign_lists(
+            self.keeper.data, self.centroids, self.metric))
+        self._assign[:] = -1
+        self._assign[rows] = assign[rows]
+        self._pending_rows.clear()
+        self._csr_dirty = True
+
+    def rebuild_centroids(self) -> None:
+        """`rebuild_ivf_index` action analog (float_vector.md:741-799)."""
+        self._train()
+
+    def commit(self) -> None:
+        self._commit()
+
+    def _commit(self) -> None:
+        self.keeper.flush()
+        if self.centroids is None:
+            if self.keeper.count > 0:
+                self._train()
+            return
+        if self._pending_rows:
+            rows = np.unique(np.asarray(self._pending_rows, dtype=np.int32))
+            self._pending_rows.clear()
+            valid = np.asarray(self.keeper.valid)
+            rows = rows[valid[rows]]
+            if len(rows):
+                vecs = np.asarray(self.keeper.data)[rows]
+                self._assign[rows] = np.asarray(assign_lists(
+                    jnp.asarray(vecs), self.centroids, self.metric))
+            self._csr_dirty = True
+        # retrain when the index grew far beyond its training size
+        if self.nlist_cfg == 0 and self.keeper.count > 0:
+            if self.centroids.shape[0] < 4 * math.sqrt(self.keeper.count) / 2:
+                self._train()
+
+    def _rebuild_csr(self) -> None:
+        if not self._csr_dirty:
+            return
+        nlist = self.centroids.shape[0] if self.centroids is not None else 0
+        rows = np.flatnonzero(self._assign >= 0)
+        a = self._assign[rows]
+        order = np.argsort(a, kind="stable")
+        self._list_rows = rows[order].astype(np.int32)
+        self._list_start = np.searchsorted(
+            a[order], np.arange(nlist + 1)).astype(np.int64)
+        self._csr_dirty = False
+
+    # ------------------------------------------------------------------
+    def select(self, query: np.ndarray, params: KnnSearchParams,
+               ) -> SelectKeyResult:
+        self._commit()
+        if self.centroids is None or self.keeper.count == 0:
+            return SelectKeyResult.empty()
+        self._rebuild_csr()
+        nprobe = getattr(params, "nprobe", 1) or 1
+        q = self.keeper.prepare_query(query)[None, :]
+        qd = jnp.asarray(q)
+        probes = np.asarray(probe_centroids(qd, self.centroids, nprobe,
+                                            self.metric))[0]
+        cand_parts = [
+            self._list_rows[self._list_start[c]: self._list_start[c + 1]]
+            for c in probes]
+        cand = (np.concatenate(cand_parts) if cand_parts
+                else np.empty(0, dtype=np.int32))
+        if len(cand) == 0:
+            return SelectKeyResult.empty()
+        cpad = _pow2(len(cand))
+        ok = np.zeros(cpad, dtype=np.bool_)
+        ok[: len(cand)] = True
+        cand_p = np.zeros(cpad, dtype=np.int32)
+        cand_p[: len(cand)] = cand
+
+        k = params.k if params.k is not None else len(cand)
+        kk = _pow2(min(k, cpad), 16)
+        scores, ids = scan_lists(
+            qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
+            jnp.asarray(cand_p), jnp.asarray(ok), kk, self.metric)
+        scores = np.asarray(scores)[0]
+        ids = np.asarray(ids)[0]
+        keep = ids >= 0
+        scores, ids = scores[keep], ids[keep]
+        if params.k is not None:
+            scores, ids = scores[: params.k], ids[: params.k]
+        ranks = np.asarray(scores_to_ranks(scores, self.metric))
+        ranks, ids = self._apply_radius(ranks, ids, params.radius)
+        return SelectKeyResult(ids.astype(np.int64), ranks.astype(np.float32),
+                               self.ordering)
+
+    # ------------------------------------------------------------------
+    def memstat(self) -> dict:
+        st = super().memstat()
+        st["centroids"] = (int(self.centroids.shape[0])
+                           if self.centroids is not None else 0)
+        return st
+
+    def state_dict(self) -> dict:
+        self._commit()
+        return {
+            "keeper": self.keeper.state_dict(),
+            "centroids": (np.asarray(self.centroids)
+                          if self.centroids is not None else None),
+            "assign": self._assign.copy(),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.clear()
+        self.keeper.load_state_dict(state["keeper"])
+        c = state.get("centroids")
+        self.centroids = jnp.asarray(c) if c is not None else None
+        self._assign = np.asarray(state["assign"], dtype=np.int32)
+        self._csr_dirty = True

@@ -36,6 +36,11 @@ def _scatter(data, valid, sq, rows, vals, val_flags, val_sq):
     return data, valid, sq
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_invalidate(valid, rows):
+    return valid.at[rows].set(False, mode="drop")
+
+
 def _bucket(n: int) -> int:
     b = 1
     while b < n:
@@ -95,36 +100,51 @@ class VectorKeeper:
         self.capacity = cap
 
     def flush(self) -> None:
-        """Apply pending host mutations to the device arrays."""
+        """Apply pending host mutations to the device arrays.
+
+        Removed rows only clear the `valid` flag — the stale vector data is
+        kept so graph indexes can keep traversing mark-deleted nodes
+        (reference: hnswlib mark-delete keeps the point's data,
+        hnswalg.h markDelete)."""
         if not self._pending:
             return
         self._grow_to(self._max_row + 1)
         items = sorted(self._pending.items())
         self._pending.clear()
-        n = len(items)
-        rows = np.fromiter((r for r, _ in items), dtype=np.int32, count=n)
-        vals = np.zeros((n, self.dims), dtype=np.float32)
-        flags = np.zeros((n,), dtype=np.bool_)
-        for i, (_, vec) in enumerate(items):
-            if vec is not None:
-                vals[i] = vec
-                flags[i] = True
+        set_items = [(r, v) for r, v in items if v is not None]
+        del_rows = np.asarray([r for r, v in items if v is None],
+                              dtype=np.int32)
         # adjust valid count incrementally on host
-        prev_valid = np.asarray(self.valid)[rows]
-        self.count += int(flags.sum()) - int(prev_valid.sum())
-        # pad to bucketed batch shape; padding repeats the first entry, so the
-        # duplicate scatter writes identical values (safe)
-        bucket = _bucket(n)
-        if bucket > n:
-            pad = bucket - n
-            rows = np.concatenate([rows, np.repeat(rows[:1], pad)])
-            vals = np.concatenate([vals, np.repeat(vals[:1], pad, axis=0)])
-            flags = np.concatenate([flags, np.repeat(flags[:1], pad)])
-        sq = np.sum(vals * vals, axis=1, dtype=np.float32)
-        self.data, self.valid, self.sq = _scatter(
-            self.data, self.valid, self.sq,
-            jnp.asarray(rows), jnp.asarray(vals), jnp.asarray(flags),
-            jnp.asarray(sq))
+        all_rows = np.fromiter((r for r, _ in items), dtype=np.int32,
+                               count=len(items))
+        prev_valid = np.asarray(self.valid)[all_rows]
+        self.count += len(set_items) - int(prev_valid.sum())
+
+        if len(del_rows):
+            bucket = _bucket(len(del_rows))
+            if bucket > len(del_rows):
+                del_rows = np.concatenate(
+                    [del_rows, np.repeat(del_rows[:1], bucket - len(del_rows))])
+            self.valid = _scatter_invalidate(self.valid, jnp.asarray(del_rows))
+        if set_items:
+            n = len(set_items)
+            rows = np.fromiter((r for r, _ in set_items), dtype=np.int32,
+                               count=n)
+            vals = np.stack([v for _, v in set_items]).astype(np.float32)
+            flags = np.ones((n,), dtype=np.bool_)
+            # pad to bucketed batch shape; padding repeats the first entry, so
+            # the duplicate scatter writes identical values (safe)
+            bucket = _bucket(n)
+            if bucket > n:
+                pad = bucket - n
+                rows = np.concatenate([rows, np.repeat(rows[:1], pad)])
+                vals = np.concatenate([vals, np.repeat(vals[:1], pad, axis=0)])
+                flags = np.concatenate([flags, np.repeat(flags[:1], pad)])
+            sq = np.sum(vals * vals, axis=1, dtype=np.float32)
+            self.data, self.valid, self.sq = _scatter(
+                self.data, self.valid, self.sq,
+                jnp.asarray(rows), jnp.asarray(vals), jnp.asarray(flags),
+                jnp.asarray(sq))
 
     def clear(self) -> None:
         self._pending.clear()

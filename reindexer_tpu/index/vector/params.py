@@ -52,16 +52,24 @@ class BruteForceSearchParams(KnnSearchParams):
 
 @dataclasses.dataclass
 class HnswSearchParams(KnnSearchParams):
-    """HNSW params: ef beam width >= k (reference: knn_search_params.h HnswSearchParams)."""
+    """HNSW params: ef beam width >= k (reference: knn_search_params.h
+    HnswSearchParams). Uniquely, HNSW allows *neither* k nor radius — that
+    selects streaming KNN mode (reference: nsselecter.cc:483-500, streaming
+    supported for HNSW only)."""
 
     ef: int = 0
 
     def __post_init__(self) -> None:
-        super().__post_init__()
+        if self.k is not None and self.k <= 0:
+            raise ParamsError("KNN k must be > 0")
         if self.ef == 0:
             self.ef = max(self.k or 0, 10)
         if self.k is not None and self.ef < self.k:
             raise ParamsError("HNSW ef must be >= k")
+
+    @property
+    def is_streaming(self) -> bool:
+        return self.k is None and self.radius is None
 
     def to_dict(self) -> dict:
         d = super().to_dict()

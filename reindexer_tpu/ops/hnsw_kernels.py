@@ -1,0 +1,250 @@
+"""Device kernels for the HNSW engine: batched beam search + neighbor
+heuristic.
+
+TPU-native re-design of the reference's hnswlib fork
+(cpp_src/core/index/float_vector/hnswlib/hnswalg.h): the graph lives as a
+padded neighbor table int32[N, M] per layer (instead of per-node link lists
+with fine-grained locks, hnswalg.h:236-238), and `searchBaseLayerST`
+(hnswalg.h:967 — greedy descent + ef beam with a visited list) becomes a
+*batched* beam search: every iteration expands the best `expand` unexpanded
+beam nodes of every query at once, gathers their neighbor tiles, scores them
+against the query block in one fused matmul, and merges via top-k. The
+visited list (visited_list_pool.h) becomes a packed uint32 bitset updated
+with scatter-adds (bits are checked-then-set and deduped per step, so add ==
+bitwise-or).
+
+Scores follow ops/distance.py convention: higher is better (L2 negated).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.type_consts import VectorMetric
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _score_gathered(q: jnp.ndarray, vecs: jnp.ndarray, vec_sq: jnp.ndarray,
+                    metric: VectorMetric) -> jnp.ndarray:
+    """q [Q, D], vecs [Q, K, D], vec_sq [Q, K] -> scores [Q, K]
+    (higher-better)."""
+    dots = jnp.einsum("qkd,qd->qk", vecs, q,
+                      preferred_element_type=jnp.float32)
+    if metric == VectorMetric.L2:
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+        return 2.0 * dots - vec_sq - q_sq
+    return dots
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "expand", "max_iters", "metric"))
+def beam_search_layer(
+    queries: jnp.ndarray,      # f32[Q, D]
+    data: jnp.ndarray,         # f32[N, D]
+    data_sq: jnp.ndarray,      # f32[N]
+    links: jnp.ndarray,        # int32[N, M]  (-1 = empty slot)
+    entry_ids: jnp.ndarray,    # int32[Q, E0] starting beam (-1 pad)
+    ef: int, expand: int, max_iters: int, metric: VectorMetric,
+):
+    """Batched best-first beam search on one graph layer.
+
+    Returns (beam_scores f32[Q, ef], beam_ids int32[Q, ef]) sorted
+    best-first; empty slots are (-inf, -1). Each iteration expands the
+    `expand` best unexpanded beam entries per query (expand=1 reproduces the
+    reference's sequential ef-search exactly; larger values trade a slightly
+    wider frontier for fewer, fatter device steps).
+    """
+    Q, D = queries.shape
+    N, M = links.shape
+    n_words = (N + 31) // 32
+    K = expand * M  # gathered candidates per iteration
+
+    e0 = entry_ids.shape[1]
+    entry_valid = entry_ids >= 0
+    safe_entry = jnp.where(entry_valid, entry_ids, 0)
+    entry_scores = _score_gathered(
+        queries, data[safe_entry], data_sq[safe_entry], metric)
+    entry_scores = jnp.where(entry_valid, entry_scores, NEG_INF)
+
+    beam_ids = jnp.full((Q, ef), -1, dtype=jnp.int32)
+    beam_scores = jnp.full((Q, ef), NEG_INF, dtype=jnp.float32)
+    beam_ids = beam_ids.at[:, :e0].set(jnp.where(entry_valid, entry_ids, -1))
+    beam_scores = beam_scores.at[:, :e0].set(entry_scores)
+    expanded = jnp.zeros((Q, ef), dtype=jnp.bool_)
+
+    visited = jnp.zeros((Q, n_words), dtype=jnp.uint32)
+    qrows = jnp.arange(Q, dtype=jnp.int32)[:, None]
+    visited = visited.at[
+        jnp.broadcast_to(qrows, (Q, e0)), safe_entry >> 5].add(
+        jnp.where(entry_valid,
+                  (jnp.uint32(1) << (safe_entry & 31).astype(jnp.uint32)),
+                  jnp.uint32(0)), mode="drop")
+
+    def cond(state):
+        beam_scores, beam_ids, expanded, visited, it = state
+        frontier = (~expanded) & (beam_ids >= 0)
+        return jnp.logical_and(it < max_iters, jnp.any(frontier))
+
+    def body(state):
+        beam_scores, beam_ids, expanded, visited, it = state
+        # pick the best `expand` unexpanded beam entries per query
+        front_scores = jnp.where((~expanded) & (beam_ids >= 0),
+                                 beam_scores, NEG_INF)
+        sel_s, sel_pos = jax.lax.top_k(front_scores, expand)   # [Q, expand]
+        sel_ok = sel_s > NEG_INF
+        expanded_new = expanded.at[
+            jnp.broadcast_to(qrows, (Q, expand)), sel_pos].max(sel_ok)
+        sel_ids = jnp.take_along_axis(beam_ids, sel_pos, axis=1)
+        sel_ids = jnp.where(sel_ok, sel_ids, 0)
+
+        # gather neighbors [Q, expand, M] -> [Q, K]
+        nbrs = links[sel_ids].reshape(Q, K)
+        nbrs = jnp.where(
+            jnp.broadcast_to(sel_ok[:, :, None], (Q, expand, M)).reshape(Q, K),
+            nbrs, -1)
+        valid = nbrs >= 0
+        safe = jnp.where(valid, nbrs, 0)
+
+        # dedup within the step: sort by id, mask repeats
+        order = jnp.argsort(nbrs, axis=1)
+        sorted_ids = jnp.take_along_axis(nbrs, order, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((Q, 1), dtype=bool),
+             sorted_ids[:, 1:] == sorted_ids[:, :-1]], axis=1)
+        # un-sort the dup mask
+        inv = jnp.argsort(order, axis=1)
+        dup = jnp.take_along_axis(dup, inv, axis=1)
+        fresh = valid & ~dup
+
+        # visited check (bit test), then set (add == or: bits distinct+unset)
+        words = jnp.take_along_axis(visited, safe >> 5, axis=1)
+        bit = (jnp.uint32(1) << (safe & 31).astype(jnp.uint32))
+        seen = (words & bit) != 0
+        fresh = fresh & ~seen
+        visited = visited.at[
+            jnp.broadcast_to(qrows, (Q, K)), safe >> 5].add(
+            jnp.where(fresh, bit, jnp.uint32(0)), mode="drop")
+
+        scores = _score_gathered(queries, data[safe], data_sq[safe], metric)
+        scores = jnp.where(fresh, scores, NEG_INF)
+
+        # merge into beam
+        merged_s = jnp.concatenate([beam_scores, scores], axis=1)
+        merged_i = jnp.concatenate([beam_ids, jnp.where(fresh, nbrs, -1)],
+                                   axis=1)
+        merged_e = jnp.concatenate(
+            [expanded_new, jnp.zeros((Q, K), dtype=jnp.bool_)], axis=1)
+        new_s, pos = jax.lax.top_k(merged_s, ef)
+        new_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        new_e = jnp.take_along_axis(merged_e, pos, axis=1)
+        new_i = jnp.where(new_s > NEG_INF, new_i, -1)
+        return new_s, new_i, new_e, visited, it + 1
+
+    beam_scores, beam_ids, expanded, visited, _ = jax.lax.while_loop(
+        cond, body, (beam_scores, beam_ids, expanded, visited,
+                     jnp.int32(0)))
+    return beam_scores, beam_ids
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "max_hops"))
+def greedy_descend(
+    queries: jnp.ndarray,      # f32[Q, D]
+    data: jnp.ndarray,         # f32[N, D]
+    data_sq: jnp.ndarray,      # f32[N]
+    links_stack: jnp.ndarray,  # int32[Lu, N, m] upper layers, TOP first
+    entry: jnp.ndarray,        # int32[Q]
+    metric: VectorMetric, max_hops: int = 64,
+):
+    """Greedy descent through the upper layers (reference: the level>0 loop
+    of searchKnn, hnswalg.h:1988 — single-entry greedy walk per layer).
+    All layers run inside one jit (fori over the stacked link tables) so a
+    query batch costs one device dispatch. Returns int32[Q] layer-0 entries."""
+    Q = queries.shape[0]
+    Lu = links_stack.shape[0]
+    m = links_stack.shape[2]
+
+    def score_of(ids):
+        v = ids >= 0
+        safe = jnp.where(v, ids, 0)
+        s = _score_gathered(queries, data[safe], data_sq[safe], metric)
+        return jnp.where(v, s, NEG_INF)
+
+    def one_layer(l, carry):
+        cur, cur_s = carry
+
+        def cond(st):
+            _, _, improved, hops = st
+            return jnp.logical_and(jnp.any(improved), hops < max_hops)
+
+        def body(st):
+            cur, cur_s, _, hops = st
+            nbrs = links_stack[l][cur]              # [Q, m]
+            s = score_of(nbrs)
+            best_pos = jnp.argmax(s, axis=1)
+            best_s = jnp.take_along_axis(s, best_pos[:, None], axis=1)[:, 0]
+            best_i = jnp.take_along_axis(nbrs, best_pos[:, None], axis=1)[:, 0]
+            imp = best_s > cur_s
+            cur = jnp.where(imp, best_i, cur)
+            cur_s = jnp.where(imp, best_s, cur_s)
+            return cur, cur_s, imp, hops + 1
+
+        cur, cur_s, _, _ = jax.lax.while_loop(
+            cond, body, (cur, cur_s, jnp.ones(Q, dtype=jnp.bool_),
+                         jnp.int32(0)))
+        return cur, cur_s
+
+    cur = entry
+    cur_s = score_of(entry[:, None])[:, 0]
+    cur, cur_s = jax.lax.fori_loop(0, Lu, one_layer, (cur, cur_s))
+    return cur
+
+
+@functools.partial(jax.jit, static_argnames=("m", "metric"))
+def heuristic_select(
+    cand_ids: jnp.ndarray,     # int32[B, C] sorted best-first (-1 pad)
+    cand_scores: jnp.ndarray,  # f32[B, C] higher-better scores to the query
+    cand_vecs: jnp.ndarray,    # f32[B, C, D]
+    m: int, metric: VectorMetric,
+):
+    """Batched neighbor-selection heuristic (reference:
+    getNeighborsByHeuristic2, hnswalg.h:978): walk candidates best-first,
+    keep one iff it is closer to the query than to every already-kept
+    candidate. Returns int32[B, m] kept ids (-1 pad)."""
+    B, C = cand_ids.shape
+    # pairwise candidate-candidate "closeness" (same score convention)
+    dots = jnp.einsum("bcd,bed->bce", cand_vecs, cand_vecs,
+                      preferred_element_type=jnp.float32)
+    if metric == VectorMetric.L2:
+        sq = jnp.sum(cand_vecs * cand_vecs, axis=2)
+        pair = 2.0 * dots - sq[:, :, None] - sq[:, None, :]
+    else:
+        pair = dots
+
+    valid = cand_ids >= 0
+
+    def step(carry, i):
+        kept, kept_cnt = carry                     # bool[B, C], int32[B]
+        # closer-to-query than to any kept candidate:
+        # score_q[i] (higher better) must exceed pair(i, j) for all kept j
+        pij = pair[:, i, :]                        # [B, C]
+        conflict = jnp.any(kept & (pij > cand_scores[:, i][:, None]), axis=1)
+        take = valid[:, i] & ~conflict & (kept_cnt < m)
+        kept = kept.at[:, i].set(take)
+        kept_cnt = kept_cnt + take.astype(jnp.int32)
+        return (kept, kept_cnt), None
+
+    kept0 = jnp.zeros((B, C), dtype=jnp.bool_)
+    (kept, _), _ = jax.lax.scan(step, (kept0, jnp.zeros(B, jnp.int32)),
+                                jnp.arange(C))
+    # compact kept ids to the left
+    key = jnp.where(kept, -cand_scores, jnp.inf)   # kept best-first
+    order = jnp.argsort(key, axis=1)[:, :m]
+    sel = jnp.take_along_axis(cand_ids, order, axis=1)
+    selk = jnp.take_along_axis(kept, order, axis=1)
+    return jnp.where(selk, sel, -1)

@@ -52,11 +52,17 @@ class Selecter:
             exists = ns.exists_mask()
             explain_sel: list[dict] = []
             t_idx0 = time.perf_counter()
-            mask, sources = self._eval_entries(ns, q.entries, q, exists, explain_sel)
-            mask = mask & exists
-            t_idx1 = time.perf_counter()
-
-            rows = np.flatnonzero(mask).astype(np.int64)
+            streaming_entry = self._detect_streaming_knn(ns, q)
+            if streaming_entry is not None:
+                rows, stream_ranks, sources = self._stream_knn_rows(
+                    ns, q, streaming_entry, exists, explain_sel)
+                t_idx1 = time.perf_counter()
+            else:
+                mask, sources = self._eval_entries(ns, q.entries, q, exists,
+                                                   explain_sel)
+                mask = mask & exists
+                t_idx1 = time.perf_counter()
+                rows = np.flatnonzero(mask).astype(np.int64)
 
             # --- aggregations (over the full filtered set, pre-pagination,
             # reference: aggregator runs inside selectLoop over all matches)
@@ -67,7 +73,12 @@ class Selecter:
 
             # --- sorting
             t_sort0 = time.perf_counter()
-            rows, ranks_arr, sort_info = self._sort_rows(ns, q, rows, sources)
+            if streaming_entry is not None:
+                # streaming rows arrive already rank-ordered
+                ranks_arr, sort_info = stream_ranks, "rank(streaming)"
+            else:
+                rows, ranks_arr, sort_info = self._sort_rows(ns, q, rows,
+                                                             sources)
             t_sort1 = time.perf_counter()
 
             total = len(rows)
@@ -121,6 +132,84 @@ class Selecter:
             sub = self.select(mq)
             res.extend(sub)
         return res
+
+    # ==================================================================
+    # streaming KNN (reference: NsSelecter::detectStreamingKnn,
+    # nsselecter.cc:483-500 + knn_streaming_index_iterator.h)
+    # ==================================================================
+    def _detect_streaming_knn(self, ns: Namespace,
+                              q: Query) -> Optional[KnnQueryEntry]:
+        """Streaming mode: exactly one top-level AND KNN entry with neither k
+        nor radius, on an HNSW index, non-hybrid, default rank sort."""
+        knn = [(op, e) for op, e in q.entries if isinstance(e, KnnQueryEntry)]
+        if len(knn) != 1:
+            return None
+        op, entry = knn[0]
+        if not getattr(entry.params, "is_streaming", False):
+            return None
+        from ..index.vector.hnsw import HnswIndex
+        index = ns.get_index(entry.field)
+        if not isinstance(index, HnswIndex):
+            raise QueryError(
+                "KNN query without 'k' and 'radius' (streaming search) is "
+                f"supported for HNSW indexes only, but index '{entry.field}' "
+                "is not HNSW")
+        if op != OpType.AND:
+            raise QueryError("streaming KNN entry must be an AND condition")
+        # hybrid (FT+KNN) never streams
+        for _, e in q.entries:
+            if isinstance(e, QueryEntry):
+                idef = ns.index_def(e.field)
+                if idef is not None and idef.is_fulltext:
+                    raise QueryError(
+                        "Streaming KNN search does not support hybrid queries")
+        if q.sorts:
+            return None
+        return entry
+
+    def _stream_knn_rows(self, ns: Namespace, q: Query, entry: KnnQueryEntry,
+                         exists: np.ndarray, explain_sel: list,
+                         ) -> tuple[np.ndarray, np.ndarray, dict]:
+        from ..index.vector.hnsw import HnswIndex
+        from ..index.vector.streaming import (KnnStreamingSession,
+                                              StreamingKnnEstimator)
+        from ..ops.distance import scores_to_ranks
+        index: HnswIndex = ns.get_index(entry.field)  # type: ignore[assignment]
+        other = [(op, e) for op, e in q.entries if e is not entry]
+        mask, sources = self._eval_entries(ns, other, q, exists, explain_sel)
+        mask = mask & exists
+        items_count = ns.item_count()
+        max_iter = int(mask.sum())
+        limit = q.limit_ if q.limit_ is not None else items_count
+        needed = q.offset_ + limit
+        value = entry.value
+        if isinstance(value, str):
+            value = self.db.embed_query(ns, entry.field, value)
+        ef0 = StreamingKnnEstimator.estimate_ef(
+            max_iter, items_count, q.offset_, limit)
+        session = KnnStreamingSession(index, np.asarray(value,
+                                                       dtype=np.float32), ef0)
+        acc_rows: list[int] = []
+        acc_scores: list[float] = []
+        presented = 0
+        while len(acc_rows) < needed and not session.exhausted:
+            batch = StreamingKnnEstimator.estimate_batch_size(
+                len(acc_rows), max(presented, 1), needed)
+            ids, scores = session.next_batch(batch)
+            presented += len(ids)
+            for i, s in zip(ids, scores):
+                if mask[int(i)]:
+                    acc_rows.append(int(i))
+                    acc_scores.append(float(s))
+        rows = np.asarray(acc_rows, dtype=np.int64)
+        scores = np.asarray(acc_scores, dtype=np.float32)
+        ranks = np.asarray(scores_to_ranks(scores, index.metric),
+                           dtype=np.float64)
+        src = RankSource(field=entry.field, kind="knn", ids=rows,
+                         ranks=ranks.astype(np.float32),
+                         ordering=index.ordering)
+        sources = {**sources, entry.field: src}
+        return rows, ranks, sources
 
     # ==================================================================
     # entries tree evaluation

@@ -1,0 +1,136 @@
+"""HNSW engine tests: recall vs the exact BF oracle, deletes, metrics,
+checkpoint roundtrip (models reference unit/float_vector_index.cc recall and
+ordering checks, checkOrdering :32)."""
+import numpy as np
+import pytest
+
+from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts, IndexType,
+                           Query, Reindexer, VectorMetric)
+from reindexer_tpu.index.vector.hnsw import HnswIndex
+from reindexer_tpu.index.vector.params import HnswSearchParams
+
+
+def make_index(dims=16, metric=VectorMetric.L2, m=8, efc=64):
+    idef = IndexDef("vec", IndexType.HNSW, vector_opts=FloatVectorOpts(
+        dims=dims, metric=metric, m=m, ef_construction=efc))
+    return HnswIndex(idef)
+
+
+def oracle_knn(base, valid_mask, q, k, metric):
+    if metric == VectorMetric.L2:
+        d = np.sum((base - q) ** 2, axis=1)
+        d[~valid_mask] = np.inf
+        return np.argsort(d)[:k]
+    if metric == VectorMetric.COSINE:
+        bn = base / np.maximum(np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        s = bn @ qn
+    else:
+        s = base @ q
+    s[~valid_mask] = -np.inf
+    return np.argsort(-s)[:k]
+
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2,
+                                    VectorMetric.INNER_PRODUCT,
+                                    VectorMetric.COSINE])
+def test_hnsw_recall(metric, rng):
+    n, dims, k = 600, 16, 10
+    idx = make_index(dims=dims, metric=metric)
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    for i in range(n):
+        idx.upsert(i, base[i])
+    valid = np.ones(n, dtype=bool)
+
+    hits = total = 0
+    for t in range(20):
+        q = rng.normal(size=dims).astype(np.float32)
+        res = idx.select(q, HnswSearchParams(k=k, ef=64))
+        want = set(oracle_knn(base, valid, q, k, metric).tolist())
+        hits += len(set(res.ids.tolist()) & want)
+        total += k
+    recall = hits / total
+    assert recall >= 0.9, f"recall {recall} too low for {metric}"
+
+
+def test_hnsw_rank_values_l2(rng):
+    idx = make_index(dims=8)
+    base = rng.normal(size=(50, 8)).astype(np.float32)
+    for i in range(50):
+        idx.upsert(i, base[i])
+    q = rng.normal(size=8).astype(np.float32)
+    res = idx.select(q, HnswSearchParams(k=5, ef=32))
+    # ranks are true L2^2 distances, ascending
+    for rid, rank in zip(res.ids, res.ranks):
+        np.testing.assert_allclose(rank, np.sum((base[rid] - q) ** 2),
+                                   rtol=1e-4)
+    assert list(res.ranks) == sorted(res.ranks)
+
+
+def test_hnsw_delete_and_reinsert(rng):
+    idx = make_index(dims=8)
+    base = rng.normal(size=(100, 8)).astype(np.float32)
+    for i in range(100):
+        idx.upsert(i, base[i])
+    q = base[7] + 0.001
+    res = idx.select(q, HnswSearchParams(k=3, ef=32))
+    assert res.ids[0] == 7
+    idx.delete(7, None)
+    res = idx.select(q, HnswSearchParams(k=3, ef=32))
+    assert 7 not in res.ids
+    # re-upsert revives the node
+    idx.upsert(7, base[7])
+    res = idx.select(q, HnswSearchParams(k=3, ef=32))
+    assert res.ids[0] == 7
+
+
+def test_hnsw_radius(rng):
+    idx = make_index(dims=4)
+    idx.upsert(0, [0.0, 0, 0, 0])
+    idx.upsert(1, [1.0, 0, 0, 0])
+    idx.upsert(2, [5.0, 0, 0, 0])
+    res = idx.select(np.zeros(4, np.float32),
+                     HnswSearchParams(k=3, ef=16, radius=2.0))
+    assert set(res.ids.tolist()) == {0, 1}   # rank(L2^2) < 2.0
+
+
+def test_hnsw_state_roundtrip(rng):
+    idx = make_index(dims=8)
+    base = rng.normal(size=(80, 8)).astype(np.float32)
+    for i in range(80):
+        idx.upsert(i, base[i])
+    q = rng.normal(size=8).astype(np.float32)
+    before = idx.select(q, HnswSearchParams(k=5, ef=32))
+    state = idx.state_dict()
+    idx2 = make_index(dims=8)
+    idx2.load_state_dict(state)
+    after = idx2.select(q, HnswSearchParams(k=5, ef=32))
+    assert before.ids.tolist() == after.ids.tolist()
+
+
+def test_hnsw_incremental_inserts(rng):
+    """Graph stays searchable across multiple commit batches."""
+    idx = make_index(dims=8)
+    base = rng.normal(size=(300, 8)).astype(np.float32)
+    for i in range(100):
+        idx.upsert(i, base[i])
+    idx.select(base[0], HnswSearchParams(k=1, ef=16))   # commits first 100
+    for i in range(100, 300):
+        idx.upsert(i, base[i])
+    res = idx.select(base[250] + 0.0001, HnswSearchParams(k=1, ef=32))
+    assert res.ids[0] == 250
+
+
+def test_hnsw_via_query(rng):
+    db = Reindexer()
+    db.open_namespace("v", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("vec", IndexType.HNSW, vector_opts=FloatVectorOpts(
+            dims=8, metric=VectorMetric.L2, m=8, ef_construction=32)),
+    ])
+    base = rng.normal(size=(60, 8)).astype(np.float32)
+    for i in range(60):
+        db.upsert("v", {"id": i, "vec": base[i].tolist()})
+    res = db.select(Query("v").where_knn(
+        "vec", base[17], HnswSearchParams(k=3, ef=16)))
+    assert res.docs()[0]["id"] == 17

@@ -1,0 +1,82 @@
+"""SQ8 quantization tests (models reference quantization_tests.cc): the
+quantized scan must closely reproduce the exact top-k, activate at
+min_elements, and refresh on mutation."""
+import numpy as np
+import pytest
+
+from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexType,
+                           QuantizationConfig, VectorMetric)
+from reindexer_tpu.index.vector.brute_force import BruteForceIndex
+from reindexer_tpu.index.vector.params import KnnSearchParams
+
+
+def make_index(dims=16, metric=VectorMetric.L2, min_elements=64):
+    idef = IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+        dims=dims, metric=metric,
+        quantization=QuantizationConfig(enabled=True,
+                                        min_elements=min_elements)))
+    return BruteForceIndex(idef)
+
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2,
+                                    VectorMetric.INNER_PRODUCT])
+def test_quantized_topk_overlap(metric, rng):
+    n, dims, k = 500, 16, 10
+    idx = make_index(dims=dims, metric=metric)
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    for i in range(n):
+        idx.upsert(i, base[i])
+    hits = total = 0
+    for _ in range(10):
+        q = rng.normal(size=dims).astype(np.float32)
+        res = idx.select(q, KnnSearchParams(k=k))
+        assert idx._quant.active
+        if metric == VectorMetric.L2:
+            want = np.argsort(np.sum((base - q) ** 2, axis=1))[:k]
+        else:
+            want = np.argsort(-(base @ q))[:k]
+        hits += len(set(res.ids.tolist()) & set(want.tolist()))
+        total += k
+    assert hits / total >= 0.9
+
+
+def test_quantization_activates_at_threshold(rng):
+    idx = make_index(dims=8, min_elements=50)
+    base = rng.normal(size=(60, 8)).astype(np.float32)
+    for i in range(40):
+        idx.upsert(i, base[i])
+    idx.select(base[0], KnnSearchParams(k=1))
+    assert not idx._quant.active
+    for i in range(40, 60):
+        idx.upsert(i, base[i])
+    idx.select(base[0], KnnSearchParams(k=1))
+    assert idx._quant.active
+
+
+def test_quantized_refresh_on_mutation(rng):
+    idx = make_index(dims=8, min_elements=10)
+    base = rng.normal(size=(30, 8)).astype(np.float32)
+    for i in range(30):
+        idx.upsert(i, base[i])
+    idx.select(base[0], KnnSearchParams(k=1))
+    assert idx._quant.active
+    # new vector must be findable without waiting for full requantize
+    v = rng.normal(size=8).astype(np.float32)
+    idx.upsert(99, v)
+    res = idx.select(v, KnnSearchParams(k=1))
+    assert res.ids[0] == 99
+    # deleted vector disappears from quantized results too
+    idx.delete(99, None)
+    res = idx.select(v, KnnSearchParams(k=1))
+    assert res.ids[0] != 99
+
+
+def test_quantized_memstat(rng):
+    idx = make_index(dims=16, min_elements=10)
+    for i in range(32):
+        idx.upsert(i, rng.normal(size=16).astype(np.float32))
+    idx.select(np.zeros(16, np.float32), KnnSearchParams(k=1))
+    st = idx.memstat()
+    assert st["quantized"]
+    # uint8 codes = 1/4 the fp32 footprint
+    assert st["quantized_size"] * 4 == st["data_size"]
