@@ -174,6 +174,12 @@ class Reindexer:
         if isinstance(q, str):
             from ..query.sql import parse_sql
             q = parse_sql(q)
+            if q.__dict__.get("_truncate"):
+                self.truncate_namespace(q.namespace)
+                return QueryResults(ns_name=q.namespace)
+            if q.__dict__.get("_delete"):
+                n = self._selecter.delete(q)
+                return QueryResults(ns_name=q.namespace, total_count=n)
             if q.update_entries:
                 return self._selecter.update(q)
         t0 = time.perf_counter()
