@@ -1,0 +1,447 @@
+"""HTTP REST server.
+
+Semantic equivalent of the reference HTTP server
+(cpp_src/server/httpserver.cc:1098-1164 route table; OpenAPI spec
+server/contrib/server.yml): multi-database root (dbmanager analog,
+server/dbmanager.cc), namespaces/items/indexes/meta CRUD, SQL + JSON-DSL
+queries, transactions, health check, Prometheus metrics. JSON-only wire
+format (the reference's msgpack/protobuf negotiation is out of scope for the
+serving edge v1).
+
+Built on the stdlib ThreadingHTTPServer — the accept loop replaces the
+reference's bespoke ev reactor + coroutines (net/ev/ev.cc, P6 in SURVEY.md
+§2.4: host-side concurrency is not device-relevant).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import urllib.parse
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Optional
+
+from ..core.database import Reindexer
+from ..core.errors import (ConflictError, NotFoundError, ParamsError,
+                           QueryError, ReindexerError)
+from ..core.payload import IndexDef
+from ..core.transaction import Transaction
+from ..query.dsl import parse_dsl
+from ..query.query import Query
+from ..query.results import QueryResults
+
+
+class DBManager:
+    """Multi-database root (reference: server/dbmanager.cc)."""
+
+    def __init__(self, storage_root: str = ""):
+        self.storage_root = storage_root
+        self.dbs: dict[str, Reindexer] = {}
+        self._lock = threading.Lock()
+
+    def get(self, name: str) -> Reindexer:
+        with self._lock:
+            db = self.dbs.get(name)
+            if db is None:
+                raise NotFoundError(f"database '{name}' not found")
+            return db
+
+    def create(self, name: str) -> Reindexer:
+        with self._lock:
+            if name in self.dbs:
+                return self.dbs[name]
+            if not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+                raise ParamsError(f"invalid database name '{name}'")
+            dsn = os.path.join(self.storage_root, name) if self.storage_root \
+                else ""
+            db = Reindexer(dsn)
+            self.dbs[name] = db
+            return db
+
+    def drop(self, name: str) -> None:
+        with self._lock:
+            db = self.dbs.pop(name, None)
+            if db is None:
+                raise NotFoundError(f"database '{name}' not found")
+            db.close()
+
+    def names(self) -> list[str]:
+        return sorted(self.dbs.keys())
+
+
+def _items_payload(res: QueryResults, with_columns: bool = False) -> dict:
+    out: dict[str, Any] = {"items": res.docs()}
+    if res.total_count is not None:
+        out["total_items"] = res.total_count
+    out["query_total_items"] = res.total_count if res.total_count is not None \
+        else len(res)
+    if res.aggregations:
+        out["aggregations"] = res.agg_results()
+    if res.explain:
+        out["explain"] = res.explain
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "reindexer_tpu"
+    protocol_version = "HTTP/1.1"
+    mgr: DBManager = None            # set by make_server
+    txs: dict[str, Transaction] = {}
+
+    # silence request logging
+    def log_message(self, fmt, *args):
+        pass
+
+    # --- plumbing -------------------------------------------------------
+    def _send(self, code: int, payload: Any) -> None:
+        body = json.dumps(payload, ensure_ascii=False,
+                          default=str).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_text(self, code: int, text: str, ctype: str = "text/plain") -> None:
+        body = text.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _err(self, code: int, msg: str) -> None:
+        self._send(code, {"success": False, "response_code": code,
+                          "description": msg})
+
+    def _body(self) -> Any:
+        length = int(self.headers.get("Content-Length", 0) or 0)
+        if length == 0:
+            return None
+        raw = self.rfile.read(length)
+        if not raw:
+            return None
+        return json.loads(raw.decode("utf-8"))
+
+    def _route(self, method: str) -> None:
+        parsed = urllib.parse.urlparse(self.path)
+        parts = [urllib.parse.unquote(p) for p in parsed.path.split("/")
+                 if p != ""]
+        qs = urllib.parse.parse_qs(parsed.query)
+        try:
+            self._dispatch(method, parts, qs)
+        except NotFoundError as e:
+            self._err(404, str(e))
+        except (ParamsError, QueryError, json.JSONDecodeError) as e:
+            self._err(400, str(e))
+        except ConflictError as e:
+            self._err(409, str(e))
+        except ReindexerError as e:
+            self._err(500, str(e))
+        except Exception as e:          # pragma: no cover
+            self._err(500, f"internal error: {e}")
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_POST(self):
+        self._route("POST")
+
+    def do_PUT(self):
+        self._route("PUT")
+
+    def do_PATCH(self):
+        self._route("PATCH")
+
+    def do_DELETE(self):
+        self._route("DELETE")
+
+    # --- routing table (reference: httpserver.cc:1098-1164) -------------
+    def _dispatch(self, method: str, p: list[str], qs: dict) -> None:
+        if p[:3] == ["api", "v1", "check"] and method == "GET":
+            return self._send(200, {"status": "OK",
+                                    "version": "reindexer_tpu"})
+        if p == ["metrics"] and method == "GET":
+            return self._metrics()
+        if p[:3] == ["api", "v1", "db"]:
+            rest = p[3:]
+            if not rest:
+                if method == "GET":
+                    return self._send(200, {"items": self.mgr.names(),
+                                            "total_items": len(self.mgr.names())})
+                if method == "POST":
+                    body = self._body() or {}
+                    self.mgr.create(body.get("name", ""))
+                    return self._send(200, {"success": True})
+            else:
+                return self._db_routes(method, rest, qs)
+        if p[:4] == ["api", "v1", "query", "convert"]:
+            return self._convert(method, p[4], qs)
+        raise NotFoundError(f"no route for {method} {'/'.join(p)}")
+
+    def _db_routes(self, method: str, p: list[str], qs: dict) -> None:
+        db_name = p[0]
+        rest = p[1:]
+        if not rest and method == "DELETE":
+            self.mgr.drop(db_name)
+            return self._send(200, {"success": True})
+        db = self.mgr.get(db_name)
+        if not rest:
+            raise NotFoundError("no route")
+        head = rest[0]
+
+        if head == "query":
+            if method == "GET":
+                sql = qs.get("q", [""])[0]
+                return self._send(200, _items_payload(db.select(sql)))
+            if method == "POST":
+                q = parse_dsl(self._body() or {})
+                return self._send(200, _items_payload(db.select(q)))
+            if method == "PUT":
+                q = parse_dsl(self._body() or {})
+                return self._send(200, _items_payload(db.update_query(q)))
+            if method == "DELETE":
+                q = parse_dsl(self._body() or {})
+                n = db.delete_query(q)
+                return self._send(200, {"items": [], "updated": n})
+        if head == "sqlquery" and method == "POST":
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            sql = self.rfile.read(length).decode("utf-8")
+            return self._send(200, _items_payload(db.select(sql)))
+        if head == "dslquery" and method == "POST":
+            q = parse_dsl(self._body() or {})
+            return self._send(200, _items_payload(db.select(q)))
+        if head == "namespaces":
+            return self._ns_routes(db, method, rest[1:], qs)
+        if head == "transactions":
+            return self._tx_routes(db, method, rest[1:], qs)
+        if head == "suggest" and method == "GET":
+            return self._send(200, {"suggests": []})
+        raise NotFoundError(f"no route for {method} /{'/'.join(p)}")
+
+    # --- namespaces -----------------------------------------------------
+    def _ns_routes(self, db: Reindexer, method: str, p: list[str],
+                   qs: dict) -> None:
+        if not p:
+            if method == "GET":
+                items = [{"name": n} for n in db.namespace_names()]
+                return self._send(200, {"items": items,
+                                        "total_items": len(items)})
+            if method == "POST":
+                body = self._body() or {}
+                idefs = [IndexDef.from_dict(i)
+                         for i in body.get("indexes", [])]
+                db.open_namespace(body["name"], idefs)
+                return self._send(200, {"success": True})
+        ns_name = p[0]
+        sub = p[1:]
+        if not sub:
+            if method == "GET":
+                ns = db.get_namespace(ns_name)
+                return self._send(200, {
+                    "name": ns.name,
+                    "indexes": [d.to_dict() for d in ns.index_defs()]})
+            if method == "DELETE":
+                db.drop_namespace(ns_name)
+                return self._send(200, {"success": True})
+        head = sub[0] if sub else ""
+        if head == "truncate" and method == "DELETE":
+            db.truncate_namespace(ns_name)
+            return self._send(200, {"success": True})
+        if head == "rename" and method == "GET" and len(sub) == 2:
+            db.rename_namespace(ns_name, sub[1])
+            return self._send(200, {"success": True})
+        if head == "items":
+            return self._item_routes(db, ns_name, method, qs)
+        if head == "indexes":
+            return self._index_routes(db, ns_name, method, sub[1:])
+        if head == "schema":
+            if method == "PUT":
+                db.set_schema(ns_name, self._body() or {})
+                return self._send(200, {"success": True})
+            if method == "GET":
+                return self._send(200,
+                                  db.get_namespace(ns_name).schema or {})
+        if head == "metalist" and method == "GET":
+            keys = db.enum_meta(ns_name)
+            return self._send(200, {"meta": [{"key": k} for k in keys],
+                                    "total_items": len(keys)})
+        if head == "metabykey":
+            if method == "GET" and len(sub) == 2:
+                v = db.get_meta(ns_name, sub[1])
+                if v is None:
+                    raise NotFoundError(f"meta key '{sub[1]}' not found")
+                return self._send(200, {"key": sub[1], "value": v})
+            if method == "PUT":
+                body = self._body() or {}
+                db.put_meta(ns_name, body["key"], str(body["value"]))
+                return self._send(200, {"success": True})
+            if method == "DELETE" and len(sub) == 2:
+                db.delete_meta(ns_name, sub[1])
+                return self._send(200, {"success": True})
+        raise NotFoundError(f"no namespace route '{head}'")
+
+    def _item_routes(self, db: Reindexer, ns: str, method: str,
+                     qs: dict) -> None:
+        if method == "GET":
+            q = Query(ns)
+            flt = qs.get("filter", [None])[0]
+            if flt:
+                from ..query.sql import _Parser
+                p = _Parser(flt)
+                p.conditions(q)
+            if qs.get("sort_field"):
+                q.sort(qs["sort_field"][0],
+                       qs.get("sort_order", ["asc"])[0] == "desc")
+            q.limit(int(qs.get("limit", [1000])[0]))
+            q.offset(int(qs.get("offset", [0])[0]))
+            q.req_total_count()
+            return self._send(200, _items_payload(db.select(q)))
+        body = self._body()
+        docs = body if isinstance(body, list) else [body]
+        n = 0
+        for doc in docs:
+            if doc is None:
+                continue
+            if method == "POST":
+                db.insert(ns, doc)
+            elif method == "PUT":
+                db.upsert(ns, doc)
+            elif method == "PATCH":
+                db.update(ns, doc)
+            elif method == "DELETE":
+                db.delete(ns, doc)
+            n += 1
+        return self._send(200, {"success": True, "updated": n})
+
+    def _index_routes(self, db: Reindexer, ns: str, method: str,
+                      p: list[str]) -> None:
+        if method == "GET":
+            defs = [d.to_dict() for d in db.get_namespace(ns).index_defs()]
+            return self._send(200, {"items": defs, "total_items": len(defs)})
+        if method == "POST":
+            db.add_index(ns, IndexDef.from_dict(self._body()))
+            return self._send(200, {"success": True})
+        if method == "PUT":
+            db.update_index(ns, IndexDef.from_dict(self._body()))
+            return self._send(200, {"success": True})
+        if method == "DELETE" and p:
+            db.drop_index(ns, p[0])
+            return self._send(200, {"success": True})
+        raise NotFoundError("no index route")
+
+    # --- transactions (reference: BeginTx/CommitTx/RollbackTx routes) ----
+    def _tx_routes(self, db: Reindexer, method: str, p: list[str],
+                   qs: dict) -> None:
+        if not p:
+            raise NotFoundError("no tx route")
+        tx_id = p[0]
+        action = p[1] if len(p) > 1 else ""
+        if action == "commit" and method == "POST":
+            tx = self.txs.pop(tx_id, None)
+            if tx is None:
+                raise NotFoundError(f"transaction '{tx_id}' not found")
+            tx.commit()
+            return self._send(200, {"success": True})
+        if action == "rollback" and method == "POST":
+            tx = self.txs.pop(tx_id, None)
+            if tx is None:
+                raise NotFoundError(f"transaction '{tx_id}' not found")
+            tx.rollback()
+            return self._send(200, {"success": True})
+        if action == "items":
+            tx = self.txs.get(tx_id)
+            if tx is None:
+                raise NotFoundError(f"transaction '{tx_id}' not found")
+            body = self._body()
+            docs = body if isinstance(body, list) else [body]
+            for doc in docs:
+                if method in ("POST",):
+                    tx.insert(doc)
+                elif method == "PUT":
+                    tx.upsert(doc)
+                elif method == "PATCH":
+                    tx.update(doc)
+                elif method == "DELETE":
+                    tx.delete(doc)
+            return self._send(200, {"success": True})
+        raise NotFoundError("no tx route")
+
+    # --- misc -----------------------------------------------------------
+    def _convert(self, method: str, kind: str, qs: dict) -> None:
+        from ..query.dsl import to_dsl
+        from ..query.sql import parse_sql
+        if kind == "sql" and method == "POST":
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            sql = self.rfile.read(length).decode("utf-8")
+            return self._send(200, to_dsl(parse_sql(sql)))
+        raise NotFoundError("no convert route")
+
+    def _metrics(self) -> None:
+        """Prometheus exposition (reference:
+        server/statscollect/prometheus.cc)."""
+        lines = []
+        for db_name in self.mgr.names():
+            db = self.mgr.dbs[db_name]
+            for ns_name in db.namespace_names():
+                ns = db.get_namespace(ns_name)
+                labels = f'{{db="{db_name}",ns="{ns_name}"}}'
+                lines.append(
+                    f"reindexer_items_count{labels} {ns.item_count()}")
+                for op, st in ns.perf.stats().items():
+                    lines.append(
+                        f'reindexer_{op}_total{{db="{db_name}",'
+                        f'ns="{ns_name}"}} {st["total_queries_count"]}')
+        self._send_text(200, "\n".join(lines) + "\n",
+                        "text/plain; version=0.0.4")
+
+
+# tx begin lives under the namespace path in the reference route table
+_TX_BEGIN_RE = re.compile(
+    r"^/api/v1/db/([^/]+)/namespaces/([^/]+)/transactions/begin$")
+
+_orig_dispatch = _Handler._dispatch
+
+
+def _dispatch_with_tx_begin(self, method, p, qs):
+    path = "/" + "/".join(p)
+    m = _TX_BEGIN_RE.match(path)
+    if m and method == "POST":
+        db = self.mgr.get(m.group(1))
+        tx = db.new_transaction(m.group(2))
+        tx_id = uuid.uuid4().hex[:16]
+        self.txs[tx_id] = tx
+        return self._send(200, {"tx_id": tx_id})
+    return _orig_dispatch(self, method, p, qs)
+
+
+_Handler._dispatch = _dispatch_with_tx_begin
+
+
+class ReindexerServer:
+    """Standalone server facade (reference: cpp_src/cmd/reindexer_server)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 9088,
+                 storage_root: str = ""):
+        self.mgr = DBManager(storage_root)
+        handler = type("BoundHandler", (_Handler,),
+                       {"mgr": self.mgr, "txs": {}})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        for db in self.mgr.dbs.values():
+            db.close()

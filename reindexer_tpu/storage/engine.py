@@ -37,6 +37,8 @@ class FileStorage:
         self._wal_files: dict[str, object] = {}
         self._wal_counts: dict[str, int] = {}
         self._lock = threading.Lock()
+        from .ann_cache import AnnStorageCache
+        self.ann_cache = AnnStorageCache(path)
 
     # ------------------------------------------------------------------
     def _ns_dir(self, name: str) -> str:
@@ -104,6 +106,12 @@ class FileStorage:
             if os.path.exists(wal_path):
                 os.remove(wal_path)
             self._wal_counts[ns.name] = 0
+            # persist vector-index device state (ANN cache: restart skips
+            # HNSW/IVF rebuild, reference ann_storage_cache_helper.h)
+            from ..index.vector.base import FloatVectorIndexBase
+            for ix in ns.indexes:
+                if isinstance(ix, FloatVectorIndexBase):
+                    self.ann_cache.write(ns.name, ix, ns.item_count())
 
     def load_namespace(self, ns) -> None:
         d = self._ns_dir(ns.name)
@@ -151,6 +159,12 @@ class FileStorage:
                         ns.meta.pop(rec["key"], None)
                     elif op == "truncate":
                         ns.truncate()
+        # apply cached ANN index states (skips graph/centroid rebuild when
+        # the item count matches the snapshot stamp)
+        from ..index.vector.base import FloatVectorIndexBase
+        for ix in ns.indexes:
+            if isinstance(ix, FloatVectorIndexBase):
+                self.ann_cache.load(ns.name, ix, ns.item_count())
 
     def drop_namespace(self, name: str) -> None:
         with self._lock:

@@ -1,0 +1,131 @@
+"""HTTP server tests (models the reference REST API behavior,
+server/httpserver.cc routes; JSON wire format)."""
+import json
+import urllib.request
+
+import pytest
+
+from reindexer_tpu.server.http import ReindexerServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ReindexerServer(port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def call(srv, method, path, body=None):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    data = None
+    if body is not None:
+        data = (json.dumps(body) if not isinstance(body, str)
+                else body).encode()
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_check(server):
+    code, body = call(server, "GET", "/api/v1/check")
+    assert code == 200 and body["status"] == "OK"
+
+
+def test_full_crud_flow(server):
+    code, _ = call(server, "POST", "/api/v1/db", {"name": "testdb"})
+    assert code == 200
+    code, body = call(server, "GET", "/api/v1/db")
+    assert "testdb" in body["items"]
+
+    code, _ = call(server, "POST", "/api/v1/db/testdb/namespaces", {
+        "name": "items",
+        "indexes": [
+            {"name": "id", "index_type": "hash", "field_type": "int",
+             "is_pk": True},
+            {"name": "year", "index_type": "tree", "field_type": "int"},
+        ]})
+    assert code == 200
+
+    code, _ = call(server, "PUT", "/api/v1/db/testdb/namespaces/items/items",
+                   [{"id": 1, "year": 2020}, {"id": 2, "year": 2021}])
+    assert code == 200
+
+    code, body = call(server, "GET",
+                      "/api/v1/db/testdb/namespaces/items/items?limit=10")
+    assert code == 200 and len(body["items"]) == 2
+
+    # SQL via GET
+    code, body = call(
+        server, "GET",
+        "/api/v1/db/testdb/query?q=SELECT%20*%20FROM%20items%20WHERE%20year%3D2021")
+    assert code == 200
+    assert [d["id"] for d in body["items"]] == [2]
+
+    # DSL via POST
+    code, body = call(server, "POST", "/api/v1/db/testdb/query", {
+        "namespace": "items",
+        "filters": [{"field": "id", "cond": "eq", "value": 1}]})
+    assert code == 200 and body["items"][0]["year"] == 2020
+
+    # meta
+    code, _ = call(server, "PUT",
+                   "/api/v1/db/testdb/namespaces/items/metabykey",
+                   {"key": "k1", "value": "v1"})
+    assert code == 200
+    code, body = call(server, "GET",
+                      "/api/v1/db/testdb/namespaces/items/metabykey/k1")
+    assert body["value"] == "v1"
+
+    # indexes listing
+    code, body = call(server, "GET",
+                      "/api/v1/db/testdb/namespaces/items/indexes")
+    assert {d["name"] for d in body["items"]} == {"id", "year"}
+
+
+def test_transactions(server):
+    call(server, "POST", "/api/v1/db", {"name": "txdb"})
+    call(server, "POST", "/api/v1/db/txdb/namespaces", {
+        "name": "t", "indexes": [{"name": "id", "index_type": "hash",
+                                  "field_type": "int", "is_pk": True}]})
+    code, body = call(server, "POST",
+                      "/api/v1/db/txdb/namespaces/t/transactions/begin")
+    assert code == 200
+    tx = body["tx_id"]
+    call(server, "PUT", f"/api/v1/db/txdb/transactions/{tx}/items",
+         [{"id": 10}, {"id": 11}])
+    # not visible before commit
+    code, body = call(server, "GET",
+                      "/api/v1/db/txdb/query?q=SELECT%20*%20FROM%20t")
+    assert len(body["items"]) == 0
+    call(server, "POST", f"/api/v1/db/txdb/transactions/{tx}/commit")
+    code, body = call(server, "GET",
+                      "/api/v1/db/txdb/query?q=SELECT%20*%20FROM%20t")
+    assert len(body["items"]) == 2
+
+
+def test_error_codes(server):
+    code, body = call(server, "GET", "/api/v1/db/nope/query?q=SELECT")
+    assert code == 404
+    call(server, "POST", "/api/v1/db", {"name": "errdb"})
+    code, body = call(server, "GET", "/api/v1/db/errdb/query?q=NOT%20SQL")
+    assert code == 400
+
+
+def test_metrics(server):
+    url = f"http://127.0.0.1:{server.port}/metrics"
+    with urllib.request.urlopen(url) as resp:
+        text = resp.read().decode()
+    assert "reindexer_items_count" in text
+
+
+def test_sql_convert(server):
+    code, body = call(server, "POST", "/api/v1/query/convert/sql",
+                      "SELECT * FROM items WHERE id = 1")
+    assert code == 200
+    assert body["namespace"] == "items"
+    assert body["filters"][0]["field"] == "id"
