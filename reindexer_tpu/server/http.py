@@ -219,6 +219,18 @@ class _Handler(BaseHTTPRequestHandler):
             return self._tx_routes(db, method, rest[1:], qs)
         if head == "suggest" and method == "GET":
             return self._send(200, {"suggests": []})
+        if head == "replication":
+            # leader-side replication verbs (reference: RPC snapshot/updates
+            # verbs, server/rpcserver.cc:1382-1384)
+            state = getattr(db, "_replication_state", None)
+            if state is None:
+                from ..replication import ReplicationState
+                state = ReplicationState(db)
+            if len(rest) > 1 and rest[1] == "updates" and method == "GET":
+                from_lsn = int(qs.get("from_lsn", ["0"])[0])
+                return self._send(200, state.updates(from_lsn))
+            if len(rest) > 1 and rest[1] == "snapshot" and method == "GET":
+                return self._send(200, state.snapshot())
         raise NotFoundError(f"no route for {method} /{'/'.join(p)}")
 
     # --- namespaces -----------------------------------------------------

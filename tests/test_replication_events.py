@@ -1,0 +1,149 @@
+"""Events subscription + async replication tests.
+
+Models the reference multi-node tests run in-process (ServerControl pattern,
+gtests fixtures/servercontrol.h): leader/follower topologies on one host,
+wait_sync polling (test/helpers/wait_sync.go), force-sync ladder, cascade
+topology, and the events stream (events/ subsystem)."""
+import time
+
+import pytest
+
+from reindexer_tpu import IndexDef, IndexOpts, Query, Reindexer
+from reindexer_tpu.events import EventsObserver, EventSubscriberConfig
+from reindexer_tpu.replication import (AsyncReplicator, HttpLeaderChannel,
+                                       LeaderChannel, ReplicationState)
+
+
+def make_leader():
+    db = Reindexer()
+    state = ReplicationState(db)
+    db.open_namespace("t", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("name", "hash", "string"),
+    ])
+    return db, state
+
+
+# --- events ----------------------------------------------------------------
+
+def test_events_subscription():
+    db = Reindexer()
+    obs = EventsObserver()
+    obs.attach_db(db)
+    db.open_namespace("e", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+    sub = obs.subscribe(EventSubscriberConfig(namespaces=("e",)))
+    db.upsert("e", {"id": 1})
+    db.upsert("e", {"id": 2})
+    db.delete("e", {"id": 1})
+    evs = sub.poll(timeout=1.0)
+    types = [e.type for e in evs]
+    assert types == ["upsert", "upsert", "delete"]
+    assert evs[0].payload["doc"]["id"] == 1
+    lsns = [e.lsn for e in evs]
+    assert lsns == sorted(lsns)
+
+
+def test_events_filtering():
+    db = Reindexer()
+    obs = EventsObserver()
+    obs.attach_db(db)
+    db.open_namespace("a", [IndexDef("id", "hash", "int",
+                                     opts=IndexOpts(is_pk=True))])
+    db.open_namespace("b", [IndexDef("id", "hash", "int",
+                                     opts=IndexOpts(is_pk=True))])
+    sub = obs.subscribe(EventSubscriberConfig(namespaces=("a",),
+                                              event_types=("upsert",)))
+    db.upsert("a", {"id": 1})
+    db.upsert("b", {"id": 1})
+    db.delete("a", {"id": 1})
+    evs = sub.poll(timeout=0.5)
+    assert len(evs) == 1 and evs[0].namespace == "a" \
+        and evs[0].type == "upsert"
+
+
+# --- replication -----------------------------------------------------------
+
+def test_online_replication():
+    leader, state = make_leader()
+    follower = Reindexer()
+    repl = AsyncReplicator(follower, LeaderChannel(state))
+
+    leader.upsert("t", {"id": 1, "name": "a"})
+    leader.upsert("t", {"id": 2, "name": "b"})
+    repl.sync_once()   # first round: force sync (lsn 0 predates hooks? no —
+                       # ring holds everything) or online replay
+    assert repl.wait_sync(state, timeout=1) or repl.sync_once() is None
+    res = follower.select(Query("t").sort("id"))
+    assert [d["id"] for d in res.docs()] == [1, 2]
+
+    leader.delete("t", {"id": 1})
+    leader.put_meta("t", "k", "v")
+    repl.sync_once()
+    assert [d["id"] for d in follower.select(Query("t")).docs()] == [2]
+    assert follower.get_meta("t", "k") == "v"
+
+
+def test_force_sync_after_ring_overflow():
+    leader, state = make_leader()
+    state.wal.capacity = 10
+    for i in range(50):
+        leader.upsert("t", {"id": i, "name": str(i)})
+    follower = Reindexer()
+    repl = AsyncReplicator(follower, LeaderChannel(state))
+    repl.sync_once()   # lsn window lost -> snapshot
+    assert repl.force_syncs == 1
+    assert len(follower.select(Query("t")).docs()) == 50
+    # back to online replay afterwards
+    leader.upsert("t", {"id": 100, "name": "x"})
+    repl.sync_once()
+    assert repl.force_syncs == 1
+    assert len(follower.select(Query("t")).docs()) == 51
+
+
+def test_replication_thread_and_cascade():
+    leader, state = make_leader()
+    mid = Reindexer()
+    mid_state = ReplicationState(mid)
+    r1 = AsyncReplicator(mid, LeaderChannel(state), poll_interval=0.01)
+    leaf = Reindexer()
+    r2 = AsyncReplicator(leaf, LeaderChannel(mid_state), poll_interval=0.01)
+    r1.start()
+    r2.start()
+    try:
+        for i in range(10):
+            leader.upsert("t", {"id": i, "name": f"n{i}"})
+        assert r1.wait_sync(state, timeout=5)
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if len(leaf._namespaces) and \
+                    len(leaf.select(Query("t")).docs()) == 10:
+                break
+            time.sleep(0.02)
+        assert len(leaf.select(Query("t")).docs()) == 10
+        assert r1.stats()["applied"] > 0
+    finally:
+        r1.stop()
+        r2.stop()
+
+
+def test_replication_over_http():
+    from reindexer_tpu.server.http import ReindexerServer
+    srv = ReindexerServer(port=0)
+    srv.start()
+    try:
+        leader = srv.mgr.create("rdb")
+        state = ReplicationState(leader)
+        leader.open_namespace("t", [
+            IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+        leader.upsert("t", {"id": 1})
+        leader.upsert("t", {"id": 2})
+
+        follower = Reindexer()
+        chan = HttpLeaderChannel(f"http://127.0.0.1:{srv.port}", "rdb")
+        repl = AsyncReplicator(follower, chan)
+        repl.sync_once()
+        assert sorted(d["id"] for d in
+                      follower.select(Query("t")).docs()) == [1, 2]
+    finally:
+        srv.stop()
