@@ -199,6 +199,11 @@ class ShardedReindexer:
                      if p.total_count is not None)
                  if any(p.total_count is not None for p in parts) else None)
 
+        # a distributed KNN keeps k nearest overall, not k per shard
+        knn = [e for op, e in q.entries if isinstance(e, KnnQueryEntry)]
+        if len(knn) == 1 and knn[0].params.k is not None and not q.sorts:
+            items[:] = items[: knn[0].params.k]
+
         lo = q.offset_
         hi = len(items) if q.limit_ is None else lo + q.limit_
         out = QueryResults(ns_name=q.namespace, items=items[lo:hi],
