@@ -1,0 +1,190 @@
+// Native FT build pipeline: tokenizer + vocab + token-stream arrays.
+//
+// Native-footprint equivalent of the reference's C++ text splitter and
+// words-map builder (cpp_src/core/ft/ft_fast/splitter.cc,
+// dataprocessor.cc buildWordsMap — the multithreaded host build, P2 in
+// SURVEY.md §2.4). The Python layer (ft/dataholder.py) uses this module
+// when available and falls back to the pure-Python tokenizer otherwise;
+// token semantics are *identical* by construction because classification
+// and lowercasing use CPython's own Unicode tables (Py_UNICODE_ISALNUM /
+// Py_UNICODE_TOLOWER == str.lower()/[^\W_] behavior).
+//
+// Exposed function:
+//   build_tokens(docs, extra_symbols) ->
+//       (vocab: list[str],
+//        token_ids: bytes int64[n], doc_ids: bytes int32[n],
+//        field_ids: bytes int32[n], positions: bytes int32[n])
+// where docs is a sequence of (row:int, field:int, text:str) triples and
+// positions are per-(row, field) token ordinals. Stop-word filtering happens
+// vectorized on the Python side (vocab-id mask), keeping this kernel pure.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct TokenSink {
+    std::unordered_map<std::string, int64_t> vocab;
+    std::vector<std::string> words;
+    std::vector<int64_t> token_ids;
+    std::vector<int32_t> doc_ids;
+    std::vector<int32_t> field_ids;
+    std::vector<int32_t> positions;
+
+    int64_t intern(const std::string& w) {
+        auto it = vocab.find(w);
+        if (it != vocab.end()) return it->second;
+        int64_t id = (int64_t)words.size();
+        vocab.emplace(w, id);
+        words.push_back(w);
+        return id;
+    }
+};
+
+inline void append_utf8(std::string& out, Py_UCS4 cp) {
+    if (cp < 0x80) {
+        out += (char)cp;
+    } else if (cp < 0x800) {
+        out += (char)(0xC0 | (cp >> 6));
+        out += (char)(0x80 | (cp & 0x3F));
+    } else if (cp < 0x10000) {
+        out += (char)(0xE0 | (cp >> 12));
+        out += (char)(0x80 | ((cp >> 6) & 0x3F));
+        out += (char)(0x80 | (cp & 0x3F));
+    } else {
+        out += (char)(0xF0 | (cp >> 18));
+        out += (char)(0x80 | ((cp >> 12) & 0x3F));
+        out += (char)(0x80 | ((cp >> 6) & 0x3F));
+        out += (char)(0x80 | (cp & 0x3F));
+    }
+}
+
+// word rule mirrors ft/tokenizer.py: starts/ends with alnum (not '_'),
+// interior may additionally contain '_' and the extra symbols
+inline bool is_word_core(Py_UCS4 c) {
+    return c != '_' && Py_UNICODE_ISALNUM(c);
+}
+
+void tokenize_into(PyObject* text, const std::vector<Py_UCS4>& extra,
+                   int32_t row, int32_t field, TokenSink& sink) {
+    Py_ssize_t len = PyUnicode_GET_LENGTH(text);
+    int kind = PyUnicode_KIND(text);
+    const void* data = PyUnicode_DATA(text);
+    int32_t pos = 0;
+    std::string word;
+    Py_ssize_t i = 0;
+    while (i < len) {
+        Py_UCS4 c = Py_UNICODE_TOLOWER(PyUnicode_READ(kind, data, i));
+        if (!is_word_core(c)) { i++; continue; }
+        // word start
+        word.clear();
+        Py_ssize_t last_core_end = i + 1;
+        append_utf8(word, c);
+        size_t last_core_bytes = word.size();
+        i++;
+        while (i < len) {
+            Py_UCS4 d = Py_UNICODE_TOLOWER(PyUnicode_READ(kind, data, i));
+            bool core = is_word_core(d);
+            bool interior = core || d == '_';
+            if (!interior) {
+                bool is_extra = false;
+                for (Py_UCS4 e : extra) {
+                    if (d == e) { is_extra = true; break; }
+                }
+                interior = is_extra;
+            }
+            if (!interior) break;
+            append_utf8(word, d);
+            i++;
+            if (core) {
+                last_core_end = i;
+                last_core_bytes = word.size();
+            }
+        }
+        // trim trailing non-core chars (regex requires core at word end)
+        word.resize(last_core_bytes);
+        i = last_core_end;
+        int64_t wid = sink.intern(word);
+        sink.token_ids.push_back(wid);
+        sink.doc_ids.push_back(row);
+        sink.field_ids.push_back(field);
+        sink.positions.push_back(pos++);
+    }
+}
+
+PyObject* vec_to_bytes(const void* data, size_t nbytes) {
+    return PyBytes_FromStringAndSize((const char*)data, (Py_ssize_t)nbytes);
+}
+
+PyObject* build_tokens(PyObject* /*self*/, PyObject* args) {
+    PyObject* docs;
+    PyObject* extra_obj;
+    if (!PyArg_ParseTuple(args, "OO", &docs, &extra_obj)) return nullptr;
+
+    std::vector<Py_UCS4> extra;
+    if (PyUnicode_Check(extra_obj)) {
+        Py_ssize_t elen = PyUnicode_GET_LENGTH(extra_obj);
+        int ekind = PyUnicode_KIND(extra_obj);
+        const void* edata = PyUnicode_DATA(extra_obj);
+        for (Py_ssize_t j = 0; j < elen; j++)
+            extra.push_back(PyUnicode_READ(ekind, edata, j));
+    }
+
+    TokenSink sink;
+    PyObject* seq = PySequence_Fast(docs, "docs must be a sequence");
+    if (!seq) return nullptr;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    for (Py_ssize_t k = 0; k < n; k++) {
+        PyObject* triple = PySequence_Fast_GET_ITEM(seq, k);
+        PyObject* row_o = PyTuple_GetItem(triple, 0);
+        PyObject* field_o = PyTuple_GetItem(triple, 1);
+        PyObject* text_o = PyTuple_GetItem(triple, 2);
+        if (!row_o || !field_o || !text_o) { Py_DECREF(seq); return nullptr; }
+        long row = PyLong_AsLong(row_o);
+        long field = PyLong_AsLong(field_o);
+        if (PyErr_Occurred()) { Py_DECREF(seq); return nullptr; }
+        if (!PyUnicode_Check(text_o)) continue;
+        tokenize_into(text_o, extra, (int32_t)row, (int32_t)field, sink);
+    }
+    Py_DECREF(seq);
+
+    PyObject* vocab = PyList_New((Py_ssize_t)sink.words.size());
+    if (!vocab) return nullptr;
+    for (size_t j = 0; j < sink.words.size(); j++) {
+        PyObject* w = PyUnicode_DecodeUTF8(
+            sink.words[j].data(), (Py_ssize_t)sink.words[j].size(), "replace");
+        if (!w) { Py_DECREF(vocab); return nullptr; }
+        PyList_SET_ITEM(vocab, (Py_ssize_t)j, w);
+    }
+    PyObject* out = Py_BuildValue(
+        "(NNNNN)", vocab,
+        vec_to_bytes(sink.token_ids.data(), sink.token_ids.size() * 8),
+        vec_to_bytes(sink.doc_ids.data(), sink.doc_ids.size() * 4),
+        vec_to_bytes(sink.field_ids.data(), sink.field_ids.size() * 4),
+        vec_to_bytes(sink.positions.data(), sink.positions.size() * 4));
+    return out;
+}
+
+PyMethodDef methods[] = {
+    {"build_tokens", build_tokens, METH_VARARGS,
+     "build_tokens(docs, extra_symbols) -> (vocab, token_ids, doc_ids, "
+     "field_ids, positions)"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_ft_native",
+    "Native FT tokenizer/vocab builder", -1, methods,
+    nullptr, nullptr, nullptr, nullptr,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__ft_native(void) {
+    return PyModule_Create(&moduledef);
+}

@@ -31,6 +31,21 @@ from .config import FtFastConfig
 from .tokenizer import tokenize
 from .typos import TypoDict
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_module():
+    """Lazy-built C++ tokenizer (csrc/ft_native.cpp); None -> Python path."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        import os
+        if os.environ.get("RX_TPU_DISABLE_NATIVE", "") not in ("1", "true"):
+            from ..csrc import load
+            _NATIVE = load("_ft_native", "ft_native.cpp")
+    return _NATIVE
+
 
 def _pad_pow2(n: int, floor: int = 1024) -> int:
     c = floor
@@ -70,47 +85,19 @@ class FtDataHolder:
     def build(self, docs: Iterable[tuple[int, list[str]]], rows_capacity: int,
               ) -> None:
         """docs: iterable of (row_id, [text per ft field])."""
-        tokens: list[str] = []
-        t_doc: list[np.ndarray] = []
-        t_field: list[np.ndarray] = []
-        t_pos: list[np.ndarray] = []
-        stop = self.cfg.stop_words
-        extra = self.cfg.extra_word_symbols
-        max_row = -1
-        ndocs = 0
-        for row, field_texts in docs:
-            max_row = max(max_row, row)
-            ndocs += 1
-            for f_idx, text in enumerate(field_texts):
-                if not text:
-                    continue
-                toks = tokenize(text, extra)
-                if stop:
-                    toks = [t for t in toks if t not in stop]
-                if not toks:
-                    continue
-                n = len(toks)
-                tokens.extend(toks)
-                t_doc.append(np.full(n, row, dtype=np.int32))
-                t_field.append(np.full(n, f_idx, dtype=np.int32))
-                t_pos.append(np.arange(n, dtype=np.int32))
-
-        self.total_docs = ndocs
+        docs = list(docs)
+        max_row = max((row for row, _ in docs), default=-1)
+        self.total_docs = len(docs)
         cap = max(rows_capacity, max_row + 1, 1)
-        if not tokens:
+
+        collected = self._collect_native(docs)
+        if collected is None:
+            collected = self._collect_python(docs)
+        if collected is None:
             self.doc_words = np.zeros(cap, dtype=np.float32)
             self._device = None
             return
-
-        tok_arr = np.asarray(tokens, dtype=object)
-        doc_arr = np.concatenate(t_doc)
-        field_arr = np.concatenate(t_field)
-        pos_arr = np.concatenate(t_pos)
-        del tokens, t_doc, t_field, t_pos
-
-        # vocabulary + token -> word-id in one shot
-        self.words, tok_wid = np.unique(tok_arr, return_inverse=True)
-        tok_wid = tok_wid.astype(np.int64)
+        self.words, tok_wid, doc_arr, field_arr, pos_arr = collected
         self.vocab = {w: i for i, w in enumerate(self.words)}
         rev = sorted(range(len(self.words)),
                      key=lambda i: self.words[i][::-1])
@@ -158,6 +145,96 @@ class FtDataHolder:
         self.avg_doc_len = float(self.doc_words[used].mean()) if used.any() else 1.0
         self._typo_dict = None
         self._device = None
+
+    # ------------------------------------------------------------------
+    # token collection: native C++ fast path with pure-Python fallback
+    # ------------------------------------------------------------------
+    def _collect_python(self, docs) -> Optional[tuple]:
+        tokens: list[str] = []
+        t_doc: list[np.ndarray] = []
+        t_field: list[np.ndarray] = []
+        t_pos: list[np.ndarray] = []
+        stop = self.cfg.stop_words
+        extra = self.cfg.extra_word_symbols
+        for row, field_texts in docs:
+            for f_idx, text in enumerate(field_texts):
+                if not text:
+                    continue
+                toks = tokenize(text, extra)
+                if stop:
+                    toks = [t for t in toks if t not in stop]
+                if not toks:
+                    continue
+                n = len(toks)
+                tokens.extend(toks)
+                t_doc.append(np.full(n, row, dtype=np.int32))
+                t_field.append(np.full(n, f_idx, dtype=np.int32))
+                t_pos.append(np.arange(n, dtype=np.int32))
+        if not tokens:
+            return None
+        tok_arr = np.asarray(tokens, dtype=object)
+        doc_arr = np.concatenate(t_doc)
+        field_arr = np.concatenate(t_field)
+        pos_arr = np.concatenate(t_pos)
+        words, tok_wid = np.unique(tok_arr, return_inverse=True)
+        return words, tok_wid.astype(np.int64), doc_arr, field_arr, pos_arr
+
+    def _collect_native(self, docs) -> Optional[tuple]:
+        """C++ tokenizer/vocab path (csrc/ft_native.cpp) — identical token
+        semantics, ~an order of magnitude faster on large corpora."""
+        native = _native_module()
+        if native is None:
+            return None
+        triples = [(row, f_idx, text)
+                   for row, field_texts in docs
+                   for f_idx, text in enumerate(field_texts) if text]
+        if not triples:
+            return None
+        vocab, tid_b, did_b, fid_b, pos_b = native.build_tokens(
+            triples, self.cfg.extra_word_symbols)
+        if not vocab:
+            return None
+        tok_raw = np.frombuffer(tid_b, dtype=np.int64)
+        doc_arr = np.frombuffer(did_b, dtype=np.int32)
+        field_arr = np.frombuffer(fid_b, dtype=np.int32)
+        pos_arr = np.frombuffer(pos_b, dtype=np.int32)
+
+        vocab_arr = np.asarray(vocab, dtype=object)
+        stop = self.cfg.stop_words
+        if stop:
+            stop_mask = np.asarray([w in stop for w in vocab], dtype=bool)
+            if stop_mask.any():
+                keep = ~stop_mask[tok_raw]
+                tok_raw = tok_raw[keep]
+                doc_arr = doc_arr[keep]
+                field_arr = field_arr[keep]
+                if len(tok_raw) == 0:
+                    return None
+                # recompute per-(doc, field) ordinals post-filter (matches
+                # the Python path, which filters before assigning positions)
+                change = np.empty(len(doc_arr), dtype=bool)
+                change[0] = True
+                change[1:] = ((doc_arr[1:] != doc_arr[:-1])
+                              | (field_arr[1:] != field_arr[:-1]))
+                starts = np.flatnonzero(change)
+                counts = np.diff(np.append(starts, len(doc_arr)))
+                pos_arr = (np.arange(len(doc_arr), dtype=np.int32)
+                           - np.repeat(starts, counts).astype(np.int32))
+                # drop words now unused
+                used = np.zeros(len(vocab_arr), dtype=bool)
+                used[tok_raw] = True
+                vocab_arr = vocab_arr[used]
+                remap_used = np.cumsum(used) - 1
+                tok_raw = remap_used[tok_raw]
+
+        # native vocab is insertion-ordered; sort it (prefix search relies
+        # on sorted order) and remap token ids
+        order = np.argsort(vocab_arr)
+        words = vocab_arr[order]
+        remap = np.empty(len(order), dtype=np.int64)
+        remap[order] = np.arange(len(order))
+        tok_wid = remap[tok_raw]
+        return words, tok_wid, doc_arr, field_arr, pos_arr
 
     # ------------------------------------------------------------------
     # dictionary lookups (host)

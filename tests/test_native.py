@@ -1,0 +1,69 @@
+"""Native C++ component tests: the ft_native tokenizer must be available in
+this environment and produce token streams identical to the Python path."""
+import numpy as np
+import pytest
+
+from reindexer_tpu.csrc import load
+from reindexer_tpu.ft.config import FtFastConfig
+from reindexer_tpu.ft.dataholder import FtDataHolder
+from reindexer_tpu.ft.tokenizer import tokenize
+
+
+@pytest.fixture(scope="module")
+def native():
+    mod = load("_ft_native", "ft_native.cpp")
+    assert mod is not None, "native toolchain must build ft_native"
+    return mod
+
+
+TEXTS = [
+    "The quick brown fox, jumps over; the lazy dog!",
+    "пример русского текста с Ёлками и ЗАГЛАВНЫМИ",
+    "mixed-words under_score it's a+b c/d trailing- -leading",
+    "numbers 123 and 45x67",
+    "", "    ", "!!!",
+]
+
+
+def test_tokens_match_python(native):
+    extra = "-/+_`'"
+    for text in TEXTS:
+        triples = [(0, 0, text)]
+        vocab, tid_b, did_b, fid_b, pos_b = native.build_tokens(triples, extra)
+        tids = np.frombuffer(tid_b, dtype=np.int64)
+        got = [vocab[t] for t in tids]
+        want = tokenize(text, extra)
+        assert got == want, (text, got, want)
+
+
+def test_positions_and_fields(native):
+    triples = [(5, 0, "a b c"), (5, 1, "d e"), (7, 0, "f")]
+    vocab, tid_b, did_b, fid_b, pos_b = native.build_tokens(triples, "-")
+    assert np.frombuffer(did_b, dtype=np.int32).tolist() == [5, 5, 5, 5, 5, 7]
+    assert np.frombuffer(fid_b, dtype=np.int32).tolist() == [0, 0, 0, 1, 1, 0]
+    assert np.frombuffer(pos_b, dtype=np.int32).tolist() == [0, 1, 2, 0, 1, 0]
+
+
+def test_holder_native_equals_python(rng):
+    docs = [(i, [f"word{i} shared text number {i % 3}",
+                 "second field body"]) for i in range(20)]
+    cfg = FtFastConfig(stop_words={"text"})
+    h_native = FtDataHolder(cfg, ["a", "b"])
+    h_native.build(docs, 20)
+
+    import reindexer_tpu.ft.dataholder as dh
+    old = dh._NATIVE, dh._NATIVE_TRIED
+    dh._NATIVE, dh._NATIVE_TRIED = None, True
+    try:
+        h_py = FtDataHolder(cfg, ["a", "b"])
+        h_py.build(docs, 20)
+    finally:
+        dh._NATIVE, dh._NATIVE_TRIED = old
+
+    assert list(h_native.words) == list(h_py.words)
+    np.testing.assert_array_equal(h_native.word_start, h_py.word_start)
+    np.testing.assert_array_equal(h_native.post_doc, h_py.post_doc)
+    np.testing.assert_array_equal(h_native.post_field, h_py.post_field)
+    np.testing.assert_array_equal(h_native.post_tf, h_py.post_tf)
+    np.testing.assert_array_equal(h_native.post_minpos, h_py.post_minpos)
+    np.testing.assert_array_equal(h_native.doc_words, h_py.doc_words)
