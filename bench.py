@@ -12,6 +12,7 @@ Prints ONE JSON line:
 Extra per-engine numbers go to stderr so the driver contract stays intact.
 """
 import argparse
+import os
 import json
 import sys
 import time
@@ -87,11 +88,132 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=20, smoke=False):
     }
 
 
+def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=20,
+                       smoke=False):
+    """SQ8 scan: same workload through uint8 codes (reference: ~75% memory
+    saving, float_vector.md:291 — HBM-bound scan speeds up accordingly)."""
+    import jax
+    import jax.numpy as jnp
+    from reindexer_tpu.core.type_consts import VectorMetric
+    from reindexer_tpu.index.vector.quantization import knn_scan_quantized
+
+    if smoke:
+        n, iters = 10_000, 3
+    rng = np.random.default_rng(0)
+    cap = 1 << int(np.ceil(np.log2(n)))
+    base = np.zeros((cap, dims), dtype=np.float32)
+    base[:n] = rng.normal(size=(n, dims)).astype(np.float32)
+    lo = np.quantile(base[:n], 0.001, axis=0).astype(np.float32)
+    hi = np.quantile(base[:n], 0.999, axis=0).astype(np.float32)
+    alpha = np.maximum((hi - lo) / 255.0, 1e-12).astype(np.float32)
+    codes = np.clip(np.round((np.clip(base, lo, hi) - lo) / alpha),
+                    0, 255).astype(np.uint8)
+    valid = np.zeros(cap, dtype=bool)
+    valid[:n] = True
+    sq = np.sum(base * base, axis=1).astype(np.float32)
+    codes_d, lo_d, alpha_d = jnp.asarray(codes), jnp.asarray(lo), jnp.asarray(alpha)
+    valid_d, sq_d = jnp.asarray(valid), jnp.asarray(sq)
+    q_all = jnp.asarray(rng.normal(size=(iters, batch, dims)).astype(np.float32))
+
+    @jax.jit
+    def run_all(qs):
+        return jax.lax.map(lambda q: knn_scan_quantized(
+            q, codes_d, lo_d, alpha_d, valid_d, sq_d, k,
+            VectorMetric.L2), qs)
+
+    jax.block_until_ready(run_all(q_all))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_all(q_all))
+    dt = (time.perf_counter() - t0) / iters
+    sol = roofline_latency_s(cap, dims, batch, 1, V5E_FP32_FLOPS)
+    print(f"# sq8_bf qps={batch/dt:.1f} lat={dt*1e3:.3f}ms "
+          f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f}", file=sys.stderr)
+
+
+def bench_hnsw(n=50_000, dims=96, k=10, ef=64, batch=64, smoke=False):
+    """HNSW batched search QPS + recall@10 vs the exact BF oracle
+    (BASELINE.md config #2 shape, scaled to bench budget)."""
+    import jax
+    from reindexer_tpu.core.payload import IndexDef as _ID, FloatVectorOpts
+    from reindexer_tpu.core.type_consts import IndexType, VectorMetric
+    from reindexer_tpu.index.vector.hnsw import HnswIndex
+
+    if smoke:
+        n = 2_000
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    idx = HnswIndex(_ID("vec", IndexType.HNSW, vector_opts=FloatVectorOpts(
+        dims=dims, metric=VectorMetric.INNER_PRODUCT, m=16,
+        ef_construction=128)))
+    t0 = time.perf_counter()
+    for i in range(n):
+        idx.upsert(i, base[i])
+    idx.commit()
+    build_s = time.perf_counter() - t0
+
+    queries = rng.normal(size=(batch, dims)).astype(np.float32)
+    scores, ids = idx._search_batch(queries, ef)   # warm
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        scores, ids = idx._search_batch(queries, ef)
+    dt = (time.perf_counter() - t0) / iters
+    # recall vs oracle
+    sims = queries @ base.T
+    oracle = np.argsort(-sims, axis=1)[:, :k]
+    hits = sum(len(set(ids[i, :k].tolist()) & set(oracle[i].tolist()))
+               for i in range(batch))
+    recall = hits / (batch * k)
+    print(f"# hnsw n={n} dims={dims} build={build_s:.1f}s "
+          f"qps={batch/dt:.1f} recall@{k}={recall:.3f} ef={ef}",
+          file=sys.stderr)
+
+
+def bench_ft(n_docs=50_000, smoke=False):
+    """BM25 full-text: build time + query throughput on a zipf corpus
+    (BASELINE.md config #4 shape)."""
+    from reindexer_tpu.ft.config import FtFastConfig
+    from reindexer_tpu.ft.dataholder import FtDataHolder
+    from reindexer_tpu.ft.selector import FtSelector
+
+    if smoke:
+        n_docs = 2_000
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(20_000)]
+    zipf = np.minimum(rng.zipf(1.3, size=(n_docs, 30)) - 1,
+                      len(vocab) - 1)
+    docs = [(i, [" ".join(vocab[j] for j in zipf[i])])
+            for i in range(n_docs)]
+    cfg = FtFastConfig()
+    holder = FtDataHolder(cfg, ["text"])
+    t0 = time.perf_counter()
+    holder.build(docs, n_docs)
+    build_s = time.perf_counter() - t0
+    sel = FtSelector(holder, cfg)
+    queries = [f"w{rng.integers(0, 2000)} w{rng.integers(0, 2000)}"
+               for _ in range(32)]
+    sel.process(queries[0])  # warm/compile
+    t0 = time.perf_counter()
+    for q in queries:
+        sel.process(q)
+    dt = (time.perf_counter() - t0) / len(queries)
+    print(f"# ft n_docs={n_docs} postings={holder.num_postings} "
+          f"build={build_s:.2f}s qps={1.0/dt:.1f}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
+    ap.add_argument("--extras", default=os.environ.get("RX_BENCH_EXTRAS", "1"),
+                    help="1 = also run hnsw/ft/sq8 side benches (stderr)")
     args = ap.parse_args()
     result = bench_bf(smoke=args.smoke)
+    if args.extras not in ("0", "false"):
+        for fn in (bench_bf_quantized, bench_hnsw, bench_ft):
+            try:
+                fn(smoke=args.smoke)
+            except Exception as e:     # extras must never break the contract
+                print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
