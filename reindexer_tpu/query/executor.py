@@ -88,13 +88,19 @@ class Selecter:
             page = rows[lo:hi]
             page_ranks = ranks_arr[lo:hi] if ranks_arr is not None else None
 
-            # --- materialize items
+            # --- materialize items; float-vector fields are excluded from
+            # results unless named in select_filter or requested via
+            # vectors() (reference: float_vector.md:389-421)
+            vector_paths = self._excluded_vector_paths(ns, q)
             items: list[ResultItem] = []
             for i, row in enumerate(page):
                 doc = ns.get_item(int(row))
                 if doc is None:
                     continue
                 doc_out = self._project(doc, q.select_filter)
+                if vector_paths:
+                    doc_out = {k: v for k, v in doc_out.items()
+                               if k not in vector_paths}
                 items.append(ResultItem(
                     doc=doc_out, row_id=int(row),
                     rank=(float(page_ranks[i]) if page_ranks is not None else None),
@@ -751,6 +757,22 @@ class Selecter:
     # ==================================================================
     # projection / select functions
     # ==================================================================
+    @staticmethod
+    def _excluded_vector_paths(ns: Namespace, q: Query) -> set:
+        """Top-level json paths of float-vector indexes to strip from
+        output (reference: FieldsFilter vector exclusion)."""
+        sf = set(q.select_filter)
+        if "vectors()" in sf:
+            return set()
+        out = set()
+        for idef in ns.payload_type.indexes:
+            if idef.is_vector:
+                for p in idef.json_paths:
+                    top = p.split(".")[0]
+                    if p not in sf and top not in sf:
+                        out.add(top)
+        return out
+
     @staticmethod
     def _project(doc: dict, select_filter: tuple[str, ...]) -> dict:
         if not select_filter or "*" in select_filter:

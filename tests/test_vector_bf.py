@@ -168,3 +168,25 @@ def test_rank_sort_expression():
     # explicit rank() sort ascending = reversed best-first for L2?
     # rank values ascend; verify ordering is consistent
     assert ranks == sorted(ranks)
+
+
+def test_vector_fields_excluded_from_output(rng):
+    """float_vector fields are excluded from results unless requested via
+    select_filter or vectors() (reference: float_vector.md:389-421)."""
+    from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts,
+                               IndexType, Query, Reindexer, VectorMetric)
+    from reindexer_tpu.index.vector.params import KnnSearchParams
+    db = Reindexer()
+    db.open_namespace("vx", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+            dims=4, metric=VectorMetric.L2)),
+    ])
+    db.upsert("vx", {"id": 1, "vec": [1.0, 0, 0, 0], "x": "y"})
+    doc = db.select(Query("vx").where("id", "=", 1)).docs()[0]
+    assert "vec" not in doc and doc["x"] == "y"
+    doc = db.select(Query("vx").where("id", "=", 1)
+                    .select("*", "vectors()")).docs()[0]
+    assert doc["vec"] == [1.0, 0, 0, 0]
+    doc = db.select(Query("vx").where("id", "=", 1).select("vec")).docs()[0]
+    assert doc["vec"] == [1.0, 0, 0, 0]
