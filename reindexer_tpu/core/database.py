@@ -161,8 +161,32 @@ class Reindexer:
         return self.get_namespace(ns_name).upsert(doc, mode="update")
 
     def upsert(self, ns_name: str, doc: dict) -> int:
+        if ns_name == "#config":
+            # dynamic config application (reference: #config watcher,
+            # core/dbconfig.cc — upserting a typed section applies it)
+            section = doc.get("type")
+            if section and section in doc:
+                self.update_config(section, doc[section])
+                self._apply_config_actions(section, doc[section])
+                return 0
+            raise ParamsError("#config document requires a 'type' section")
         doc = self._embed_upsert(ns_name, doc)
         return self.get_namespace(ns_name).upsert(doc, mode="upsert")
+
+    def _apply_config_actions(self, section: str, value: Any) -> None:
+        """`action` commands (reference: float_vector.md:741-799)."""
+        if section != "action":
+            return
+        cmd = value.get("command") if isinstance(value, dict) else None
+        if cmd == "rebuild_ivf_index":
+            ns = self.get_namespace(value["namespace"])
+            ix = ns.get_index(value["index"])
+            if ix is not None and hasattr(ix, "rebuild_centroids"):
+                ix.rebuild_centroids()
+        elif cmd == "drop_ann_storage_cache":
+            if self.storage is not None and hasattr(self.storage, "ann_cache"):
+                self.storage.ann_cache.drop(value.get("namespace", ""),
+                                            value.get("index"))
 
     def delete(self, ns_name: str, doc: dict) -> bool:
         return self.get_namespace(ns_name).delete(doc)

@@ -218,7 +218,10 @@ class _Handler(BaseHTTPRequestHandler):
         if head == "transactions":
             return self._tx_routes(db, method, rest[1:], qs)
         if head == "suggest" and method == "GET":
-            return self._send(200, {"suggests": []})
+            from ..query.suggest import suggest
+            sql = qs.get("q", [""])[0]
+            pos = int(qs.get("pos", [str(len(sql))])[0])
+            return self._send(200, {"suggests": suggest(db, sql, pos)})
         if head == "replication":
             # leader-side replication verbs (reference: RPC snapshot/updates
             # verbs, server/rpcserver.cc:1382-1384)

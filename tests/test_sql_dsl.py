@@ -155,3 +155,28 @@ def test_dsl_join(db):
     }
     res = db.select(parse_dsl(d))
     assert sorted(ids(res)) == [0, 2, 4]
+
+
+def test_sql_suggest(db):
+    from reindexer_tpu.query.suggest import suggest
+    assert "items" in suggest(db, "SELECT * FROM it")
+    got = suggest(db, "SELECT * FROM items WHERE ye")
+    assert "year" in got
+    assert "SELECT" in suggest(db, "SEL")
+
+
+def test_config_actions(db):
+    # rebuild_ivf_index action routes to the index (reference action command)
+    from reindexer_tpu import FloatVectorOpts, IndexDef, IndexType, VectorMetric
+    db.open_namespace("cfgv", [
+        IndexDef("id", "hash", "int",
+                 opts=__import__("reindexer_tpu").IndexOpts(is_pk=True)),
+        IndexDef("v", IndexType.IVF, vector_opts=FloatVectorOpts(
+            dims=4, metric=VectorMetric.L2, centroids_count=2)),
+    ])
+    for i in range(10):
+        db.upsert("cfgv", {"id": i, "v": [float(i), 0, 0, 0]})
+    db.upsert("#config", {"type": "action", "action": {
+        "command": "rebuild_ivf_index", "namespace": "cfgv", "index": "v"}})
+    ix = db.get_namespace("cfgv").get_index("v")
+    assert ix.centroids is not None
