@@ -55,6 +55,51 @@ def _pos2rank(pos: jnp.ndarray) -> jnp.ndarray:
                                                 0.5)))))
 
 
+def sum_ranks(
+    gather_idx, g_term, g_weight, g_idf,
+    post_doc, post_field, post_tf, post_minpos, doc_words,
+    field_boost, field_bm25_boost, field_bm25_weight,
+    field_pos_boost, field_pos_weight,
+    term_boost, term_lenboost, must_mask, not_mask,
+    k1, b, avg_len, t_count: int, cap: int, bm25_type: str,
+):
+    """Traceable core: per-doc summed rank + validity mask (docRank =
+    sum_t max subTermRank with must/not folding). Shared by the single-chip
+    jit (score_and_merge) and the shard_map distributed path
+    (parallel/sharded_ft.py)."""
+    doc = post_doc[gather_idx]
+    fld = post_field[gather_idx]
+    tf = post_tf[gather_idx]
+    minpos = post_minpos[gather_idx]
+    wdoc = jnp.maximum(doc_words[doc], 1.0)
+
+    if bm25_type == "word_count":
+        bm25 = tf
+    else:
+        t_freq = tf / wdoc if bm25_type == "classic" else tf
+        bm25 = (g_idf * t_freq * (k1 + 1.0)
+                / (t_freq + k1 * (1.0 - b + b * wdoc / avg_len)))
+
+    w_f = field_bm25_weight[fld]
+    bm25_norm = (1.0 - w_f) + bm25 * field_bm25_boost[fld] * w_f
+    pw = field_pos_weight[fld]
+    posrank = (1.0 - pw) + _pos2rank(minpos) * field_pos_boost[fld] * pw
+
+    subrank = (field_boost[fld] * g_weight * bm25_norm
+               * term_boost[g_term] * term_lenboost[g_term] * posrank)
+
+    acc = jnp.zeros((t_count, cap), dtype=jnp.float32)
+    acc = acc.at[g_term, doc].max(subrank, mode="drop")
+
+    present = acc > 0.0
+    excluded = jnp.any(present & not_mask[:, None], axis=0)
+    rank_acc = jnp.where(not_mask[:, None], 0.0, acc)
+    sum_rank = jnp.sum(rank_acc, axis=0)
+    all_must = jnp.all(present | ~must_mask[:, None], axis=0)
+    ok = all_must & ~excluded & (sum_rank > 0.0)
+    return sum_rank, ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("t_count", "cap", "merge_k", "bm25_type"))
@@ -83,39 +128,13 @@ def score_and_merge(
     """Returns (scores f32[merge_k], doc_ids int32[merge_k]); empty slots
     have score -inf / id -1. Scores are un-normalized docRank sums — the
     caller applies the *255/allmax normalization (mergerimpl.h:107)."""
-    doc = post_doc[gather_idx]
-    fld = post_field[gather_idx]
-    tf = post_tf[gather_idx]
-    minpos = post_minpos[gather_idx]
-    wdoc = jnp.maximum(doc_words[doc], 1.0)
-
-    if bm25_type == "word_count":
-        bm25 = tf
-    else:
-        t_freq = tf / wdoc if bm25_type == "classic" else tf
-        bm25 = (g_idf * t_freq * (k1 + 1.0)
-                / (t_freq + k1 * (1.0 - b + b * wdoc / avg_len)))
-
-    w_f = field_bm25_weight[fld]
-    bm25_norm = (1.0 - w_f) + bm25 * field_bm25_boost[fld] * w_f
-    pw = field_pos_weight[fld]
-    posrank = (1.0 - pw) + _pos2rank(minpos) * field_pos_boost[fld] * pw
-
-    subrank = (field_boost[fld] * g_weight * bm25_norm
-               * term_boost[g_term] * term_lenboost[g_term] * posrank)
-
-    # max sub-term rank per (term, doc)
-    acc = jnp.zeros((t_count, cap), dtype=jnp.float32)
-    acc = acc.at[g_term, doc].max(subrank, mode="drop")
-
-    present = acc > 0.0
-    # NOT terms: exclude their docs and drop their rank contribution
-    excluded = jnp.any(present & not_mask[:, None], axis=0)
-    rank_acc = jnp.where(not_mask[:, None], 0.0, acc)
-    sum_rank = jnp.sum(rank_acc, axis=0)
-    all_must = jnp.all(present | ~must_mask[:, None], axis=0)
-
-    ok = all_must & ~excluded & (sum_rank > 0.0)
+    sum_rank, ok = sum_ranks(
+        gather_idx, g_term, g_weight, g_idf,
+        post_doc, post_field, post_tf, post_minpos, doc_words,
+        field_boost, field_bm25_boost, field_bm25_weight,
+        field_pos_boost, field_pos_weight,
+        term_boost, term_lenboost, must_mask, not_mask,
+        k1, b, avg_len, t_count, cap, bm25_type)
     sum_rank = jnp.where(ok, sum_rank, NEG_INF)
     top_s, top_i = jax.lax.top_k(sum_rank, merge_k)
     top_i = jnp.where(top_s > NEG_INF, top_i, -1)
