@@ -59,10 +59,18 @@ def knn_scan_quantized(queries: jnp.ndarray, codes: jnp.ndarray,
             return 2.0 * dots - sq_chunk[None, :] - q_sq
         return dots
 
+    from ...ops.distance import exact_topk_blocks
+
+    def chunk_topk(scores, kk):
+        C = scores.shape[1]
+        if C < 1024 or kk * 128 * 2 >= C:
+            return tuple(jax.lax.top_k(scores, kk))
+        return exact_topk_blocks(scores, kk)
+
     if num_chunks <= 1:
         scores = chunk_scores(codes, base_sq)
         scores = jnp.where(valid[None, :], scores, NEG_INF)
-        top_s, top_i = jax.lax.top_k(scores, k)
+        top_s, top_i = chunk_topk(scores, min(k, n))
         return top_s, jnp.where(top_s > NEG_INF, top_i, -1)
 
     codes_r = codes.reshape(num_chunks, chunk, codes.shape[1])
@@ -74,7 +82,7 @@ def knn_scan_quantized(queries: jnp.ndarray, codes: jnp.ndarray,
         c_chunk, v_chunk, sq_chunk, start = xs
         scores = jnp.where(v_chunk[None, :], chunk_scores(c_chunk, sq_chunk),
                            NEG_INF)
-        loc_s, loc_i = jax.lax.top_k(scores, min(k, chunk))
+        loc_s, loc_i = chunk_topk(scores, min(k, chunk))
         merged_s = jnp.concatenate([best_s, loc_s], axis=1)
         merged_i = jnp.concatenate([best_i, loc_i + start], axis=1)
         new_s, sel = jax.lax.top_k(merged_s, k)

@@ -29,6 +29,13 @@ from ..core.type_consts import RankOrdering, VectorMetric
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+def _pow2(n: int, floor: int = 8) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
 def metric_ordering(metric: VectorMetric) -> RankOrdering:
     """Rank ordering per metric (reference: float_vector.md — L2 ascending,
     IP/cosine descending)."""
@@ -60,6 +67,40 @@ def _chunk_scores(q: jnp.ndarray, base_chunk: jnp.ndarray,
     return dots
 
 
+def exact_topk_blocks(scores: jnp.ndarray, k: int, block: int = 128):
+    """EXACT top-k designed for the TPU memory system: a huge single
+    lax.top_k over row widths ~1e5+ sorts the whole row (slow to compile AND
+    run), so instead
+
+      1. reduce per-`block` row maxima M [Q, G]  (one cheap VPU pass)
+      2. pick the top-k *blocks* by max — every exact top-k element's block
+         max is >= the k-th largest block max, so those blocks form a
+         superset of the exact top-k (each block max IS an element, making
+         the k largest block maxima k distinct elements >= exact kth)
+      3. gather just those blocks [Q, k, block] and run the small exact
+         top-k over k*block candidates.
+
+    No scatters, no approximation (ties at the k-th value resolve
+    arbitrarily, same as any top-k). Returns (top_s [Q, k], top_i [Q, k]).
+    """
+    Q, C = scores.shape
+    G = C // block
+    sb = scores.reshape(Q, G, block)
+    m = jnp.max(sb, axis=2)
+    kb = min(k, G)
+    _, blk = jax.lax.top_k(m, kb)                        # [Q, kb]
+    cand = jnp.take_along_axis(sb, blk[:, :, None], axis=1)
+    cand = cand.reshape(Q, kb * block)
+    base_col = (blk * block)[:, :, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, block), 2)
+    cand_cols = jnp.broadcast_to(base_col, (Q, kb, block)).reshape(
+        Q, kb * block)
+    top_s, sel = jax.lax.top_k(cand, k)
+    top_i = jnp.take_along_axis(cand_cols, sel, axis=1)
+    top_i = jnp.where(top_s > NEG_INF, top_i, -1)
+    return top_s, top_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
 def knn_scan(queries: jnp.ndarray, base: jnp.ndarray, valid: jnp.ndarray,
              base_sq: jnp.ndarray, k: int, metric: VectorMetric,
@@ -73,12 +114,25 @@ def knn_scan(queries: jnp.ndarray, base: jnp.ndarray, valid: jnp.ndarray,
     """
     n = base.shape[0]
     q = queries.astype(jnp.float32)
-    num_chunks = n // chunk
+    num_chunks = max(n // chunk, 1)
+
+    def chunk_topk(scores, kk):
+        """Exact per-chunk selection via block-gather (plain top_k when the
+        candidate set wouldn't shrink the problem)."""
+        C = scores.shape[1]
+        if C < 1024 or kk * 128 * 2 >= C:
+            return tuple(jax.lax.top_k(scores, kk))
+        return exact_topk_blocks(scores, kk)
 
     if num_chunks <= 1:
         scores = _chunk_scores(q, base, base_sq, metric)
         scores = jnp.where(valid[None, :], scores, NEG_INF)
-        top_s, top_i = jax.lax.top_k(scores, k)
+        top_s, top_i = chunk_topk(scores, min(k, n))
+        if top_s.shape[1] < k:
+            pad = k - top_s.shape[1]
+            top_s = jnp.pad(top_s, ((0, 0), (0, pad)),
+                            constant_values=NEG_INF)
+            top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
         top_i = jnp.where(top_s > NEG_INF, top_i, -1)
         return top_s, top_i
 
@@ -91,9 +145,8 @@ def knn_scan(queries: jnp.ndarray, base: jnp.ndarray, valid: jnp.ndarray,
         b_chunk, v_chunk, sq_chunk, start = xs
         scores = _chunk_scores(q, b_chunk, sq_chunk, metric)
         scores = jnp.where(v_chunk[None, :], scores, NEG_INF)
-        kk = min(k, chunk)
-        loc_s, loc_i = jax.lax.top_k(scores, kk)
-        loc_i = loc_i + start
+        loc_s, loc_i = chunk_topk(scores, min(k, chunk))
+        loc_i = jnp.where(loc_i >= 0, loc_i + start, -1)
         merged_s = jnp.concatenate([best_s, loc_s], axis=1)
         merged_i = jnp.concatenate([best_i, loc_i], axis=1)
         new_s, sel = jax.lax.top_k(merged_s, k)
