@@ -633,7 +633,8 @@ class Selecter:
     def _encode_sort_key(vals: list) -> np.ndarray:
         """Order-preserving numeric encoding of arbitrary column values
         (None sorts first, like the reference's null handling)."""
-        if all(v is None or isinstance(v, (int, float, bool)) for v in vals):
+        if all(v is None or isinstance(v, (int, float, bool, np.number))
+               for v in vals):
             return np.asarray(
                 [float("-inf") if v is None else float(v) for v in vals],
                 dtype=np.float64)
