@@ -214,6 +214,18 @@ class Reindexer:
             res = self._selecter.select(q)
         finally:
             self._activity.remove(act)
+        # slow-query logging (reference: profiling.long_queries_logging,
+        # tools/logginglongqueries.cc)
+        thr = (self._config.get("profiling", {})
+               .get("long_queries_logging", {})
+               .get("select", {}).get("threshold_us", -1))
+        if thr >= 0:
+            dt_us = (time.perf_counter() - t0) * 1e6
+            if dt_us > thr:
+                import logging
+                logging.getLogger("reindexer_tpu.slowlog").warning(
+                    "slow select on '%s': %.0f us (threshold %d us)",
+                    q.namespace, dt_us, thr)
         return res
 
     def update_query(self, q: Query) -> QueryResults:

@@ -39,6 +39,7 @@ class DBManager:
     def __init__(self, storage_root: str = ""):
         self.storage_root = storage_root
         self.dbs: dict[str, Reindexer] = {}
+        self.auth = None
         self._lock = threading.Lock()
 
     def get(self, name: str) -> Reindexer:
@@ -125,12 +126,41 @@ class _Handler(BaseHTTPRequestHandler):
             return None
         return json.loads(raw.decode("utf-8"))
 
+    def _check_auth(self, method: str, parts: list[str]) -> Optional[str]:
+        """Role check (reference: dbmanager role gates per verb). Returns an
+        error string or None."""
+        auth = getattr(self.mgr, "auth", None)
+        if auth is None or not auth.enabled:
+            return None
+        user = auth.authenticate(self.headers.get("Authorization"))
+        if user is None:
+            return "unauthorized"
+        db_name = parts[3] if len(parts) > 3 and parts[:3] == ["api", "v1", "db"] \
+            else "*"
+        tail = parts[4] if len(parts) > 4 else ""
+        if method == "GET":
+            need = "data_read"
+        elif tail in ("namespaces",) and method in ("POST", "DELETE", "PUT") \
+                or (len(parts) == 3 and method in ("POST", "DELETE")):
+            need = "db_admin"
+        else:
+            need = "data_write"
+        if not auth.allows(user, db_name, need):
+            return f"forbidden: role '{auth.role_for(user, db_name)}' " \
+                   f"lacks '{need}'"
+        return None
+
     def _route(self, method: str) -> None:
         parsed = urllib.parse.urlparse(self.path)
         parts = [urllib.parse.unquote(p) for p in parsed.path.split("/")
                  if p != ""]
         qs = urllib.parse.parse_qs(parsed.query)
         try:
+            err = self._check_auth(method, parts)
+            if err == "unauthorized":
+                return self._err(401, "unauthorized")
+            if err is not None:
+                return self._err(403, err)
             self._dispatch(method, parts, qs)
         except NotFoundError as e:
             self._err(404, str(e))
@@ -439,8 +469,9 @@ class ReindexerServer:
     """Standalone server facade (reference: cpp_src/cmd/reindexer_server)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 9088,
-                 storage_root: str = ""):
+                 storage_root: str = "", auth=None):
         self.mgr = DBManager(storage_root)
+        self.mgr.auth = auth   # AuthManager or None (reference: dbmanager)
         handler = type("BoundHandler", (_Handler,),
                        {"mgr": self.mgr, "txs": {}})
         self.httpd = ThreadingHTTPServer((host, port), handler)

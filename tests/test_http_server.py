@@ -129,3 +129,49 @@ def test_sql_convert(server):
     assert code == 200
     assert body["namespace"] == "items"
     assert body["filters"][0]["field"] == "id"
+
+
+def test_auth_roles():
+    from reindexer_tpu.server.auth import AuthManager
+    from reindexer_tpu.server.http import ReindexerServer
+    import base64
+
+    auth = AuthManager()
+    auth.add_user("root", "rootpw", {"*": "owner"})
+    auth.add_user("reader", "readpw", {"*": "data_read"})
+    srv = ReindexerServer(port=0, auth=auth)
+    srv.start()
+    try:
+        def call_auth(method, path, user=None, pw=None, body=None):
+            url = f"http://127.0.0.1:{srv.port}{path}"
+            data = json.dumps(body).encode() if body is not None else None
+            req = urllib.request.Request(url, data=data, method=method)
+            req.add_header("Content-Type", "application/json")
+            if user:
+                tok = base64.b64encode(f"{user}:{pw}".encode()).decode()
+                req.add_header("Authorization", f"Basic {tok}")
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        # no credentials -> 401
+        assert call_auth("GET", "/api/v1/db") == 401
+        # wrong password -> 401
+        assert call_auth("GET", "/api/v1/db", "root", "nope") == 401
+        # owner can create
+        assert call_auth("POST", "/api/v1/db", "root", "rootpw",
+                         {"name": "authdb"}) == 200
+        assert call_auth("POST", "/api/v1/db/authdb/namespaces", "root",
+                         "rootpw", {"name": "n", "indexes": [
+                             {"name": "id", "index_type": "hash",
+                              "field_type": "int", "is_pk": True}]}) == 200
+        # reader can read but not write
+        assert call_auth("GET", "/api/v1/db", "reader", "readpw") == 200
+        assert call_auth("PUT", "/api/v1/db/authdb/namespaces/n/items",
+                         "reader", "readpw", {"id": 1}) == 403
+        assert call_auth("PUT", "/api/v1/db/authdb/namespaces/n/items",
+                         "root", "rootpw", {"id": 1}) == 200
+    finally:
+        srv.stop()
