@@ -34,7 +34,7 @@ def roofline_latency_s(n_rows: int, dims: int, batch: int, dtype_bytes: int,
     return max(bytes_scanned / V5E_HBM_GBS, flops / flops_peak)
 
 
-def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=20, smoke=False):
+def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     import jax
     import jax.numpy as jnp
     from reindexer_tpu.core.type_consts import VectorMetric
@@ -207,11 +207,16 @@ def main():
     ap.add_argument("--extras", default=os.environ.get("RX_BENCH_EXTRAS", "1"),
                     help="1 = also run hnsw/ft/sq8 side benches (stderr)")
     args = ap.parse_args()
+    t0 = time.perf_counter()
     result = bench_bf(smoke=args.smoke)
+    headline_s = time.perf_counter() - t0
     if args.extras not in ("0", "false"):
+        # a slow device tunnel makes per-dispatch extras unaffordable —
+        # scale them down instead of risking the driver's time budget
+        slow_link = headline_s > 120
         for fn in (bench_bf_quantized, bench_hnsw, bench_ft):
             try:
-                fn(smoke=args.smoke)
+                fn(smoke=args.smoke or slow_link)
             except Exception as e:     # extras must never break the contract
                 print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
     print(json.dumps(result))
