@@ -38,6 +38,15 @@ def _pad_pow2(n: int, floor: int = 64) -> int:
     return c
 
 
+def normalize_ranks(docs: np.ndarray, scores: np.ndarray, min_rank: float,
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """docRank = sum*255/allmax + minRank cut (mergerimpl.h:107)."""
+    allmax = float(scores[0]) if len(scores) else 1.0
+    ranks = scores * (255.0 / max(allmax, 1e-30))
+    keep = ranks >= min_rank
+    return docs[keep].astype(np.int64), ranks[keep].astype(np.float32)
+
+
 @dataclasses.dataclass
 class FtSelectResult:
     ids: np.ndarray            # int64 doc rows, best rank first
@@ -53,11 +62,12 @@ class FtSelector:
         self.synonyms = SynonymsMap(cfg.synonyms)
 
     # ------------------------------------------------------------------
-    def process(self, dsl: str) -> FtSelectResult:
+    def process(self, dsl: str, normalize: bool = True) -> FtSelectResult:
         q = parse_ft_dsl(dsl)
-        return self.process_query(q)
+        return self.process_query(q, normalize=normalize)
 
-    def process_query(self, q: FtDslQuery) -> FtSelectResult:
+    def process_query(self, q: FtDslQuery,
+                      normalize: bool = True) -> FtSelectResult:
         h = self.holder
         cfg = self.cfg
         empty = FtSelectResult(np.empty(0, dtype=np.int64),
@@ -173,13 +183,14 @@ class FtSelector:
             if len(docs) == 0:
                 return empty
 
-        # --- normalize to 0..255 (mergerimpl.h: docRank=sum*255/allmax)
-        allmax = float(scores[0]) if len(scores) else 1.0
-        ranks = scores * (255.0 / max(allmax, 1e-30))
-        keep = ranks >= cfg.min_rank
-        ranks, docs = ranks[keep], docs[keep]
-        return FtSelectResult(docs.astype(np.int64), ranks.astype(np.float32),
-                              matched_words, h)
+        if not normalize:
+            # raw docRank sums (merged/normalized by the caller — the
+            # incremental-step merge in index/text.py)
+            return FtSelectResult(docs.astype(np.int64),
+                                  scores.astype(np.float32),
+                                  matched_words, h)
+        docs, ranks = normalize_ranks(docs, scores, cfg.min_rank)
+        return FtSelectResult(docs, ranks, matched_words, h)
 
     # ------------------------------------------------------------------
     def _term_len_bound(self, k: float) -> float:

@@ -5,8 +5,18 @@ Semantic equivalent of the reference `IndexText`/`FastIndexText`
 documents only store their text on upsert (cheap write path); the first FT
 query triggers the lazy commit that builds the posting store
 (reference: CommitFulltext -> DataProcessor::Process; here ->
-FtDataHolder.build). Query results are LRU-cached per DSL string
-(reference: FtIdSetCache, indextext.cc:766) and invalidated on any mutation.
+FtDataHolder.build).
+
+Incremental commits mirror the reference's build "steps"
+(ft_fast/dataholder.h:73,101-105 — only the last step rebuilds unless
+maxRebuildSteps/maxStepSize force a full rebuild): mutations since the last
+full build go into a small *delta* holder; queries run against both holders,
+main-holder hits of overridden rows are masked, raw scores merge and
+normalize once. When the delta exceeds max_step_size (default 4000) the
+main holder rebuilds fully.
+
+Query results are LRU-cached per DSL string (reference: FtIdSetCache,
+indextext.cc:766) and invalidated on any mutation.
 """
 from __future__ import annotations
 
@@ -20,7 +30,7 @@ from ..core.payload import IndexDef
 from ..core.type_consts import CondType, RankOrdering
 from ..ft.config import FtFastConfig
 from ..ft.dataholder import FtDataHolder
-from ..ft.selector import FtSelector
+from ..ft.selector import FtSelector, normalize_ranks
 from .base import Index, SelectKeyResult
 
 _CACHE_SIZE = 256
@@ -33,7 +43,11 @@ class FullTextIndex(Index):
         self.field_names = list(definition.json_paths)
         self.holder = FtDataHolder(self.cfg, self.field_names)
         self.docs: dict[int, list[str]] = {}   # row -> text per ft field
-        self.dirty = True
+        self._full_dirty = True
+        # incremental step state
+        self._delta_docs: dict[int, list[str]] = {}
+        self._overridden: set[int] = set()
+        self._delta_holder: Optional[FtDataHolder] = None
         self._cache: OrderedDict[str, SelectKeyResult] = OrderedDict()
         self._rows_capacity = 0
 
@@ -42,11 +56,25 @@ class FullTextIndex(Index):
         texts = self._to_texts(values)
         self.docs[row_id] = texts
         self._rows_capacity = max(self._rows_capacity, row_id + 1)
-        self._invalidate()
+        self._mutate(row_id, texts)
 
     def delete(self, row_id: int, values: Any) -> None:
         if self.docs.pop(row_id, None) is not None:
-            self._invalidate()
+            self._mutate(row_id, None)
+
+    def _mutate(self, row_id: int, texts: Optional[list[str]]) -> None:
+        self._cache.clear()
+        if self._full_dirty:
+            return
+        # step-based incremental path
+        self._overridden.add(row_id)
+        if texts is None:
+            self._delta_docs.pop(row_id, None)
+        else:
+            self._delta_docs[row_id] = texts
+        self._delta_holder = None
+        if len(self._overridden) > self.cfg.max_step_size:
+            self._full_dirty = True
 
     def _to_texts(self, values: Any) -> list[str]:
         if values is None:
@@ -64,19 +92,28 @@ class FullTextIndex(Index):
             return out
         return [str(values)] + [""] * (len(self.field_names) - 1)
 
-    def _invalidate(self) -> None:
-        self.dirty = True
-        self._cache.clear()
-
     # --- lazy commit (reference: IndexText::commitFulltextImpl) ---------
+    @property
+    def dirty(self) -> bool:
+        return self._full_dirty or (bool(self._delta_docs)
+                                    and self._delta_holder is None)
+
     def commit(self) -> None:
-        if not self.dirty:
+        if self._full_dirty:
+            self.holder = FtDataHolder(self.cfg, self.field_names)
+            self.holder.build(
+                ((row, texts) for row, texts in self.docs.items()),
+                self._rows_capacity)
+            self._full_dirty = False
+            self._delta_docs.clear()
+            self._overridden.clear()
+            self._delta_holder = None
             return
-        self.holder = FtDataHolder(self.cfg, self.field_names)
-        self.holder.build(
-            ((row, texts) for row, texts in self.docs.items()),
-            self._rows_capacity)
-        self.dirty = False
+        if self._delta_docs and self._delta_holder is None:
+            self._delta_holder = FtDataHolder(self.cfg, self.field_names)
+            self._delta_holder.build(
+                ((row, texts) for row, texts in self._delta_docs.items()),
+                self._rows_capacity)
 
     # --- query ----------------------------------------------------------
     def supports(self, condition: CondType) -> bool:
@@ -100,10 +137,23 @@ class FullTextIndex(Index):
             self._cache.move_to_end(dsl)
             return cached
         self.commit()
-        sel = FtSelector(self.holder, self.cfg)
-        res = sel.process(dsl)
-        out = SelectKeyResult(res.ids, res.ranks, RankOrdering.DESC)
-        out.aux = {"matched_words": res.matched_words}
+        res = FtSelector(self.holder, self.cfg).process(dsl, normalize=False)
+        ids, scores, matched = res.ids, res.ranks, res.matched_words
+        if self._overridden:
+            keep = np.asarray([int(i) not in self._overridden for i in ids],
+                              dtype=bool)
+            ids, scores = ids[keep], scores[keep]
+        if self._delta_holder is not None:
+            d = FtSelector(self._delta_holder, self.cfg).process(
+                dsl, normalize=False)
+            ids = np.concatenate([ids, d.ids])
+            scores = np.concatenate([scores, d.ranks])
+            matched = matched | d.matched_words
+            order = np.argsort(-scores, kind="stable")
+            ids, scores = ids[order], scores[order]
+        ids, ranks = normalize_ranks(ids, scores, self.cfg.min_rank)
+        out = SelectKeyResult(ids, ranks, RankOrdering.DESC)
+        out.aux = {"matched_words": matched}
         self._cache[dsl] = out
         while len(self._cache) > _CACHE_SIZE:
             self._cache.popitem(last=False)
@@ -113,13 +163,18 @@ class FullTextIndex(Index):
         self.docs.clear()
         self._rows_capacity = 0
         self.holder = FtDataHolder(self.cfg, self.field_names)
-        self._invalidate()
+        self._full_dirty = True
+        self._delta_docs.clear()
+        self._overridden.clear()
+        self._delta_holder = None
+        self._cache.clear()
 
     def memstat(self) -> dict:
         st = self.holder.memstat()
         st["name"] = self.name
         st["unique_keys_count"] = st.pop("words_count", 0)
-        st["is_built"] = not self.dirty
+        st["is_built"] = not self._full_dirty
+        st["delta_docs"] = len(self._delta_docs)
         return st
 
     def state_dict(self) -> dict:
@@ -130,4 +185,3 @@ class FullTextIndex(Index):
         self.clear()
         self.docs = {int(k): list(v) for k, v in state.get("docs", {}).items()}
         self._rows_capacity = int(state.get("rows_capacity", 0))
-        self._invalidate()

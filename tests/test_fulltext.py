@@ -247,3 +247,41 @@ def test_bm25_rx_oracle():
               for i, tf in tfs.items()}
     want = sorted(scores, key=lambda i: -scores[i])
     assert got == want
+
+
+def test_incremental_commit_steps(db):
+    """Mutations after the first build go through the delta step; results
+    must match a full rebuild (reference: dataholder.h build steps)."""
+    got0 = got_ids(db.select(Query("docs").match("ft", "arnold")))
+    assert got0 == [3]
+    idx = db.get_namespace("docs").get_index("ft")
+    assert not idx._full_dirty
+    # delta upsert: new doc + override of doc 3
+    db.upsert("docs", {"id": 20, "title": "arnold returns",
+                       "body": "newest arnold sequel"})
+    db.upsert("docs", {"id": 3, "title": "renamed movie",
+                       "body": "no more robots"})
+    assert not idx._full_dirty        # still incremental
+    got = got_ids(db.select(Query("docs").match("ft", "arnold")))
+    assert 20 in got and 3 not in got
+    # delete via delta
+    db.delete("docs", {"id": 20})
+    got = got_ids(db.select(Query("docs").match("ft", "arnold")))
+    assert got == []
+    # compare with a forced full rebuild
+    idx._full_dirty = True
+    got_full = got_ids(db.select(Query("docs").match("ft", "arnold")))
+    assert got_full == got
+
+
+def test_incremental_step_overflow():
+    db2 = make_db(ft_config={"max_step_size": 3})
+    for doc in DOCS:
+        db2.upsert("docs", doc)
+    db2.select(Query("docs").match("ft", "fox"))      # full build
+    idx = db2.get_namespace("docs").get_index("ft")
+    for i in range(30, 35):
+        db2.upsert("docs", {"id": i, "title": f"extra {i}", "body": "zzz"})
+    assert idx._full_dirty        # overflow forces full rebuild
+    got = got_ids(db2.select(Query("docs").match("ft", "zzz")))
+    assert len(got) == 5
