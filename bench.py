@@ -20,6 +20,21 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated bench runs (and the
+    driver's run after ours) skip the multi-minute remote compiles."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 # TPU v5e per-chip specs (public: cloud.google.com/tpu/docs/v5e)
 V5E_HBM_GBS = 819e9          # bytes/s
 V5E_BF16_FLOPS = 197e12

@@ -40,7 +40,7 @@ def _encode(data: jnp.ndarray, lo: jnp.ndarray, inv_alpha: jnp.ndarray,
 def knn_scan_quantized(queries: jnp.ndarray, codes: jnp.ndarray,
                        lo: jnp.ndarray, alpha: jnp.ndarray,
                        valid: jnp.ndarray, base_sq: jnp.ndarray,
-                       k: int, metric: VectorMetric, chunk: int = 65536):
+                       k: int, metric: VectorMetric, chunk: int = 262144):
     """Quantized analog of ops.distance.knn_scan: decode fused into the
     matmul (codes ride HBM as uint8)."""
     q = queries.astype(jnp.float32)

@@ -104,7 +104,7 @@ def exact_topk_blocks(scores: jnp.ndarray, k: int, block: int = 128):
 @functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
 def knn_scan(queries: jnp.ndarray, base: jnp.ndarray, valid: jnp.ndarray,
              base_sq: jnp.ndarray, k: int, metric: VectorMetric,
-             chunk: int = 65536):
+             chunk: int = 262144):
     """Fused brute-force KNN: returns (scores [Q, k], idx [Q, k]) with
     higher-is-better scores; invalid slots get -inf / idx -1.
 
