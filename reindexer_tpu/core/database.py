@@ -228,6 +228,37 @@ class Reindexer:
                     q.namespace, dt_us, thr)
         return res
 
+    def knn_batch(self, ns_name: str, field: str, queries,
+                  params) -> list[QueryResults]:
+        """Batched KNN serving path: N query vectors answered by ONE device
+        program (SURVEY.md §7 stage 8 — streaming arrivals fold into padded
+        device batches; single-query selects cannot amortize dispatch)."""
+        import numpy as np
+        from ..index.vector.base import FloatVectorIndexBase
+        ns = self.get_namespace(ns_name)
+        index = ns.get_index(field)
+        if not isinstance(index, FloatVectorIndexBase):
+            raise QueryError(f"'{field}' is not a float_vector index")
+        with ns.lock:
+            results = index.select_batch(np.asarray(queries,
+                                                    dtype=np.float32), params)
+            out = []
+            for res in results:
+                items = []
+                for rid, rank in zip(res.ids, res.ranks
+                                     if res.ranks is not None else []):
+                    doc = ns.get_item(int(rid))
+                    if doc is None:
+                        continue
+                    doc = {k: v for k, v in doc.items()
+                           if ns.index_def(k) is None
+                           or not ns.index_def(k).is_vector}
+                    items.append(ResultItem(doc=doc, row_id=int(rid),
+                                            rank=float(rank),
+                                            ns_name=ns_name))
+                out.append(QueryResults(ns_name=ns_name, items=items))
+            return out
+
     def update_query(self, q: Query) -> QueryResults:
         return self._selecter.update(q)
 

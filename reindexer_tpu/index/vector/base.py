@@ -64,6 +64,13 @@ class FloatVectorIndexBase(Index):
         """KNN select (reference: FloatVectorIndex::Select, float_vector_index.h:95)."""
         raise NotImplementedError
 
+    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
+                     ) -> list[SelectKeyResult]:
+        """Batched KNN over many queries in ONE device program — the serving
+        throughput path (SURVEY.md §7 stage 8: padded device batches).
+        Subclasses override with a truly batched kernel; the fallback loops."""
+        return [self.select(q, params) for q in np.asarray(queries)]
+
     def _apply_radius(self, ranks: np.ndarray, ids: np.ndarray,
                       radius: Optional[float]) -> tuple[np.ndarray, np.ndarray]:
         """Radius cut-off in reference semantics: keep rank strictly better

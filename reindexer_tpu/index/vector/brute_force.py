@@ -44,6 +44,39 @@ class BruteForceIndex(FloatVectorIndexBase):
             st.update(self._quant.memstat())
         return st
 
+    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
+                     ) -> list[SelectKeyResult]:
+        """One fused scan for the whole query batch (queries ride the MXU as
+        one [B, D] x [D, N] matmul)."""
+        self.keeper.flush()
+        kp = self.keeper
+        queries = np.asarray(queries, dtype=np.float32)
+        if kp.count == 0 or params.k is None:
+            return super().select_batch(queries, params)
+        self._maybe_quantize()
+        q = np.stack([kp.prepare_query(v) for v in queries])
+        k = min(params.k, kp.capacity)
+        if self._quant is not None and self._quant.active:
+            from .quantization import knn_scan_quantized
+            scores, idx = knn_scan_quantized(
+                jnp.asarray(q), self._quant.codes, self._quant.lo,
+                self._quant.alpha, kp.valid, kp.sq, k, self.metric)
+        else:
+            scores, idx = knn_scan(jnp.asarray(q), kp.data, kp.valid, kp.sq,
+                                   k, self.metric)
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        out = []
+        for b in range(len(queries)):
+            keep = idx[b] >= 0
+            ranks = np.asarray(scores_to_ranks(scores[b][keep], self.metric))
+            ids = idx[b][keep]
+            ranks, ids = self._apply_radius(ranks, ids, params.radius)
+            out.append(SelectKeyResult(ids.astype(np.int64),
+                                       ranks.astype(np.float32),
+                                       self.ordering))
+        return out
+
     def select(self, query: np.ndarray, params: KnnSearchParams) -> SelectKeyResult:
         self.keeper.flush()
         kp = self.keeper

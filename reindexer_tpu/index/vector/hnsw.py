@@ -420,6 +420,34 @@ class HnswIndex(FloatVectorIndexBase):
         return (np.take_along_axis(bs, order, axis=1)[:, :ef],
                 np.take_along_axis(bi, order, axis=1)[:, :ef])
 
+    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
+                     ) -> list[SelectKeyResult]:
+        """Batched beam search: the whole query batch shares the descent and
+        layer-0 beam programs (two device dispatches total)."""
+        self._commit()
+        queries = np.asarray(queries, dtype=np.float32)
+        if self._entry < 0:
+            return [SelectKeyResult.empty() for _ in queries]
+        k = params.k
+        ef = getattr(params, "ef", None) or max(k or 10, 10)
+        if k is not None:
+            ef = max(ef, k)
+        q = np.stack([self.keeper.prepare_query(v) for v in queries])
+        scores, ids = self._search_batch(q, ef)
+        out = []
+        for b in range(len(queries)):
+            s, i = scores[b], ids[b]
+            keep = i >= 0
+            s, i = s[keep], i[keep]
+            if k is not None:
+                s, i = s[:k], i[:k]
+            ranks = np.asarray(scores_to_ranks(s, self.metric))
+            ranks, i = self._apply_radius(ranks, i, params.radius)
+            out.append(SelectKeyResult(i.astype(np.int64),
+                                       ranks.astype(np.float32),
+                                       self.ordering))
+        return out
+
     # ------------------------------------------------------------------
     def memstat(self) -> dict:
         st = super().memstat()

@@ -190,3 +190,35 @@ def test_vector_fields_excluded_from_output(rng):
     assert doc["vec"] == [1.0, 0, 0, 0]
     doc = db.select(Query("vx").where("id", "=", 1).select("vec")).docs()[0]
     assert doc["vec"] == [1.0, 0, 0, 0]
+
+
+def test_knn_batch_api(rng):
+    """Batched serving path: results must equal per-query selects."""
+    from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts,
+                               IndexType, Query, Reindexer, VectorMetric)
+    from reindexer_tpu.index.vector.params import (HnswSearchParams,
+                                                   KnnSearchParams)
+    db = Reindexer()
+    db.open_namespace("kb", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("bv", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+            dims=8, metric=VectorMetric.L2)),
+        IndexDef("hv", IndexType.HNSW, vector_opts=FloatVectorOpts(
+            dims=8, metric=VectorMetric.L2, m=8, ef_construction=32)),
+    ])
+    base = rng.normal(size=(100, 8)).astype(np.float32)
+    for i in range(100):
+        db.upsert("kb", {"id": i, "bv": base[i].tolist(),
+                         "hv": base[i].tolist()})
+    queries = base[[3, 40, 77]] + 0.001
+    batch = db.knn_batch("kb", "bv", queries, KnnSearchParams(k=5))
+    assert len(batch) == 3
+    for qi, want in enumerate([3, 40, 77]):
+        got = [d["id"] for d in batch[qi].docs()]
+        single = db.select(Query("kb").where_knn(
+            "bv", queries[qi], KnnSearchParams(k=5)))
+        assert got == [d["id"] for d in single.docs()]
+        assert got[0] == want
+    hb = db.knn_batch("kb", "hv", queries, HnswSearchParams(k=3, ef=16))
+    for qi, want in enumerate([3, 40, 77]):
+        assert hb[qi].docs()[0]["id"] == want
