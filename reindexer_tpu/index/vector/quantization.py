@@ -63,7 +63,7 @@ def knn_scan_quantized(queries: jnp.ndarray, codes: jnp.ndarray,
 
     def chunk_topk(scores, kk):
         C = scores.shape[1]
-        if C < 1024 or kk * 128 * 2 >= C:
+        if C < 1024 or kk * 64 * 2 >= C:
             return tuple(jax.lax.top_k(scores, kk))
         return exact_topk_blocks(scores, kk)
 

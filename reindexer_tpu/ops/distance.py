@@ -67,7 +67,7 @@ def _chunk_scores(q: jnp.ndarray, base_chunk: jnp.ndarray,
     return dots
 
 
-def exact_topk_blocks(scores: jnp.ndarray, k: int, block: int = 128):
+def exact_topk_blocks(scores: jnp.ndarray, k: int, block: int = 64):
     """EXACT top-k designed for the TPU memory system: a huge single
     lax.top_k over row widths ~1e5+ sorts the whole row (slow to compile AND
     run), so instead
@@ -120,7 +120,7 @@ def knn_scan(queries: jnp.ndarray, base: jnp.ndarray, valid: jnp.ndarray,
         """Exact per-chunk selection via block-gather (plain top_k when the
         candidate set wouldn't shrink the problem)."""
         C = scores.shape[1]
-        if C < 1024 or kk * 128 * 2 >= C:
+        if C < 1024 or kk * 64 * 2 >= C:
             return tuple(jax.lax.top_k(scores, kk))
         return exact_topk_blocks(scores, kk)
 
