@@ -91,6 +91,9 @@ def parse_dsl(d: dict) -> Query:
     if d.get("drop_fields"):
         for f in d["drop_fields"]:
             q.drop(f)
+    for ep in d.get("equal_positions", []):
+        pos = ep.get("positions", ep) if isinstance(ep, dict) else ep
+        q.equal_position(*pos)
     return q
 
 
@@ -174,6 +177,9 @@ def to_dsl(q: Query) -> dict:
             for a in q.aggregations]
     if q.merge_queries:
         d["merge_queries"] = [to_dsl(m) for m in q.merge_queries]
+    if q.equal_positions:
+        d["equal_positions"] = [{"positions": list(g)}
+                                for g in q.equal_positions]
     return d
 
 

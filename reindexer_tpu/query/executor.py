@@ -64,6 +64,12 @@ class Selecter:
                 t_idx1 = time.perf_counter()
                 rows = np.flatnonzero(mask).astype(np.int64)
 
+            # --- equal-position re-verification (reference: equalPositions —
+            # conditions on the listed array fields must hold at the same
+            # array index)
+            if q.equal_positions:
+                rows = self._equal_position_filter(ns, q, rows)
+
             # --- aggregations (over the full filtered set, pre-pagination,
             # reference: aggregator runs inside selectLoop over all matches)
             aggregations = [self._aggregate(ns, rows, a) for a in q.aggregations]
@@ -431,6 +437,45 @@ class Selecter:
                 out.append(a.value)
             out.extend(a.distincts)
         return out
+
+    # ==================================================================
+    # equal positions
+    # ==================================================================
+    def _equal_position_filter(self, ns: Namespace, q: Query,
+                               rows: np.ndarray) -> np.ndarray:
+        from .comparators import raw_values_mask
+        conds: dict[str, QueryEntry] = {}
+        for op, e in q.entries:
+            if isinstance(e, QueryEntry) and op == OpType.AND:
+                conds[e.field] = e
+        keep = np.ones(len(rows), dtype=bool)
+        for group in q.equal_positions:
+            missing = [f for f in group if f not in conds]
+            if missing:
+                raise QueryError(
+                    f"equal_position fields must have AND conditions: "
+                    f"{missing}")
+            for i, row in enumerate(rows):
+                if not keep[i]:
+                    continue
+                doc = ns.get_item(int(row))
+                if doc is None:
+                    keep[i] = False
+                    continue
+                arrays = []
+                for f in group:
+                    v = get_json_path(doc, f)
+                    arrays.append(v if isinstance(v, list) else [v])
+                n = min(len(a) for a in arrays)
+                ok = False
+                for j in range(n):
+                    if all(raw_values_mask([a[j]], conds[f].condition,
+                                           list(conds[f].values))[0]
+                           for a, f in zip(arrays, group)):
+                        ok = True
+                        break
+                keep[i] = ok
+        return rows[keep]
 
     # ==================================================================
     # joins

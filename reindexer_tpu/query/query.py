@@ -165,6 +165,9 @@ class Query:
         self._bracket_stack: list[Bracket] = []
         self.debug_level: int = 0
         self.local_: bool = False
+        # groups of array fields whose conditions must match at the SAME
+        # array position (reference: equalPositions, query.h / dsl)
+        self.equal_positions: list[tuple[str, ...]] = []
 
     # --- entry plumbing -------------------------------------------------
     def _append(self, entry: Any) -> "Query":
@@ -230,6 +233,14 @@ class Query:
         """Full-text match (reference: Go Query.Match query.go:728)."""
         self.with_rank_ = True
         return self._append(QueryEntry(field, CondType.EQ, (dsl,)))
+
+    def equal_position(self, *fields: str) -> "Query":
+        """Require the listed array-field conditions to match at the same
+        array index (reference: Query::AddEqualPosition)."""
+        if len(fields) < 2:
+            raise QueryError("equal_position requires at least 2 fields")
+        self.equal_positions.append(tuple(fields))
+        return self
 
     def dwithin(self, field: str, point: Sequence[float], distance: float) -> "Query":
         return self._append(QueryEntry(field, CondType.DWITHIN,

@@ -335,3 +335,29 @@ def test_composite_index():
     db.upsert("c", {"id": 3, "a": 2, "b": "x"})
     res = db.select(Query("c").where("a+b", "=", [(1, "x")]))
     assert [d["id"] for d in res.docs()] == [1]
+
+
+def test_equal_position():
+    """Conditions on array fields correlated by array index
+    (reference: equalPositions)."""
+    from reindexer_tpu import IndexDef, IndexOpts, Query, Reindexer
+    db = Reindexer()
+    db.open_namespace("ep", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("sizes", "hash", "int", opts=IndexOpts(is_array=True)),
+        IndexDef("prices", "hash", "int", opts=IndexOpts(is_array=True)),
+    ])
+    db.upsert("ep", {"id": 1, "sizes": [10, 20], "prices": [100, 200]})
+    db.upsert("ep", {"id": 2, "sizes": [20, 10], "prices": [100, 200]})
+    q = (Query("ep").where("sizes", "=", 10).where("prices", "=", 100)
+         .equal_position("sizes", "prices"))
+    got = sorted(d["id"] for d in db.select(q).docs())
+    # only doc 1 has size=10 and price=100 at the SAME position (index 0)
+    assert got == [1]
+    # without equal_position both match
+    q2 = Query("ep").where("sizes", "=", 10).where("prices", "=", 100)
+    assert sorted(d["id"] for d in db.select(q2).docs()) == [1, 2]
+    # DSL round-trip keeps the group
+    from reindexer_tpu.query.dsl import parse_dsl, to_dsl
+    q3 = parse_dsl(to_dsl(q))
+    assert sorted(d["id"] for d in db.select(q3).docs()) == [1]
