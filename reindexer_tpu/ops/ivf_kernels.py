@@ -87,6 +87,13 @@ def scan_lists(queries: jnp.ndarray, data: jnp.ndarray, data_sq: jnp.ndarray,
     ok = cand_ok & valid[cand]
     scores = jnp.where(ok[None, :], scores, NEG_INF)
     kk = min(k, cand.shape[0])
-    top_s, top_pos = jax.lax.top_k(scores, kk)
-    top_i = jnp.where(top_s > NEG_INF, cand[top_pos], -1)
+    C = cand.shape[0]
+    if C >= 1024 and kk * 64 * 2 < C:
+        from .distance import exact_topk_blocks
+        top_s, top_pos = exact_topk_blocks(scores, kk)
+        safe = jnp.where(top_pos >= 0, top_pos, 0)
+        top_i = jnp.where(top_pos >= 0, cand[safe], -1)
+    else:
+        top_s, top_pos = jax.lax.top_k(scores, kk)
+        top_i = jnp.where(top_s > NEG_INF, cand[top_pos], -1)
     return top_s, top_i
