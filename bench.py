@@ -103,7 +103,7 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     }
 
 
-def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=20,
+def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
                        smoke=False):
     """SQ8 scan: same workload through uint8 codes (reference: ~75% memory
     saving, float_vector.md:291 — HBM-bound scan speeds up accordingly)."""
