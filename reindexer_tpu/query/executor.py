@@ -44,6 +44,9 @@ class Selecter:
     # SELECT
     # ==================================================================
     def select(self, q: Query) -> QueryResults:
+        fast = self._fast_point_select(q)
+        if fast is not None:
+            return fast
         t_start = time.perf_counter()
         ns = self.db.get_namespace(q.namespace)
         with ns.lock:
@@ -144,6 +147,52 @@ class Selecter:
             sub = self.select(mq)
             res.extend(sub)
         return res
+
+    # ==================================================================
+    # point-select fast path (reference headline: WHERE id=? point reads are
+    # the hottest pattern, readme.md:126 — skip the whole-column mask
+    # machinery for single indexed-EQ lookups)
+    # ==================================================================
+    def _fast_point_select(self, q: Query) -> Optional[QueryResults]:
+        if (len(q.entries) != 1 or q.sorts or q.aggregations or q.joins
+                or q.merge_queries or q.select_functions or q.explain_
+                or q.equal_positions or q.offset_ or q.req_total):
+            return None
+        op, entry = q.entries[0]
+        if op != OpType.AND or not isinstance(entry, QueryEntry):
+            return None
+        if entry.condition not in (CondType.EQ, CondType.SET):
+            return None
+        ns = self.db.get_namespace(q.namespace)
+        index = ns.get_index(entry.field)
+        if index is None or not index.supports(entry.condition):
+            return None
+        idef = ns.index_def(entry.field)
+        if idef is None or idef.is_fulltext or idef.is_vector:
+            return None
+        t0 = time.perf_counter()
+        with ns.lock:
+            from ..index.scalar import TtlIndex
+            if any(isinstance(ix, TtlIndex) for ix in ns.indexes):
+                ns.collect_expired()
+            res = index.select_key(entry.condition, entry.values)
+            if res.unmatched:
+                return None
+            vector_paths = self._excluded_vector_paths(ns, q)
+            items = []
+            limit = q.limit_ if q.limit_ is not None else len(res.ids)
+            for row in res.ids[:limit]:
+                doc = ns.get_item(int(row))
+                if doc is None:
+                    continue
+                doc_out = self._project(doc, q.select_filter)
+                if vector_paths:
+                    doc_out = {k: v for k, v in doc_out.items()
+                               if k not in vector_paths}
+                items.append(ResultItem(doc=doc_out, row_id=int(row),
+                                        ns_name=ns.name))
+            ns.perf.hit("selects", time.perf_counter() - t0)
+            return QueryResults(ns_name=ns.name, items=items)
 
     # ==================================================================
     # streaming KNN (reference: NsSelecter::detectStreamingKnn,
