@@ -247,6 +247,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._ns_routes(db, method, rest[1:], qs)
         if head == "transactions":
             return self._tx_routes(db, method, rest[1:], qs)
+        if head == "events":
+            return self._event_routes(db, method, rest[1:], qs)
         if head == "suggest" and method == "GET":
             from ..query.suggest import suggest
             sql = qs.get("q", [""])[0]
@@ -413,6 +415,41 @@ class _Handler(BaseHTTPRequestHandler):
                     tx.delete(doc)
             return self._send(200, {"success": True})
         raise NotFoundError("no tx route")
+
+    # --- events (long-poll edge of the reference's event subscriptions,
+    # cpp_src/events/ + Go events/eventshandler.go) ----------------------
+    subs: dict = {}
+
+    def _event_routes(self, db, method: str, p: list[str], qs: dict) -> None:
+        from ..events import EventsObserver, EventSubscriberConfig
+        obs = getattr(db, "_events_observer", None)
+        if obs is None:
+            obs = EventsObserver()
+            obs.attach_db(db)
+        if not p and method == "POST":
+            body = self._body() or {}
+            cfg = EventSubscriberConfig(
+                namespaces=tuple(body.get("namespaces", ())),
+                event_types=tuple(body.get("event_types", ())))
+            sub = obs.subscribe(cfg)
+            sub_id = uuid.uuid4().hex[:16]
+            self.subs[sub_id] = (obs, sub)
+            return self._send(200, {"subscription_id": sub_id})
+        if p and method == "GET":
+            entry = self.subs.get(p[0])
+            if entry is None:
+                raise NotFoundError(f"subscription '{p[0]}' not found")
+            timeout = min(float(qs.get("timeout_ms", ["1000"])[0]), 30000) / 1e3
+            events = entry[1].poll(timeout=timeout)
+            return self._send(200, {"events": [e.to_dict() for e in events],
+                                    "dropped": entry[1].dropped})
+        if p and method == "DELETE":
+            entry = self.subs.pop(p[0], None)
+            if entry is None:
+                raise NotFoundError(f"subscription '{p[0]}' not found")
+            entry[0].unsubscribe(entry[1])
+            return self._send(200, {"success": True})
+        raise NotFoundError("no events route")
 
     # --- misc -----------------------------------------------------------
     def _convert(self, method: str, kind: str, qs: dict) -> None:

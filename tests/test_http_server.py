@@ -175,3 +175,22 @@ def test_auth_roles():
                          "root", "rootpw", {"id": 1}) == 200
     finally:
         srv.stop()
+
+
+def test_events_long_poll(server):
+    call(server, "POST", "/api/v1/db", {"name": "evdb"})
+    call(server, "POST", "/api/v1/db/evdb/namespaces", {
+        "name": "e", "indexes": [{"name": "id", "index_type": "hash",
+                                  "field_type": "int", "is_pk": True}]})
+    code, body = call(server, "POST", "/api/v1/db/evdb/events",
+                      {"namespaces": ["e"], "event_types": ["upsert"]})
+    assert code == 200
+    sub = body["subscription_id"]
+    call(server, "PUT", "/api/v1/db/evdb/namespaces/e/items", {"id": 1})
+    code, body = call(server, "GET",
+                      f"/api/v1/db/evdb/events/{sub}?timeout_ms=2000")
+    assert code == 200
+    assert any(e["type"] == "upsert" and e["item"]["id"] == 1
+               for e in body["events"])
+    code, _ = call(server, "DELETE", f"/api/v1/db/evdb/events/{sub}")
+    assert code == 200
