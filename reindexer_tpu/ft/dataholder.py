@@ -33,6 +33,19 @@ from .typos import TypoDict
 
 _NATIVE = None
 _NATIVE_TRIED = False
+_TYPOS_NATIVE = None
+_TYPOS_TRIED = False
+
+
+def _typos_native_module():
+    global _TYPOS_NATIVE, _TYPOS_TRIED
+    if not _TYPOS_TRIED:
+        _TYPOS_TRIED = True
+        import os
+        if os.environ.get("RX_TPU_DISABLE_NATIVE", "") not in ("1", "true"):
+            from ..csrc import load
+            _TYPOS_NATIVE = load("_typos_native", "typos_native.cpp")
+    return _TYPOS_NATIVE
 
 
 def _native_module():
@@ -267,11 +280,18 @@ class FtDataHolder:
     @property
     def typo_dict(self) -> TypoDict:
         """Lazily-built deletion dictionary (reference builds typo maps during
-        commit, dataprocessor buildTyposMap; we defer to first `~` query)."""
+        commit, dataprocessor buildTyposMap; we defer to first `~` query).
+        Uses the native C++ builder (csrc/typos_native.cpp) when available."""
         if self._typo_dict is None:
             td = TypoDict(self.cfg.max_typos, self.cfg.max_typo_len)
-            for wid, w in enumerate(self.words):
-                td.add_word(w, wid)
+            native = _typos_native_module()
+            if native is not None:
+                td.map = native.build_typo_dict(
+                    list(self.words), td.index_deletes, td.min_word_len,
+                    td.max_typo_len, td.max_candidates)
+            else:
+                for wid, w in enumerate(self.words):
+                    td.add_word(w, wid)
             self._typo_dict = td
         return self._typo_dict
 

@@ -67,3 +67,20 @@ def test_holder_native_equals_python(rng):
     np.testing.assert_array_equal(h_native.post_tf, h_py.post_tf)
     np.testing.assert_array_equal(h_native.post_minpos, h_py.post_minpos)
     np.testing.assert_array_equal(h_native.doc_words, h_py.doc_words)
+
+
+def test_typo_dict_native_matches_python():
+    from reindexer_tpu.csrc import load
+    from reindexer_tpu.ft.typos import TypoDict
+    native = load("_typos_native", "typos_native.cpp")
+    assert native is not None
+    words = ["black", "block", "quick", "fox", "он", "территория", "ab",
+             "x" * 20]
+    td = TypoDict(max_typos=2, max_typo_len=15)
+    for wid, w in enumerate(words):
+        td.add_word(w, wid)
+    nmap = native.build_typo_dict(words, td.index_deletes, td.min_word_len,
+                                  td.max_typo_len, td.max_candidates)
+    assert set(nmap.keys()) == set(td.map.keys())
+    for k in td.map:
+        assert sorted(nmap[k]) == sorted(td.map[k]), k
