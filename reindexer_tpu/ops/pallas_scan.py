@@ -24,7 +24,7 @@ from ..core.type_consts import VectorMetric
 
 NEG_INF = jnp.float32(-jnp.inf)
 BLOCK = 64          # block-max granularity (matches exact_topk_blocks)
-TILE = 4096         # base rows per grid step
+TILE = 8192         # base rows per grid step (TILE//BLOCK = 128-wide bmax blocks)
 
 
 def _scan_kernel_l2(q_ref, base_ref, sq_ref, valid_ref, scores_ref, bmax_ref):
