@@ -49,7 +49,11 @@ class FileStorage:
         if not os.path.isdir(self.path):
             return out
         for entry in sorted(os.listdir(self.path)):
-            if os.path.isfile(os.path.join(self.path, entry, "indexes.json")):
+            d = os.path.join(self.path, entry)
+            # a namespace exists if it was ever snapshotted OR has WAL-only
+            # history (created, mutated, crashed before the first flush)
+            if os.path.isfile(os.path.join(d, "indexes.json")) or \
+                    os.path.isfile(os.path.join(d, "wal.jsonl")):
                 out.append(entry)
         return out
 
@@ -125,12 +129,20 @@ class FileStorage:
             with open(meta_path, encoding="utf-8") as f:
                 ns.meta.update(json.load(f))
         items_path = os.path.join(d, "items.jsonl")
+        skipped = 0
         if os.path.isfile(items_path):
             with open(items_path, encoding="utf-8") as f:
                 for line in f:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    # torn/corrupted records are skipped, not fatal
+                    # (reference: repair_tool semantics,
+                    # cmd/reindexer_tool/repair_tool.cc)
+                    try:
                         ns.upsert(json.loads(line))
+                    except (ValueError, KeyError):
+                        skipped += 1
         # replay WAL since last snapshot (reference: per-doc LSN replay,
         # replication.md:39-44)
         wal_path = os.path.join(d, "wal.jsonl")
@@ -140,7 +152,11 @@ class FileStorage:
                     line = line.strip()
                     if not line:
                         continue
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        skipped += 1   # torn tail write (crash mid-append)
+                        continue
                     op = rec.get("op")
                     if op == "upsert" and "doc" in rec:
                         ns.upsert(rec["doc"])

@@ -107,3 +107,21 @@ def test_drop_namespace_removes_storage(tmp_path):
     db.drop_namespace("t")
     db2 = Reindexer(path)
     assert "t" not in db2.namespace_names()
+
+
+def test_torn_wal_tail_skipped(tmp_path):
+    """Crash-torn WAL/snapshot records are skipped, not fatal (reference:
+    repair_tool semantics)."""
+    path = str(tmp_path / "db")
+    db = Reindexer(path)
+    db.open_namespace("t", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+    db.upsert("t", {"id": 1})
+    db.upsert("t", {"id": 2})
+    db.storage.close()
+    # simulate a torn append
+    with open(f"{path}/t/wal.jsonl", "a", encoding="utf-8") as f:
+        f.write('{"op": "upsert", "doc": {"id": 3')
+    db2 = Reindexer(path)
+    got = sorted(d["id"] for d in db2.select(Query("t")).docs())
+    assert got == [1, 2]
