@@ -42,6 +42,21 @@ _Q_BUCKET = 8
 _CHUNK_START = 32
 _CHUNK_MAX = 1024
 
+_HNSW_NATIVE = None
+_HNSW_NATIVE_TRIED = False
+
+
+def _hnsw_native_module():
+    """Lazy-built C++ link maintenance (csrc/hnsw_native.cpp)."""
+    global _HNSW_NATIVE, _HNSW_NATIVE_TRIED
+    if not _HNSW_NATIVE_TRIED:
+        _HNSW_NATIVE_TRIED = True
+        import os
+        if os.environ.get("RX_TPU_DISABLE_NATIVE", "") not in ("1", "true"):
+            from ...csrc import load
+            _HNSW_NATIVE = load("_hnsw_native", "hnsw_native.cpp")
+    return _HNSW_NATIVE
+
 
 def _pow2(n: int, floor: int = 8) -> int:
     c = floor
@@ -299,6 +314,18 @@ class HnswIndex(FloatVectorIndexBase):
             len(self._upper) - layer]
         dirty = self._dirty0 if layer == 0 else \
             self._dirty_upper.setdefault(layer, set())
+
+        native = _hnsw_native_module()
+        if native is not None:
+            # C++ link-maintenance hot loop (csrc/hnsw_native.cpp)
+            touched = native.connect_batch(
+                links, self._host_vecs,
+                np.asarray(rows, dtype=np.int32),
+                np.ascontiguousarray(sel, dtype=np.int32), m_l,
+                0 if self.metric == VectorMetric.L2 else 1)
+            dirty.update(touched)
+            return
+
         for j, row in enumerate(rows):
             nbrs = sel[j][sel[j] >= 0]
             nbrs = nbrs[nbrs != row][: m_l]
@@ -314,7 +341,7 @@ class HnswIndex(FloatVectorIndexBase):
                 else:
                     cand = np.concatenate([srow, [row]])
                     d = self._host_dists(int(s), cand)
-                    keep = cand[np.argsort(d)[:m_l]]
+                    keep = cand[np.argsort(d, kind="stable")[:m_l]]
                     links[s, :] = -1
                     links[s, : len(keep)] = keep
                 dirty.add(int(s))

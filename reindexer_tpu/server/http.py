@@ -209,6 +209,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._db_routes(method, rest, qs)
         if p[:4] == ["api", "v1", "query", "convert"]:
             return self._convert(method, p[4], qs)
+        if p[:3] == ["api", "v1", "allocator"] and method == "GET":
+            # allocator/info analog (reference: GetMemInfo route)
+            import resource
+            ru = resource.getrusage(resource.RUSAGE_SELF)
+            return self._send(200, {
+                "rss_kb": ru.ru_maxrss,
+                "user_cpu_s": ru.ru_utime,
+                "system_cpu_s": ru.ru_stime,
+            })
         raise NotFoundError(f"no route for {method} {'/'.join(p)}")
 
     def _db_routes(self, method: str, p: list[str], qs: dict) -> None:

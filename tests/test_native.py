@@ -84,3 +84,37 @@ def test_typo_dict_native_matches_python():
     assert set(nmap.keys()) == set(td.map.keys())
     for k in td.map:
         assert sorted(nmap[k]) == sorted(td.map[k]), k
+
+
+def test_hnsw_connect_native_matches_python(rng):
+    """The C++ link-maintenance loop must produce byte-identical graphs."""
+    import reindexer_tpu.index.vector.hnsw as H
+    from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexType,
+                               VectorMetric)
+    from reindexer_tpu.index.vector.params import HnswSearchParams
+
+    def build(disable_native):
+        old = H._HNSW_NATIVE, H._HNSW_NATIVE_TRIED
+        if disable_native:
+            H._HNSW_NATIVE, H._HNSW_NATIVE_TRIED = None, True
+        try:
+            idx = H.HnswIndex(IndexDef(
+                "v", IndexType.HNSW, vector_opts=FloatVectorOpts(
+                    dims=8, metric=VectorMetric.L2, m=4,
+                    ef_construction=16)))
+            base = np.random.default_rng(7).normal(
+                size=(150, 8)).astype(np.float32)
+            for i in range(150):
+                idx.upsert(i, base[i])
+            idx.commit()
+            return idx
+        finally:
+            H._HNSW_NATIVE, H._HNSW_NATIVE_TRIED = old
+
+    a = build(disable_native=False)
+    assert H._hnsw_native_module() is not None
+    b = build(disable_native=True)
+    np.testing.assert_array_equal(a._links0, b._links0)
+    for ua, ub in zip(a._upper, b._upper):
+        np.testing.assert_array_equal(ua, ub)
+    assert a._entry == b._entry and a._max_level == b._max_level
