@@ -200,6 +200,52 @@ class IvfIndex(FloatVectorIndexBase):
         return SelectKeyResult(ids.astype(np.int64), ranks.astype(np.float32),
                                self.ordering)
 
+    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
+                     ) -> list[SelectKeyResult]:
+        """Batched IVF: one probe matmul + one candidate scan for all
+        queries (per-query padded candidate matrices)."""
+        self._commit()
+        queries = np.asarray(queries, dtype=np.float32)
+        if self.centroids is None or self.keeper.count == 0 \
+                or params.k is None:
+            return super().select_batch(queries, params)
+        self._rebuild_csr()
+        nprobe = getattr(params, "nprobe", 1) or 1
+        q = np.stack([self.keeper.prepare_query(v) for v in queries])
+        qd = jnp.asarray(q)
+        probes = np.asarray(probe_centroids(qd, self.centroids, nprobe,
+                                            self.metric))
+        B = len(queries)
+        cand_rows = []
+        for b in range(B):
+            parts = [self._list_rows[self._list_start[c]:
+                                     self._list_start[c + 1]]
+                     for c in probes[b]]
+            cand_rows.append(np.concatenate(parts) if parts
+                             else np.empty(0, dtype=np.int32))
+        cmax = _pow2(max((len(c) for c in cand_rows), default=1))
+        cand = np.zeros((B, cmax), dtype=np.int32)
+        ok = np.zeros((B, cmax), dtype=np.bool_)
+        for b, c in enumerate(cand_rows):
+            cand[b, : len(c)] = c
+            ok[b, : len(c)] = True
+        from ...ops.ivf_kernels import scan_lists_batch
+        kk = _pow2(min(params.k, cmax), 16)
+        scores, ids = scan_lists_batch(
+            qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
+            jnp.asarray(cand), jnp.asarray(ok), kk, self.metric)
+        scores, ids = np.asarray(scores), np.asarray(ids)
+        out = []
+        for b in range(B):
+            keep = ids[b] >= 0
+            s, i = scores[b][keep][: params.k], ids[b][keep][: params.k]
+            ranks = np.asarray(scores_to_ranks(s, self.metric))
+            ranks, i = self._apply_radius(ranks, i, params.radius)
+            out.append(SelectKeyResult(i.astype(np.int64),
+                                       ranks.astype(np.float32),
+                                       self.ordering))
+        return out
+
     # ------------------------------------------------------------------
     def memstat(self) -> dict:
         st = super().memstat()

@@ -70,6 +70,33 @@ def probe_centroids(queries: jnp.ndarray, centroids: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
+def scan_lists_batch(queries: jnp.ndarray, data: jnp.ndarray,
+                     data_sq: jnp.ndarray, valid: jnp.ndarray,
+                     cand: jnp.ndarray, cand_ok: jnp.ndarray,
+                     k: int, metric: VectorMetric):
+    """Batched stage 2: per-query candidate row matrices.
+
+    queries [B, D]; cand int32[B, C]; cand_ok bool[B, C].
+    Returns (scores [B, k], ids [B, k])."""
+    vecs = data[cand]                                  # [B, C, D]
+    dots = jnp.einsum("bd,bcd->bc", queries, vecs,
+                      preferred_element_type=jnp.float32)
+    if metric == VectorMetric.L2:
+        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        scores = 2.0 * dots - data_sq[cand] - q_sq
+    else:
+        scores = dots
+    ok = cand_ok & valid[cand]
+    scores = jnp.where(ok, scores, NEG_INF)
+    kk = min(k, cand.shape[1])
+    top_s, top_pos = jax.lax.top_k(scores, kk)
+    safe = jnp.where(top_pos >= 0, top_pos, 0)
+    top_i = jnp.where(top_s > NEG_INF,
+                      jnp.take_along_axis(cand, safe, axis=1), -1)
+    return top_s, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
 def scan_lists(queries: jnp.ndarray, data: jnp.ndarray, data_sq: jnp.ndarray,
                valid: jnp.ndarray, cand: jnp.ndarray, cand_ok: jnp.ndarray,
                k: int, metric: VectorMetric):

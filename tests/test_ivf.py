@@ -110,3 +110,17 @@ def test_ivf_via_query(rng):
     res = db.select(Query("v").where_knn(
         "vec", base[17], IvfSearchParams(k=3, nprobe=4)))
     assert res.docs()[0]["id"] == 17
+
+
+def test_ivf_select_batch(rng):
+    idx = make_index(dims=8, nlist=8)
+    base = rng.normal(size=(300, 8)).astype(np.float32)
+    for i in range(300):
+        idx.upsert(i, base[i])
+    queries = base[[10, 150, 299]] + 0.0001
+    batch = idx.select_batch(queries, IvfSearchParams(k=5, nprobe=8))
+    assert len(batch) == 3
+    for qi, want in enumerate([10, 150, 299]):
+        single = idx.select(queries[qi], IvfSearchParams(k=5, nprobe=8))
+        assert batch[qi].ids.tolist() == single.ids.tolist()
+        assert batch[qi].ids[0] == want
