@@ -93,8 +93,13 @@ class BruteForceIndex(FloatVectorIndexBase):
                     q, self._quant.codes, self._quant.lo, self._quant.alpha,
                     kp.valid, kp.sq, k, self.metric)
             else:
-                scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k,
-                                       self.metric)
+                from ...ops.pallas_scan import fused_available, knn_scan_fused
+                if fused_available(kp.capacity, kp.dims, k):
+                    scores, idx = knn_scan_fused(q, kp.data, kp.valid, kp.sq,
+                                                 k, self.metric)
+                else:
+                    scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k,
+                                           self.metric)
             scores = np.asarray(scores[0])
             idx = np.asarray(idx[0])
             keep = idx >= 0

@@ -119,7 +119,15 @@ def knn_scan_fused(queries: jnp.ndarray, base: jnp.ndarray,
 
 def fused_available(n: int, dims: int, k: int) -> bool:
     """Whether the Pallas path applies: TPU backend, tile-divisible base,
-    MXU-friendly dims, selection actually shrinking the problem."""
+    MXU-friendly dims, selection actually shrinking the problem.
+
+    Opt-in via RX_TPU_FUSED_SCAN=1: some remote-compile environments (e.g.
+    the axon tunnel's chipless AOT helper) cannot compile Mosaic kernels even
+    though XLA programs work — the XLA composite (ops/distance.knn_scan)
+    stays the default until the deployment's Mosaic path is verified."""
+    import os
+    if os.environ.get("RX_TPU_FUSED_SCAN", "") not in ("1", "true"):
+        return False
     try:
         import jax
         if jax.default_backend() != "tpu":
