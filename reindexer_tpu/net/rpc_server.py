@@ -1,0 +1,233 @@
+"""Binary RPC server.
+
+Semantic equivalent of the reference RPC server
+(cpp_src/server/rpcserver.cc dispatch table :1343-1392 + coroutine
+connections net/cproto/serverconnection.cc): an asyncio acceptor replaces
+the bespoke ev reactor + stackful coroutines (P6 in SURVEY.md §2.4 — host
+concurrency is not device-relevant). Query results are held server-side in
+cursors and paged by FETCH_RESULTS (RPCQrWatcher analog,
+server/rpcqrwatcher.cc).
+"""
+from __future__ import annotations
+
+import asyncio
+import itertools
+import json
+import threading
+from typing import Any, Optional
+
+from ..core.errors import (ConflictError, NotFoundError, ParamsError,
+                           QueryError, ReindexerError)
+from ..core.payload import IndexDef
+from ..query.dsl import parse_dsl
+from .protocol import (Cmd, HEADER_SIZE, MODIFY_MODES, Status, pack_frame,
+                       unpack_header)
+from .serializer import decode_args, encode_args
+
+_STATUS_OF = {QueryError: Status.QUERY_ERROR, ParamsError: Status.PARAMS_ERROR,
+              NotFoundError: Status.NOT_FOUND, ConflictError: Status.CONFLICT}
+
+
+class _Conn:
+    """Per-connection state (db binding, cursors, transactions)."""
+
+    def __init__(self, server: "RpcServer"):
+        self.server = server
+        self.db = None
+        self.user: Optional[str] = None
+        self.cursors: dict[int, Any] = {}
+        self.txs: dict[int, Any] = {}
+        self.ids = itertools.count(1)
+
+
+class RpcServer:
+    def __init__(self, mgr=None, host: str = "127.0.0.1", port: int = 0,
+                 auth=None):
+        from ..server.http import DBManager
+        self.mgr = mgr or DBManager()
+        self.auth = auth
+        self.host = host
+        self._port = port
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self._started = threading.Event()
+
+    @property
+    def port(self) -> int:
+        return self._port
+
+    # --- lifecycle ------------------------------------------------------
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        self._started.wait(timeout=10)
+
+    def _run(self) -> None:
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+
+        async def boot():
+            self._server = await asyncio.start_server(
+                self._handle, self.host, self._port)
+            self._port = self._server.sockets[0].getsockname()[1]
+            self._started.set()
+
+        self._loop.run_until_complete(boot())
+        try:
+            self._loop.run_forever()
+        finally:
+            self._loop.close()
+
+    def stop(self) -> None:
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    # --- connection loop --------------------------------------------------
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        conn = _Conn(self)
+        try:
+            while True:
+                head = await reader.readexactly(HEADER_SIZE)
+                seq, cmd, _, length = unpack_header(head)
+                body = await reader.readexactly(length) if length else b""
+                try:
+                    args = decode_args(body) if body else []
+                    result = self._dispatch(conn, Cmd(cmd), args)
+                    out = pack_frame(seq, cmd, Status.OK,
+                                     encode_args(result))
+                except ReindexerError as e:
+                    st = _STATUS_OF.get(type(e), Status.INTERNAL)
+                    out = pack_frame(seq, cmd, st, encode_args([str(e)]))
+                except Exception as e:   # pragma: no cover
+                    out = pack_frame(seq, cmd, Status.INTERNAL,
+                                     encode_args([str(e)]))
+                writer.write(out)
+                await writer.drain()
+        except (asyncio.IncompleteReadError, ConnectionError):
+            pass
+        finally:
+            writer.close()
+
+    # --- dispatch (reference: rpcserver.cc:1343-1392) ---------------------
+    def _dispatch(self, conn: _Conn, cmd: Cmd, args: list) -> list:
+        if cmd == Cmd.PING:
+            return ["pong"]
+        if cmd == Cmd.LOGIN:
+            user, password, db_name = args[0], args[1], args[2]
+            if self.auth is not None and self.auth.enabled:
+                import base64
+                token = base64.b64encode(
+                    f"{user}:{password}".encode()).decode()
+                who = self.auth.authenticate(f"Basic {token}")
+                if who is None:
+                    raise ReindexerError("invalid credentials")
+                conn.user = who
+            conn.db = self.mgr.create(db_name)
+            return ["ok"]
+        if conn.db is None:
+            raise QueryError("not logged in (send LOGIN first)")
+        db = conn.db
+
+        if cmd == Cmd.OPEN_NAMESPACE:
+            ns, idefs = args[0], json.loads(args[1]) if args[1] else []
+            db.open_namespace(ns, [IndexDef.from_dict(d) for d in idefs])
+            return []
+        if cmd == Cmd.DROP_NAMESPACE:
+            db.drop_namespace(args[0])
+            return []
+        if cmd == Cmd.TRUNCATE_NAMESPACE:
+            db.truncate_namespace(args[0])
+            return []
+        if cmd == Cmd.ENUM_NAMESPACES:
+            return [db.namespace_names()]
+        if cmd == Cmd.ADD_INDEX:
+            db.add_index(args[0], IndexDef.from_dict(json.loads(args[1])))
+            return []
+        if cmd == Cmd.UPDATE_INDEX:
+            db.update_index(args[0], IndexDef.from_dict(json.loads(args[1])))
+            return []
+        if cmd == Cmd.DROP_INDEX:
+            db.drop_index(args[0], args[1])
+            return []
+        if cmd == Cmd.MODIFY_ITEM:
+            ns, mode, doc = args[0], MODIFY_MODES[args[1]], json.loads(args[2])
+            if mode == "delete":
+                db.delete(ns, doc)
+            else:
+                getattr(db, mode)(ns, doc)
+            return []
+        if cmd in (Cmd.SELECT_SQL, Cmd.SELECT_DSL):
+            fetch_limit = int(args[1]) if len(args) > 1 else 100
+            if cmd == Cmd.SELECT_SQL:
+                res = db.select(args[0])
+            else:
+                res = db.select(parse_dsl(json.loads(args[0])))
+            req_id = next(conn.ids)
+            conn.cursors[req_id] = res
+            total = (res.total_count if res.total_count is not None
+                     else len(res))
+            page = [json.dumps(it.doc, default=str) for it in res[:fetch_limit]]
+            ranks = [float(it.rank) if it.rank is not None else 0.0
+                     for it in res[:fetch_limit]]
+            aggs = json.dumps(res.agg_results())
+            return [req_id, int(total), len(res), page, ranks, aggs]
+        if cmd == Cmd.FETCH_RESULTS:
+            req_id, offset, limit = int(args[0]), int(args[1]), int(args[2])
+            res = conn.cursors.get(req_id)
+            if res is None:
+                raise NotFoundError(f"results cursor {req_id} not found")
+            page = [json.dumps(it.doc, default=str)
+                    for it in res[offset: offset + limit]]
+            ranks = [float(it.rank) if it.rank is not None else 0.0
+                     for it in res[offset: offset + limit]]
+            return [page, ranks]
+        if cmd == Cmd.CLOSE_RESULTS:
+            conn.cursors.pop(int(args[0]), None)
+            return []
+        if cmd == Cmd.BEGIN_TX:
+            tx = db.new_transaction(args[0])
+            tx_id = next(conn.ids)
+            conn.txs[tx_id] = tx
+            return [tx_id]
+        if cmd == Cmd.TX_MODIFY:
+            tx = conn.txs.get(int(args[0]))
+            if tx is None:
+                raise NotFoundError("transaction not found")
+            mode, doc = MODIFY_MODES[args[1]], json.loads(args[2])
+            getattr(tx, mode)(doc)
+            return []
+        if cmd == Cmd.COMMIT_TX:
+            tx = conn.txs.pop(int(args[0]), None)
+            if tx is None:
+                raise NotFoundError("transaction not found")
+            return [tx.commit()]
+        if cmd == Cmd.ROLLBACK_TX:
+            tx = conn.txs.pop(int(args[0]), None)
+            if tx is None:
+                raise NotFoundError("transaction not found")
+            tx.rollback()
+            return []
+        if cmd == Cmd.PUT_META:
+            db.put_meta(args[0], args[1], args[2])
+            return []
+        if cmd == Cmd.GET_META:
+            return [db.get_meta(args[0], args[1])]
+        if cmd == Cmd.ENUM_META:
+            return [db.enum_meta(args[0])]
+        if cmd == Cmd.GET_SNAPSHOT:
+            state = getattr(db, "_replication_state", None)
+            if state is None:
+                from ..replication import ReplicationState
+                state = ReplicationState(db)
+            return [json.dumps(state.snapshot(), default=str)]
+        if cmd == Cmd.GET_UPDATES:
+            state = getattr(db, "_replication_state", None)
+            if state is None:
+                from ..replication import ReplicationState
+                state = ReplicationState(db)
+            return [json.dumps(state.updates(int(args[0])), default=str)]
+        raise QueryError(f"unknown RPC command {cmd}")

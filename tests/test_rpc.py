@@ -1,0 +1,88 @@
+"""Binary RPC protocol tests (models reference cproto behavior:
+bindings/cproto + server/rpcserver.cc verbs, cursor paging, tx, errors)."""
+import numpy as np
+import pytest
+
+from reindexer_tpu import (IndexDef, IndexOpts, NotFoundError, Query,
+                           QueryError)
+from reindexer_tpu.net.rpc_client import RpcReindexer
+from reindexer_tpu.net.rpc_server import RpcServer
+from reindexer_tpu.net.serializer import decode_args, encode_args
+
+
+def test_serializer_roundtrip():
+    vals = [0, 1, -1, 2**40, -(2**40), 3.5, -0.25, "строка", b"\x00\xff",
+            True, False, None, [1, "a", [2.5, None]], []]
+    assert decode_args(encode_args(vals)) == vals
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = RpcServer(port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture
+def client(server):
+    c = RpcReindexer("127.0.0.1", server.port, "rpcdb")
+    yield c
+    c.close()
+
+
+IDX = [IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+       IndexDef("year", "tree", "int")]
+
+
+def test_rpc_crud_select(client):
+    assert client.ping()
+    client.open_namespace("r", IDX)
+    for i in range(10):
+        client.upsert("r", {"id": i, "year": 2000 + i})
+    assert "r" in client.namespace_names()
+    res = client.select(Query("r").where("year", ">", 2005).sort("id"))
+    assert [d["id"] for d in res.docs()] == [6, 7, 8, 9]
+    res2 = client.select("SELECT * FROM r WHERE id = 3")
+    assert res2.docs()[0]["year"] == 2003
+    # aggregations over the wire
+    res3 = client.select(Query("r").aggregate_sum("year"))
+    assert res3.aggregations[0].value == sum(2000 + i for i in range(10))
+    client.delete("r", {"id": 3})
+    assert len(client.select(Query("r").where("id", "=", 3))) == 0
+
+
+def test_rpc_cursor_paging(server):
+    c = RpcReindexer("127.0.0.1", server.port, "rpcdb", fetch_limit=7)
+    try:
+        c.open_namespace("big", IDX)
+        for i in range(50):
+            c.upsert("big", {"id": i, "year": i})
+        res = c.select(Query("big").sort("id"))
+        assert len(res) == 50
+        assert [d["id"] for d in res.docs()] == list(range(50))
+    finally:
+        c.close()
+
+
+def test_rpc_tx(client):
+    client.open_namespace("t", IDX)
+    tx = client.new_transaction("t")
+    tx.upsert({"id": 100, "year": 2100})
+    tx.upsert({"id": 101, "year": 2101})
+    assert tx.commit() == 2
+    assert len(client.select(Query("t"))) == 2
+    tx2 = client.new_transaction("t")
+    tx2.upsert({"id": 102, "year": 2102})
+    tx2.rollback()
+    assert len(client.select(Query("t"))) == 2
+
+
+def test_rpc_meta_and_errors(client):
+    client.open_namespace("m", IDX)
+    client.put_meta("m", "k", "v")
+    assert client.get_meta("m", "k") == "v"
+    with pytest.raises(NotFoundError):
+        client.drop_namespace("missing_ns")
+    with pytest.raises(QueryError):
+        client.select("THIS IS NOT SQL")
