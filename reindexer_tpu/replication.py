@@ -163,6 +163,24 @@ class HttpLeaderChannel:
         return self._get(f"/api/v1/db/{self.db_name}/replication/snapshot")
 
 
+class RpcLeaderChannel:
+    """Binary-RPC transport (reference: replication rides cproto verbs,
+    rpcserver.cc:1382-1384 GetSnapshot/updates)."""
+
+    def __init__(self, host: str, port: int, db_name: str,
+                 user: str = "", password: str = ""):
+        from .net.rpc_client import RpcReindexer
+        self._client = RpcReindexer(host, port, db_name, user, password)
+
+    def updates(self, from_lsn: int) -> dict:
+        from .net.protocol import Cmd
+        return json.loads(self._client._call(Cmd.GET_UPDATES, [from_lsn])[0])
+
+    def snapshot(self) -> dict:
+        from .net.protocol import Cmd
+        return json.loads(self._client._call(Cmd.GET_SNAPSHOT, [])[0])
+
+
 class AsyncReplicator:
     """Follower-side replication thread (reference: ReplThread,
     cluster/replication/replicationthread.cc)."""

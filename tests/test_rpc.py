@@ -86,3 +86,19 @@ def test_rpc_meta_and_errors(client):
         client.drop_namespace("missing_ns")
     with pytest.raises(QueryError):
         client.select("THIS IS NOT SQL")
+
+
+def test_replication_over_rpc(server):
+    from reindexer_tpu import Reindexer
+    from reindexer_tpu.replication import (AsyncReplicator, ReplicationState,
+                                           RpcLeaderChannel)
+    leader = server.mgr.create("repldb")
+    state = ReplicationState(leader)
+    leader.open_namespace("t", IDX)
+    leader.upsert("t", {"id": 1, "year": 2001})
+    leader.upsert("t", {"id": 2, "year": 2002})
+    follower = Reindexer()
+    chan = RpcLeaderChannel("127.0.0.1", server.port, "repldb")
+    repl = AsyncReplicator(follower, chan)
+    repl.sync_once()
+    assert sorted(d["id"] for d in follower.select(Query("t")).docs()) == [1, 2]
