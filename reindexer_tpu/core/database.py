@@ -234,10 +234,10 @@ class Reindexer:
         program (SURVEY.md §7 stage 8 — streaming arrivals fold into padded
         device batches; single-query selects cannot amortize dispatch)."""
         import numpy as np
-        from ..index.vector.base import FloatVectorIndexBase
         ns = self.get_namespace(ns_name)
+        idef = ns.index_def(field)
         index = ns.get_index(field)
-        if not isinstance(index, FloatVectorIndexBase):
+        if idef is None or not idef.is_vector or index is None:
             raise QueryError(f"'{field}' is not a float_vector index")
         with ns.lock:
             results = index.select_batch(np.asarray(queries,

@@ -27,13 +27,20 @@ def create_index(idef: IndexDef) -> Index:
     if idef.index_type == IndexType.TEXT:
         from .text import FullTextIndex
         return FullTextIndex(idef)
-    if idef.index_type == IndexType.VEC_BF:
-        from .vector.brute_force import BruteForceIndex
-        return BruteForceIndex(idef)
-    if idef.index_type == IndexType.HNSW:
-        from .vector.hnsw import HnswIndex
-        return HnswIndex(idef)
-    if idef.index_type == IndexType.IVF:
-        from .vector.ivf import IvfIndex
-        return IvfIndex(idef)
+    if idef.index_type in (IndexType.VEC_BF, IndexType.HNSW, IndexType.IVF):
+        if idef.index_type == IndexType.VEC_BF:
+            from .vector.brute_force import BruteForceIndex
+            inner = BruteForceIndex(idef)
+        elif idef.index_type == IndexType.HNSW:
+            from .vector.hnsw import HnswIndex
+            inner = HnswIndex(idef)
+        else:
+            from .vector.ivf import IvfIndex
+            inner = IvfIndex(idef)
+        if idef.opts.is_array:
+            # multiple vectors per document with per-doc dedup
+            # (reference: float_vector.md:624-630 array vector indexes)
+            from .vector.array_adapter import ArrayVectorIndex
+            return ArrayVectorIndex(idef, inner)
+        return inner
     raise ParamsError(f"unknown index type: {idef.index_type}")

@@ -388,9 +388,9 @@ class Selecter:
 
     def _eval_knn(self, ns: Namespace, entry: KnnQueryEntry,
                   cap: int) -> tuple[np.ndarray, RankSource]:
-        from ..index.vector.base import FloatVectorIndexBase
+        idef = ns.index_def(entry.field)
         index = ns.get_index(entry.field)
-        if not isinstance(index, FloatVectorIndexBase):
+        if idef is None or not idef.is_vector or index is None:
             raise QueryError(f"KNN condition requires a float_vector index, "
                              f"'{entry.field}' is not one")
         value = entry.value

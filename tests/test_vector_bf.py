@@ -222,3 +222,31 @@ def test_knn_batch_api(rng):
     hb = db.knn_batch("kb", "hv", queries, HnswSearchParams(k=3, ef=16))
     for qi, want in enumerate([3, 40, 77]):
         assert hb[qi].docs()[0]["id"] == want
+
+
+def test_array_vector_index(rng):
+    """Multiple vectors per doc + best-match dedup
+    (reference: float_vector.md:624-630)."""
+    from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts,
+                               IndexType, Query, Reindexer, VectorMetric)
+    from reindexer_tpu.index.vector.params import KnnSearchParams
+    db = Reindexer()
+    db.open_namespace("av", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("vecs", IndexType.VEC_BF, opts=IndexOpts(is_array=True),
+                 vector_opts=FloatVectorOpts(dims=4, metric=VectorMetric.L2)),
+    ])
+    db.upsert("av", {"id": 1, "vecs": [[0.0, 0, 0, 0], [10.0, 0, 0, 0]]})
+    db.upsert("av", {"id": 2, "vecs": [[5.0, 0, 0, 0]]})
+    db.upsert("av", {"id": 3, "vecs": []})
+    q = np.zeros(4, np.float32)
+    res = db.select(Query("av").where_knn("vecs", q, KnnSearchParams(k=3)))
+    got = [d["id"] for d in res.docs()]
+    # doc 1 has TWO vectors near/far; dedup keeps the best -> k=3 returns 2 docs
+    assert got == [1, 2]
+    ranks = [it.rank for it in res]
+    assert ranks[0] == pytest.approx(0.0) and ranks[1] == pytest.approx(25.0)
+    # update replaces the vector set
+    db.upsert("av", {"id": 1, "vecs": [[100.0, 0, 0, 0]]})
+    res2 = db.select(Query("av").where_knn("vecs", q, KnnSearchParams(k=3)))
+    assert [d["id"] for d in res2.docs()] == [2, 1]
