@@ -81,7 +81,13 @@ class RpcServer:
 
     def stop(self) -> None:
         if self._loop is not None:
-            self._loop.call_soon_threadsafe(self._loop.stop)
+            def shutdown():
+                if self._server is not None:
+                    self._server.close()
+                for task in asyncio.all_tasks(self._loop):
+                    task.cancel()
+                self._loop.stop()
+            self._loop.call_soon_threadsafe(shutdown)
         if self._thread is not None:
             self._thread.join(timeout=5)
 
