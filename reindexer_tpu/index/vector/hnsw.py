@@ -33,7 +33,7 @@ from ...core.payload import IndexDef
 from ...core.type_consts import RankOrdering, VectorMetric
 from ...ops.distance import normalize_rows, scores_to_ranks
 from ...ops.hnsw_kernels import beam_search_layer, greedy_descend, \
-    heuristic_select
+    insert_layer
 from ..base import SelectKeyResult
 from .base import FloatVectorIndexBase
 from .params import HnswSearchParams, KnnSearchParams
@@ -241,7 +241,18 @@ class HnswIndex(FloatVectorIndexBase):
             chunk_ids = np.empty((B, 0), dtype=np.int32)
             chunk_scores = np.empty((B, 0), dtype=np.float32)
 
-        # walk down from the top; connect at layers <= point level
+        # padded chunk-internal candidate arrays for the fused program
+        kcp = _pow2(max(kc, 1), 8)
+        cm_ids_pad = np.full((qpad, kcp), -1, dtype=np.int32)
+        cm_sc_pad = np.full((qpad, kcp), -np.inf, dtype=np.float32)
+        if kc > 0:
+            cm_ids_pad[:B, :kc] = chunk_ids
+            cm_sc_pad[:B, :kc] = chunk_scores
+        lvl_of = {int(r): int(levels[j]) for j, r in enumerate(rows)}
+
+        # walk down from the top; connect at layers <= point level.
+        # each connecting layer is ONE fused device program (beam + batch
+        # candidate merge + heuristic — ops/hnsw_kernels.insert_layer)
         for lc in range(self._max_level, -1, -1):
             links_l = self._device_layer(lc)
             connect_here = np.flatnonzero(levels >= lc) if lc > 0 else \
@@ -253,30 +264,23 @@ class HnswIndex(FloatVectorIndexBase):
                     self.metric)
                 ents = np.asarray(nxt)
                 continue
-            bs, bi = beam_search_layer(
-                qd, data, sq, links_l, jnp.asarray(ents)[:, None],
-                ef=efc, expand=2, max_iters=2 * efc, metric=self.metric)
-            bs_np, bi_np = np.asarray(bs), np.asarray(bi)
-            ents = np.where(bi_np[:, 0] >= 0, bi_np[:, 0], ents)
-            sub = connect_here
-            ci = bi_np[:B][sub]
-            cs = bs_np[:B][sub]
-            if kc > 0:
+            if lc > 0 and kc > 0:
                 # only chunk members that reach this layer are candidates
-                lvl_of = {int(r): int(levels[j]) for j, r in enumerate(rows)}
-                cm_ids = chunk_ids[sub]
-                cm_sc = chunk_scores[sub].copy()
-                if lc > 0:
-                    ok = np.vectorize(
-                        lambda r: lvl_of.get(int(r), -1) >= lc)(cm_ids)
-                    cm_sc = np.where(ok, cm_sc, -np.inf)
-                ci = np.concatenate([ci, cm_ids], axis=1)
-                cs = np.concatenate([cs, cm_sc], axis=1)
-                order = np.argsort(-cs, axis=1, kind="stable")
-                ci = np.take_along_axis(ci, order, axis=1)
-                cs = np.take_along_axis(cs, order, axis=1)
-                ci = np.where(cs > -np.inf, ci, -1)
-            self._connect(lc, [rows[j] for j in sub], ci, cs)
+                ok = np.vectorize(
+                    lambda r: lvl_of.get(int(r), -1) >= lc)(cm_ids_pad[:B])
+                cm_sc = np.where(ok, cm_sc_pad[:B], -np.inf)
+                layer_sc = np.full((qpad, kcp), -np.inf, dtype=np.float32)
+                layer_sc[:B] = cm_sc
+            else:
+                layer_sc = cm_sc_pad
+            sel_d, ents_d = insert_layer(
+                qd, data, sq, links_l, jnp.asarray(ents),
+                jnp.asarray(cm_ids_pad), jnp.asarray(layer_sc),
+                ef=efc, expand=2, max_iters=2 * efc, m=self.m,
+                metric=self.metric)
+            ents = np.asarray(ents_d)
+            sel = np.asarray(sel_d)[:B][connect_here]
+            self._connect_selected(lc, [rows[j] for j in connect_here], sel)
 
         # register levels / entry updates
         for j, r in enumerate(rows):
@@ -294,22 +298,11 @@ class HnswIndex(FloatVectorIndexBase):
                                           dtype=np.int32))
             self._full_sync = True
 
-    def _connect(self, layer: int, rows: list[int], cand_ids: np.ndarray,
-                 cand_scores: np.ndarray) -> None:
-        """Link `rows` into `layer` given their beam candidates."""
-        B = len(rows)
+    def _connect_selected(self, layer: int, rows: list[int],
+                          sel: np.ndarray) -> None:
+        """Link `rows` into `layer` given their heuristic-selected neighbors
+        (sel int32[B, m], -1 padded)."""
         m_l = self.m0 if layer == 0 else self.m
-        C = cand_ids.shape[1]
-        bpad = _pow2(B)
-        ci = np.full((bpad, C), -1, dtype=np.int32)
-        cs = np.full((bpad, C), -np.inf, dtype=np.float32)
-        ci[:B], cs[:B] = cand_ids, cand_scores
-        safe = np.where(ci >= 0, ci, 0)
-        cv = self._host_vecs[safe]
-        sel = np.asarray(heuristic_select(
-            jnp.asarray(ci), jnp.asarray(cs), jnp.asarray(cv),
-            m=self.m, metric=self.metric))[:B]
-
         links = self._links0 if layer == 0 else self._upper[
             len(self._upper) - layer]
         dirty = self._dirty0 if layer == 0 else \

@@ -205,6 +205,43 @@ def greedy_descend(
     return cur
 
 
+@functools.partial(
+    jax.jit, static_argnames=("ef", "expand", "max_iters", "m", "metric"))
+def insert_layer(
+    queries: jnp.ndarray,        # f32[Q, D] new points
+    data: jnp.ndarray,           # f32[N, D]
+    data_sq: jnp.ndarray,        # f32[N]
+    links: jnp.ndarray,          # int32[N, M] this layer
+    entry_ids: jnp.ndarray,      # int32[Q]
+    cand_extra_ids: jnp.ndarray,     # int32[Q, KC] chunk-internal cands (-1 pad)
+    cand_extra_scores: jnp.ndarray,  # f32[Q, KC]
+    ef: int, expand: int, max_iters: int, m: int, metric: VectorMetric,
+):
+    """One fused insertion step for a whole batch on one layer: efC beam
+    search + merge of batch-internal candidates + neighbor-selection
+    heuristic — a single device dispatch per (chunk, layer) instead of
+    beam/heuristic round-trips (the device analog of the reference's
+    per-point addPoint pipeline, hnswalg.h:1402).
+
+    Returns (selected int32[Q, m] best-first (-1 pad), next_entries int32[Q]).
+    """
+    bs, bi = beam_search_layer(queries, data, data_sq, links,
+                               entry_ids[:, None], ef, expand, max_iters,
+                               metric)
+    next_ents = jnp.where(bi[:, 0] >= 0, bi[:, 0], entry_ids)
+    # merge chunk-internal candidates, re-sort best-first
+    all_s = jnp.concatenate([bs, cand_extra_scores], axis=1)
+    all_i = jnp.concatenate([bi, cand_extra_ids], axis=1)
+    all_s = jnp.where(all_i >= 0, all_s, NEG_INF)
+    srt_s, pos = jax.lax.top_k(all_s, all_s.shape[1])
+    srt_i = jnp.take_along_axis(all_i, pos, axis=1)
+    srt_i = jnp.where(srt_s > NEG_INF, srt_i, -1)
+    safe = jnp.where(srt_i >= 0, srt_i, 0)
+    cand_vecs = data[safe]
+    sel = heuristic_select(srt_i, srt_s, cand_vecs, m, metric)
+    return sel, next_ents
+
+
 @functools.partial(jax.jit, static_argnames=("m", "metric"))
 def heuristic_select(
     cand_ids: jnp.ndarray,     # int32[B, C] sorted best-first (-1 pad)
