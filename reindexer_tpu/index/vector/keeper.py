@@ -154,6 +154,27 @@ class VectorKeeper:
         self.valid = jnp.zeros((self.capacity,), dtype=jnp.bool_)
         self.sq = jnp.zeros((self.capacity,), dtype=jnp.float32)
 
+    def bulk_load(self, matrix: np.ndarray, start_row: int = 0) -> None:
+        """Bulk ingest a [N, dims] block in one device transfer — the fast
+        path for loaders/benchmarks (the per-row set() path exists for the
+        normal modify pipeline)."""
+        matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+        if matrix.ndim != 2 or matrix.shape[1] != self.dims:
+            raise ParamsError("bulk_load expects [N, dims] float32")
+        if self.metric == VectorMetric.COSINE:
+            matrix = normalize_rows(matrix)
+        n = matrix.shape[0]
+        self.flush()
+        self._grow_to(start_row + n)
+        prev_valid = int(np.asarray(self.valid[start_row: start_row + n]).sum())
+        self.data = self.data.at[start_row: start_row + n].set(
+            jnp.asarray(matrix))
+        self.valid = self.valid.at[start_row: start_row + n].set(True)
+        self.sq = self.sq.at[start_row: start_row + n].set(
+            jnp.asarray(np.sum(matrix * matrix, axis=1, dtype=np.float32)))
+        self.count += n - prev_valid
+        self._max_row = max(self._max_row, start_row + n - 1)
+
     # --- access ---------------------------------------------------------
     def prepare_query(self, vec: np.ndarray) -> np.ndarray:
         vec = np.asarray(vec, dtype=np.float32).reshape(-1)
