@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from ...core.payload import IndexDef
 from ...core.type_consts import RankOrdering, VectorMetric
 from ...ops.distance import normalize_rows, scores_to_ranks
-from ...ops.hnsw_kernels import beam_search_layer, greedy_descend, \
-    insert_layer
+from ...ops.hnsw_kernels import DataPack, beam_search_layer, \
+    greedy_descend, insert_layer
 from ..base import SelectKeyResult
 from .base import FloatVectorIndexBase
 from .params import HnswSearchParams, KnnSearchParams
@@ -89,6 +89,12 @@ class HnswIndex(FloatVectorIndexBase):
         self._dirty0: set[int] = set()
         self._dirty_upper: dict[int, set[int]] = {}   # layer idx -> rows
         self._full_sync = True
+        qc = vo.quantization
+        self._quant = None
+        if qc.enabled:
+            from .quantization import QuantizedStore
+            self._quant = QuantizedStore(qc.left_quantile, qc.right_quantile,
+                                         qc.min_elements)
 
     # ------------------------------------------------------------------
     # mutation
@@ -190,6 +196,22 @@ class HnswIndex(FloatVectorIndexBase):
             chunk = min(chunk * 2, _CHUNK_MAX)
         self._pending.clear()
 
+    def _pack(self, for_search: bool) -> DataPack:
+        """Vector storage for the graph kernels. Searches use the SQ8 codes
+        when quantization is active (reference: quantized HNSW storage,
+        hnswalg.h uint8 template + float_vector.md:296+); inserts always use
+        the exact fp32 rows."""
+        if for_search and self._quant is not None:
+            if self._quant.need_requantize(self.keeper.count,
+                                           self.keeper.capacity):
+                self._quant.quantize(self.keeper)
+            elif self._quant.need_refresh(self.keeper.count):
+                self._quant.refresh(self.keeper)
+            if self._quant.active:
+                return DataPack(self._quant.codes, self.keeper.sq,
+                                self._quant.lo, self._quant.alpha)
+        return DataPack(self.keeper.data, self.keeper.sq)
+
     def _sample_level(self) -> int:
         return int(-math.log(max(self._rng.random(), 1e-12)) * self._mult)
 
@@ -213,7 +235,7 @@ class HnswIndex(FloatVectorIndexBase):
         q = np.zeros((qpad, self.dims), dtype=np.float32)
         q[:B] = vecs
         qd = jnp.asarray(q)
-        data, sq = self.keeper.data, self.keeper.sq
+        pack = self._pack(for_search=False)
 
         ents = np.full(qpad, self._entry, dtype=np.int32)
         efc = _pow2(self.ef_construction)
@@ -260,7 +282,7 @@ class HnswIndex(FloatVectorIndexBase):
             if len(connect_here) == 0:
                 # pure descent on this layer
                 nxt = greedy_descend(
-                    qd, data, sq, links_l[None], jnp.asarray(ents),
+                    qd, pack, links_l[None], jnp.asarray(ents),
                     self.metric)
                 ents = np.asarray(nxt)
                 continue
@@ -274,7 +296,7 @@ class HnswIndex(FloatVectorIndexBase):
             else:
                 layer_sc = cm_sc_pad
             sel_d, ents_d = insert_layer(
-                qd, data, sq, links_l, jnp.asarray(ents),
+                qd, pack, links_l, jnp.asarray(ents),
                 jnp.asarray(cm_ids_pad), jnp.asarray(layer_sc),
                 ef=efc, expand=2, max_iters=2 * efc, m=self.m,
                 metric=self.metric)
@@ -418,15 +440,15 @@ class HnswIndex(FloatVectorIndexBase):
         q = np.zeros((qpad, self.dims), dtype=np.float32)
         q[:Q] = queries
         qd = jnp.asarray(q)
-        data, sq = self.keeper.data, self.keeper.sq
+        pack = self._pack(for_search=True)
 
         ents = np.full(qpad, self._entry, dtype=np.int32)
         if self._max_level > 0 and self._d_upper is not None:
             ents = np.asarray(greedy_descend(
-                qd, data, sq, self._d_upper, jnp.asarray(ents), self.metric))
+                qd, pack, self._d_upper, jnp.asarray(ents), self.metric))
         ef_pad = _pow2(ef, 16)
         bs, bi = beam_search_layer(
-            qd, data, sq, self._d_links0, jnp.asarray(ents)[:, None],
+            qd, pack, self._d_links0, jnp.asarray(ents)[:, None],
             ef=ef_pad, expand=2, max_iters=2 * ef_pad, metric=self.metric)
         bs = np.asarray(bs)[:Q]
         bi = np.asarray(bi)[:Q]

@@ -41,13 +41,63 @@ def _score_gathered(q: jnp.ndarray, vecs: jnp.ndarray, vec_sq: jnp.ndarray,
     return dots
 
 
+class DataPack:
+    """Vector storage handed to the graph kernels: fp32 rows or SQ8 codes
+    (reference: HierarchicalNSWImpl templated over float/uint8 storage,
+    hnswalg.h). Hashable per (id of arrays) so jit treats it as static-free
+    pytree via tree flattening below."""
+
+    def __init__(self, data, data_sq, lo=None, alpha=None):
+        self.data = data          # f32[N, D] or uint8[N, D] codes
+        self.data_sq = data_sq    # f32[N] exact |v|^2 (L2 correction)
+        self.lo = lo              # f32[D] quantization offsets (codes only)
+        self.alpha = alpha        # f32[D] quantization scales (codes only)
+
+    @property
+    def quantized(self) -> bool:
+        return self.lo is not None
+
+    def tree_flatten(self):
+        if self.lo is None:
+            return (self.data, self.data_sq), False
+        return (self.data, self.data_sq, self.lo, self.alpha), True
+
+    @classmethod
+    def tree_unflatten(cls, quantized, children):
+        if not quantized:
+            return cls(children[0], children[1])
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    DataPack, DataPack.tree_flatten, DataPack.tree_unflatten)
+
+
+def _score_ids(q: jnp.ndarray, pack: DataPack, ids: jnp.ndarray,
+               metric: VectorMetric) -> jnp.ndarray:
+    """Gather + score rows `ids` [Q, K] against q [Q, D] (higher-better);
+    callers mask invalid ids themselves. Dequantization fuses into the
+    contraction for SQ8 packs (v ~ lo + alpha*code)."""
+    if not pack.quantized:
+        return _score_gathered(q, pack.data[ids], pack.data_sq[ids], metric)
+    codes = pack.data[ids].astype(jnp.float32)        # [Q, K, D]
+    qa = q * pack.alpha[None, :]
+    dots = jnp.einsum("qkd,qd->qk", codes, qa,
+                      preferred_element_type=jnp.float32)
+    dots = dots + jnp.dot(q, pack.lo,
+                          preferred_element_type=jnp.float32)[:, None]
+    if metric == VectorMetric.L2:
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+        return 2.0 * dots - pack.data_sq[ids] - q_sq
+    return dots
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "expand", "max_iters", "metric"))
 def beam_search_layer(
     queries: jnp.ndarray,      # f32[Q, D]
-    data: jnp.ndarray,         # f32[N, D]
-    data_sq: jnp.ndarray,      # f32[N]
+    pack: DataPack,            # fp32 rows or SQ8 codes
     links: jnp.ndarray,        # int32[N, M]  (-1 = empty slot)
     entry_ids: jnp.ndarray,    # int32[Q, E0] starting beam (-1 pad)
     ef: int, expand: int, max_iters: int, metric: VectorMetric,
@@ -68,8 +118,7 @@ def beam_search_layer(
     e0 = entry_ids.shape[1]
     entry_valid = entry_ids >= 0
     safe_entry = jnp.where(entry_valid, entry_ids, 0)
-    entry_scores = _score_gathered(
-        queries, data[safe_entry], data_sq[safe_entry], metric)
+    entry_scores = _score_ids(queries, pack, safe_entry, metric)
     entry_scores = jnp.where(entry_valid, entry_scores, NEG_INF)
 
     beam_ids = jnp.full((Q, ef), -1, dtype=jnp.int32)
@@ -131,7 +180,7 @@ def beam_search_layer(
             jnp.broadcast_to(qrows, (Q, K)), safe >> 5].add(
             jnp.where(fresh, bit, jnp.uint32(0)), mode="drop")
 
-        scores = _score_gathered(queries, data[safe], data_sq[safe], metric)
+        scores = _score_ids(queries, pack, safe, metric)
         scores = jnp.where(fresh, scores, NEG_INF)
 
         # merge into beam
@@ -155,8 +204,7 @@ def beam_search_layer(
 @functools.partial(jax.jit, static_argnames=("metric", "max_hops"))
 def greedy_descend(
     queries: jnp.ndarray,      # f32[Q, D]
-    data: jnp.ndarray,         # f32[N, D]
-    data_sq: jnp.ndarray,      # f32[N]
+    pack: DataPack,            # fp32 rows or SQ8 codes
     links_stack: jnp.ndarray,  # int32[Lu, N, m] upper layers, TOP first
     entry: jnp.ndarray,        # int32[Q]
     metric: VectorMetric, max_hops: int = 64,
@@ -172,7 +220,7 @@ def greedy_descend(
     def score_of(ids):
         v = ids >= 0
         safe = jnp.where(v, ids, 0)
-        s = _score_gathered(queries, data[safe], data_sq[safe], metric)
+        s = _score_ids(queries, pack, safe, metric)
         return jnp.where(v, s, NEG_INF)
 
     def one_layer(l, carry):
@@ -209,8 +257,7 @@ def greedy_descend(
     jax.jit, static_argnames=("ef", "expand", "max_iters", "m", "metric"))
 def insert_layer(
     queries: jnp.ndarray,        # f32[Q, D] new points
-    data: jnp.ndarray,           # f32[N, D]
-    data_sq: jnp.ndarray,        # f32[N]
+    pack: DataPack,              # vector storage (fp32 during build)
     links: jnp.ndarray,          # int32[N, M] this layer
     entry_ids: jnp.ndarray,      # int32[Q]
     cand_extra_ids: jnp.ndarray,     # int32[Q, KC] chunk-internal cands (-1 pad)
@@ -225,7 +272,7 @@ def insert_layer(
 
     Returns (selected int32[Q, m] best-first (-1 pad), next_entries int32[Q]).
     """
-    bs, bi = beam_search_layer(queries, data, data_sq, links,
+    bs, bi = beam_search_layer(queries, pack, links,
                                entry_ids[:, None], ef, expand, max_iters,
                                metric)
     next_ents = jnp.where(bi[:, 0] >= 0, bi[:, 0], entry_ids)
@@ -237,7 +284,12 @@ def insert_layer(
     srt_i = jnp.take_along_axis(all_i, pos, axis=1)
     srt_i = jnp.where(srt_s > NEG_INF, srt_i, -1)
     safe = jnp.where(srt_i >= 0, srt_i, 0)
-    cand_vecs = data[safe]
+    if pack.quantized:
+        cand_vecs = (pack.lo[None, None, :]
+                     + pack.alpha[None, None, :]
+                     * pack.data[safe].astype(jnp.float32))
+    else:
+        cand_vecs = pack.data[safe]
     sel = heuristic_select(srt_i, srt_s, cand_vecs, m, metric)
     return sel, next_ents
 

@@ -134,3 +134,24 @@ def test_hnsw_via_query(rng):
     res = db.select(Query("v").where_knn(
         "vec", base[17], HnswSearchParams(k=3, ef=16)))
     assert res.docs()[0]["id"] == 17
+
+
+def test_hnsw_quantized_search(rng):
+    """SQ8 traversal (reference: quantized HNSW storage) keeps recall."""
+    from reindexer_tpu import QuantizationConfig
+    idef = IndexDef("vec", IndexType.HNSW, vector_opts=FloatVectorOpts(
+        dims=16, metric=VectorMetric.L2, m=8, ef_construction=64,
+        quantization=QuantizationConfig(enabled=True, min_elements=64)))
+    idx = HnswIndex(idef)
+    base = rng.normal(size=(400, 16)).astype(np.float32)
+    for i in range(400):
+        idx.upsert(i, base[i])
+    hits = total = 0
+    for _ in range(10):
+        q = rng.normal(size=16).astype(np.float32)
+        res = idx.select(q, HnswSearchParams(k=10, ef=64))
+        want = set(np.argsort(np.sum((base - q) ** 2, axis=1))[:10].tolist())
+        hits += len(set(res.ids.tolist()) & want)
+        total += 10
+    assert idx._quant is not None and idx._quant.active
+    assert hits / total >= 0.85, hits / total
