@@ -19,7 +19,7 @@ from typing import Optional
 
 from ..core.errors import QueryError
 
-_SPECIALS = set("+-@*^~=\"\\")
+_SPECIALS = set("+-@*^~=,\"\\")
 
 
 @dataclasses.dataclass

@@ -100,6 +100,95 @@ def sum_ranks(
     return sum_rank, ok
 
 
+def sum_ranks_fielded(
+    gather_idx, g_term, g_weight, g_idf,
+    post_doc, post_field, post_tf, post_minpos, doc_words,
+    field_boost, field_bm25_boost, field_bm25_weight,
+    field_pos_boost, field_pos_weight,
+    term_boost, term_lenboost, must_mask, not_mask,
+    sum_fields_mask,            # bool[F] '+'-marked fields
+    ratio: float,
+    k1, b, avg_len, t_count: int, f_count: int, cap: int, bm25_type: str,
+):
+    """Field-rank summation variant (reference: SumRanksByFieldsRatio,
+    fulltext.md:118-128): per (term, doc) the field ranks sort descending and
+    combine as Rmax + K*R1 + K^2*R2 + ... where only '+'-marked fields (plus
+    the maximum) participate. Costs an extra [T, F, cap] accumulator — used
+    only when the ratio is configured non-zero."""
+    doc = post_doc[gather_idx]
+    fld = post_field[gather_idx]
+    tf = post_tf[gather_idx]
+    minpos = post_minpos[gather_idx]
+    wdoc = jnp.maximum(doc_words[doc], 1.0)
+
+    if bm25_type == "word_count":
+        bm25 = tf
+    else:
+        t_freq = tf / wdoc if bm25_type == "classic" else tf
+        bm25 = (g_idf * t_freq * (k1 + 1.0)
+                / (t_freq + k1 * (1.0 - b + b * wdoc / avg_len)))
+    w_f = field_bm25_weight[fld]
+    bm25_norm = (1.0 - w_f) + bm25 * field_bm25_boost[fld] * w_f
+    pw = field_pos_weight[fld]
+    posrank = (1.0 - pw) + _pos2rank(minpos) * field_pos_boost[fld] * pw
+    subrank = (field_boost[fld] * g_weight * bm25_norm
+               * term_boost[g_term] * term_lenboost[g_term] * posrank)
+
+    acc3 = jnp.zeros((t_count, f_count, cap), dtype=jnp.float32)
+    acc3 = acc3.at[g_term, fld, doc].max(subrank, mode="drop")
+
+    # per (term, doc): sort field ranks desc, geometric-sum participants
+    v = jnp.transpose(acc3, (0, 2, 1))               # [T, cap, F]
+    order = jnp.argsort(-v, axis=2)
+    v_sorted = jnp.take_along_axis(v, order, axis=2)
+    part = jnp.take_along_axis(
+        jnp.broadcast_to(sum_fields_mask[None, None, :], v.shape),
+        order, axis=2)
+    first = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2) == 0
+    include = (first | part) & (v_sorted > 0.0)
+    j = jnp.cumsum(include.astype(jnp.int32), axis=2) - 1
+    w = jnp.where(include, ratio ** jnp.maximum(j, 0).astype(jnp.float32),
+                  0.0)
+    # the max (position 0) always has weight 1
+    w = jnp.where(first & include, 1.0, w)
+    acc = jnp.sum(v_sorted * w, axis=2)              # [T, cap]
+
+    present = acc > 0.0
+    excluded = jnp.any(present & not_mask[:, None], axis=0)
+    rank_acc = jnp.where(not_mask[:, None], 0.0, acc)
+    sum_rank = jnp.sum(rank_acc, axis=0)
+    all_must = jnp.all(present | ~must_mask[:, None], axis=0)
+    ok = all_must & ~excluded & (sum_rank > 0.0)
+    return sum_rank, ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_count", "f_count", "cap", "merge_k", "bm25_type",
+                     "ratio"))
+def score_and_merge_fielded(
+    gather_idx, g_term, g_weight, g_idf,
+    post_doc, post_field, post_tf, post_minpos, doc_words,
+    field_boost, field_bm25_boost, field_bm25_weight,
+    field_pos_boost, field_pos_weight,
+    term_boost, term_lenboost, must_mask, not_mask, sum_fields_mask,
+    k1, b, avg_len, t_count: int, f_count: int, cap: int, merge_k: int,
+    bm25_type: str, ratio: float,
+):
+    sum_rank, ok = sum_ranks_fielded(
+        gather_idx, g_term, g_weight, g_idf,
+        post_doc, post_field, post_tf, post_minpos, doc_words,
+        field_boost, field_bm25_boost, field_bm25_weight,
+        field_pos_boost, field_pos_weight,
+        term_boost, term_lenboost, must_mask, not_mask,
+        sum_fields_mask, ratio,
+        k1, b, avg_len, t_count, f_count, cap, bm25_type)
+    sum_rank = jnp.where(ok, sum_rank, NEG_INF)
+    top_s, top_i = jax.lax.top_k(sum_rank, merge_k)
+    top_i = jnp.where(top_s > NEG_INF, top_i, -1)
+    return top_s, top_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("t_count", "cap", "merge_k", "bm25_type"))

@@ -158,17 +158,38 @@ class FtSelector:
         import jax.numpy as jnp
         cap = dev["cap"]
         merge_k = min(cfg.merge_limit, cap)
-        scores, docs = score_and_merge(
-            jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
-            jnp.asarray(g_idf),
-            dev["post_doc"], dev["post_field"], dev["post_tf"],
-            dev["post_minpos"], dev["doc_words"],
-            jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(bw),
-            jnp.asarray(pb), jnp.asarray(pw),
-            jnp.asarray(term_boost), jnp.asarray(term_lenb),
-            jnp.asarray(must), jnp.asarray(notm),
-            cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
-            t_count, cap, merge_k, bm25_type)
+        sum_fields = [f.name for f in q.fields if f.sum_rank]
+        if cfg.sum_ranks_by_fields_ratio > 0 and sum_fields:
+            # field-rank summation (fulltext.md:118-128 '+'-marked fields)
+            sum_mask = np.zeros(len(fb), dtype=np.bool_)
+            for i, name in enumerate(h.field_names):
+                if name in sum_fields:
+                    sum_mask[i] = True
+            from .scorer import score_and_merge_fielded
+            scores, docs = score_and_merge_fielded(
+                jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
+                jnp.asarray(g_idf),
+                dev["post_doc"], dev["post_field"], dev["post_tf"],
+                dev["post_minpos"], dev["doc_words"],
+                jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(bw),
+                jnp.asarray(pb), jnp.asarray(pw),
+                jnp.asarray(term_boost), jnp.asarray(term_lenb),
+                jnp.asarray(must), jnp.asarray(notm), jnp.asarray(sum_mask),
+                cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
+                t_count, len(fb), cap, merge_k, bm25_type,
+                float(cfg.sum_ranks_by_fields_ratio))
+        else:
+            scores, docs = score_and_merge(
+                jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
+                jnp.asarray(g_idf),
+                dev["post_doc"], dev["post_field"], dev["post_tf"],
+                dev["post_minpos"], dev["doc_words"],
+                jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(bw),
+                jnp.asarray(pb), jnp.asarray(pw),
+                jnp.asarray(term_boost), jnp.asarray(term_lenb),
+                jnp.asarray(must), jnp.asarray(notm),
+                cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
+                t_count, cap, merge_k, bm25_type)
         scores = np.asarray(scores)
         docs = np.asarray(docs)
         keep = docs >= 0

@@ -285,3 +285,20 @@ def test_incremental_step_overflow():
     assert idx._full_dirty        # overflow forces full rebuild
     got = got_ids(db2.select(Query("docs").match("ft", "zzz")))
     assert len(got) == 5
+
+
+def test_sum_ranks_by_fields_ratio():
+    """'+'-marked fields sum their ranks with the configured ratio
+    (fulltext.md:118-128) instead of max-over-fields."""
+    db = make_db(ft_config={"sum_ranks_by_fields_ratio": 0.5})
+    db.upsert("docs", {"id": 1, "title": "alpha", "body": "alpha"})   # both
+    db.upsert("docs", {"id": 2, "title": "alpha", "body": "nothing"})  # one
+    res = db.select(Query("docs").match("ft", "@+title,+body alpha"))
+    got = got_ids(res)
+    assert got[0] == 1                      # summed rank beats single-field
+    r1 = next(it.rank for it in res if it.doc["id"] == 1)
+    r2 = next(it.rank for it in res if it.doc["id"] == 2)
+    assert r1 > r2
+    # without '+' marks the same data ranks by max-over-fields
+    res2 = db.select(Query("docs").match("ft", "@title,body alpha"))
+    assert set(got_ids(res2)) == {1, 2}
