@@ -75,16 +75,18 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     # per call; production serving batches the same way)
     q_all = jnp.asarray(rng.normal(size=(iters, batch, dims)).astype(np.float32))
 
+    # NOTE: pass the base as an ARGUMENT — closed-over device arrays embed
+    # into the compile payload (remote compile rejects/slows on >100MB)
     @jax.jit
-    def run_all(qs):
+    def run_all(qs, b, v, s):
         return jax.lax.map(
-            lambda q: knn_scan(q, base_d, valid_d, sq_d, k, VectorMetric.L2), qs)
+            lambda q: knn_scan(q, b, v, s, k, VectorMetric.L2), qs)
 
-    out = run_all(q_all)   # warmup/compile
+    out = run_all(q_all, base_d, valid_d, sq_d)   # warmup/compile
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    out = run_all(q_all)
+    out = run_all(q_all, base_d, valid_d, sq_d)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
@@ -131,14 +133,14 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     q_all = jnp.asarray(rng.normal(size=(iters, batch, dims)).astype(np.float32))
 
     @jax.jit
-    def run_all(qs):
+    def run_all(qs, c, lo, al, v, s):
         return jax.lax.map(lambda q: knn_scan_quantized(
-            q, codes_d, lo_d, alpha_d, valid_d, sq_d, k,
-            VectorMetric.L2), qs)
+            q, c, lo, al, v, s, k, VectorMetric.L2), qs)
 
-    jax.block_until_ready(run_all(q_all))
+    args = (q_all, codes_d, lo_d, alpha_d, valid_d, sq_d)
+    jax.block_until_ready(run_all(*args))
     t0 = time.perf_counter()
-    jax.block_until_ready(run_all(q_all))
+    jax.block_until_ready(run_all(*args))
     dt = (time.perf_counter() - t0) / iters
     sol = roofline_latency_s(cap, dims, batch, 1, V5E_FP32_FLOPS)
     print(f"# sq8_bf qps={batch/dt:.1f} lat={dt*1e3:.3f}ms "
