@@ -106,11 +106,12 @@ class IvfIndex(FloatVectorIndexBase):
         nlist = min(self.nlist, len(rows))
         n_train = min(len(rows), max(_TRAIN_FACTOR * nlist, _MIN_TRAIN))
         sample = self._rng.choice(rows, size=n_train, replace=False)
-        data = np.asarray(self.keeper.data)
-        train = data[sample]
-        init = train[self._rng.choice(n_train, size=nlist, replace=False)]
-        self.centroids = kmeans_l2(jnp.asarray(train), jnp.asarray(init),
-                                   _KMEANS_ITERS)
+        # gather the training sample on DEVICE (never pull the full base to
+        # host — 100s of MB at 1M rows)
+        train_d = self.keeper.data[jnp.asarray(sample, dtype=jnp.int32)]
+        init_rows = self._rng.choice(n_train, size=nlist, replace=False)
+        init_d = train_d[jnp.asarray(init_rows, dtype=jnp.int32)]
+        self.centroids = kmeans_l2(train_d, init_d, _KMEANS_ITERS)
         # re-assign every valid vector
         assign = np.asarray(assign_lists(
             self.keeper.data, self.centroids, self.metric))
@@ -138,9 +139,9 @@ class IvfIndex(FloatVectorIndexBase):
             valid = np.asarray(self.keeper.valid)
             rows = rows[valid[rows]]
             if len(rows):
-                vecs = np.asarray(self.keeper.data)[rows]
+                vecs_d = self.keeper.data[jnp.asarray(rows, dtype=jnp.int32)]
                 self._assign[rows] = np.asarray(assign_lists(
-                    jnp.asarray(vecs), self.centroids, self.metric))
+                    vecs_d, self.centroids, self.metric))
             self._csr_dirty = True
         # retrain when the index grew far beyond its training size
         if self.nlist_cfg == 0 and self.keeper.count > 0:
