@@ -12,6 +12,10 @@ import jax
 # sitecustomize may have pre-imported jax with the TPU plugin; switching the
 # platform before first backend use still selects CPU.
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeated suite runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
