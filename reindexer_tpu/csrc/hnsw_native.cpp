@@ -118,6 +118,11 @@ PyObject* connect_batch(PyObject* /*self*/, PyObject* args) {
             if (free_at >= 0) {
                 srow[free_at] = row;
             } else {
+                // overflow: re-run the neighbor-selection heuristic over
+                // (existing links + new edge) relative to s — keeping only
+                // the closest erodes graph diversity and recall at scale
+                // (reference: mutuallyConnectNewElement re-runs
+                // getNeighborsByHeuristic2, hnswalg.h:1043)
                 cand.clear();
                 const float* vs = V + (Py_ssize_t)s * D;
                 for (Py_ssize_t t = 0; t < m_l; t++) {
@@ -129,8 +134,21 @@ PyObject* connect_batch(PyObject* /*self*/, PyObject* args) {
                                  [](const auto& a, const auto& b) {
                                      return a.first < b.first;
                                  });
-                for (Py_ssize_t t = 0; t < m_l; t++) srow[t] = cand[t].second;
-                for (Py_ssize_t t = m_l; t < width; t++) srow[t] = -1;
+                Py_ssize_t kept = 0;
+                for (size_t ci = 0; ci < cand.size() && kept < m_l; ci++) {
+                    const float dq = cand[ci].first;
+                    const int32_t c = cand[ci].second;
+                    const float* vc = V + (Py_ssize_t)c * D;
+                    bool good = true;
+                    for (Py_ssize_t t = 0; t < kept; t++) {
+                        if (dist(vc, V + (Py_ssize_t)srow[t] * D, D) < dq) {
+                            good = false;
+                            break;
+                        }
+                    }
+                    if (good) srow[kept++] = c;
+                }
+                for (Py_ssize_t t = kept; t < width; t++) srow[t] = -1;
             }
             dirty.insert(s);
         }

@@ -347,7 +347,9 @@ class HnswIndex(FloatVectorIndexBase):
             links[row, :] = -1
             links[row, : len(nbrs)] = nbrs
             dirty.add(row)
-            # reverse edges with prune-to-closest on overflow
+            # reverse edges: free slot, else re-run the selection heuristic
+            # over (existing + new) relative to s (reference:
+            # mutuallyConnectNewElement, hnswalg.h:1043)
             for s in nbrs:
                 srow = links[s]
                 free = np.flatnonzero(srow < 0)
@@ -356,9 +358,20 @@ class HnswIndex(FloatVectorIndexBase):
                 else:
                     cand = np.concatenate([srow, [row]])
                     d = self._host_dists(int(s), cand)
-                    keep = cand[np.argsort(d, kind="stable")[:m_l]]
+                    order = np.argsort(d, kind="stable")
+                    kept: list[int] = []
+                    for ci in order:
+                        if len(kept) >= m_l:
+                            break
+                        c = int(cand[ci])
+                        dq = d[ci]
+                        dc = self._host_dists(c, np.asarray(kept,
+                                                            dtype=np.int64)) \
+                            if kept else np.empty(0)
+                        if not len(dc) or (dc >= dq).all():
+                            kept.append(c)
                     links[s, :] = -1
-                    links[s, : len(keep)] = keep
+                    links[s, : len(kept)] = kept
                 dirty.add(int(s))
 
     def _host_dists(self, center: int, ids: np.ndarray) -> np.ndarray:

@@ -104,16 +104,22 @@ def beam_search_layer(
 ):
     """Batched best-first beam search on one graph layer.
 
-    Returns (beam_scores f32[Q, ef], beam_ids int32[Q, ef]) sorted
-    best-first; empty slots are (-inf, -1). Each iteration expands the
-    `expand` best unexpanded beam entries per query (expand=1 reproduces the
-    reference's sequential ef-search exactly; larger values trade a slightly
-    wider frontier for fewer, fatter device steps).
+    Faithful batched form of the reference's ef-search (searchBaseLayerST,
+    hnswalg.h:967): a RESULT set W of size ef and a separate unexpanded
+    FRONTIER queue C — keeping them separate matters, because a frontier
+    node that ranks below the current top-ef results must still be
+    expandable (the classic algorithm pops candidates until the best
+    candidate is worse than the worst result). Each iteration expands the
+    `expand` best frontier nodes of every query at once.
+
+    Returns (w_scores f32[Q, ef], w_ids int32[Q, ef]) best-first; empty
+    slots are (-inf, -1).
     """
     Q, D = queries.shape
     N, M = links.shape
     n_words = (N + 31) // 32
     K = expand * M  # gathered candidates per iteration
+    fcap = ef       # frontier capacity (candidate queue)
 
     e0 = entry_ids.shape[1]
     entry_valid = entry_ids >= 0
@@ -121,11 +127,17 @@ def beam_search_layer(
     entry_scores = _score_ids(queries, pack, safe_entry, metric)
     entry_scores = jnp.where(entry_valid, entry_scores, NEG_INF)
 
-    beam_ids = jnp.full((Q, ef), -1, dtype=jnp.int32)
-    beam_scores = jnp.full((Q, ef), NEG_INF, dtype=jnp.float32)
-    beam_ids = beam_ids.at[:, :e0].set(jnp.where(entry_valid, entry_ids, -1))
-    beam_scores = beam_scores.at[:, :e0].set(entry_scores)
-    expanded = jnp.zeros((Q, ef), dtype=jnp.bool_)
+    w_ids = jnp.full((Q, ef), -1, dtype=jnp.int32)
+    w_s = jnp.full((Q, ef), NEG_INF, dtype=jnp.float32)
+    w_ids = w_ids.at[:, :e0].set(jnp.where(entry_valid, entry_ids, -1))
+    w_s = w_s.at[:, :e0].set(entry_scores)
+    c_ids = jnp.full((Q, fcap), -1, dtype=jnp.int32)
+    c_s = jnp.full((Q, fcap), NEG_INF, dtype=jnp.float32)
+    c_ids = c_ids.at[:, :e0].set(jnp.where(entry_valid, entry_ids, -1))
+    c_s = c_s.at[:, :e0].set(entry_scores)
+    # frontier must stay sorted best-first (pop reads the head)
+    c_s, cpos0 = jax.lax.top_k(c_s, fcap)
+    c_ids = jnp.take_along_axis(c_ids, cpos0, axis=1)
 
     visited = jnp.zeros((Q, n_words), dtype=jnp.uint32)
     qrows = jnp.arange(Q, dtype=jnp.int32)[:, None]
@@ -136,21 +148,21 @@ def beam_search_layer(
                   jnp.uint32(0)), mode="drop")
 
     def cond(state):
-        beam_scores, beam_ids, expanded, visited, it = state
-        frontier = (~expanded) & (beam_ids >= 0)
-        return jnp.logical_and(it < max_iters, jnp.any(frontier))
+        w_s, w_ids, c_s, c_ids, visited, it = state
+        # classic termination: stop when the best frontier node cannot
+        # improve the worst result (per query); run while any query active
+        c_best = c_s[:, 0]
+        w_worst = w_s[:, ef - 1]
+        active = (c_best > NEG_INF) & (c_best >= w_worst)
+        return jnp.logical_and(it < max_iters, jnp.any(active))
 
     def body(state):
-        beam_scores, beam_ids, expanded, visited, it = state
-        # pick the best `expand` unexpanded beam entries per query
-        front_scores = jnp.where((~expanded) & (beam_ids >= 0),
-                                 beam_scores, NEG_INF)
-        sel_s, sel_pos = jax.lax.top_k(front_scores, expand)   # [Q, expand]
-        sel_ok = sel_s > NEG_INF
-        expanded_new = expanded.at[
-            jnp.broadcast_to(qrows, (Q, expand)), sel_pos].max(sel_ok)
-        sel_ids = jnp.take_along_axis(beam_ids, sel_pos, axis=1)
-        sel_ids = jnp.where(sel_ok, sel_ids, 0)
+        w_s, w_ids, c_s, c_ids, visited, it = state
+        # pop the best `expand` frontier entries (frontier kept sorted)
+        sel_ids = jnp.where(c_s[:, :expand] > NEG_INF, c_ids[:, :expand], 0)
+        sel_ok = c_s[:, :expand] > NEG_INF
+        c_s = c_s.at[:, :expand].set(NEG_INF)
+        c_ids = c_ids.at[:, :expand].set(-1)
 
         # gather neighbors [Q, expand, M] -> [Q, K]
         nbrs = links[sel_ids].reshape(Q, K)
@@ -166,7 +178,6 @@ def beam_search_layer(
         dup = jnp.concatenate(
             [jnp.zeros((Q, 1), dtype=bool),
              sorted_ids[:, 1:] == sorted_ids[:, :-1]], axis=1)
-        # un-sort the dup mask
         inv = jnp.argsort(order, axis=1)
         dup = jnp.take_along_axis(dup, inv, axis=1)
         fresh = valid & ~dup
@@ -182,23 +193,26 @@ def beam_search_layer(
 
         scores = _score_ids(queries, pack, safe, metric)
         scores = jnp.where(fresh, scores, NEG_INF)
+        new_ids = jnp.where(fresh, nbrs, -1)
 
-        # merge into beam
-        merged_s = jnp.concatenate([beam_scores, scores], axis=1)
-        merged_i = jnp.concatenate([beam_ids, jnp.where(fresh, nbrs, -1)],
-                                   axis=1)
-        merged_e = jnp.concatenate(
-            [expanded_new, jnp.zeros((Q, K), dtype=jnp.bool_)], axis=1)
-        new_s, pos = jax.lax.top_k(merged_s, ef)
-        new_i = jnp.take_along_axis(merged_i, pos, axis=1)
-        new_e = jnp.take_along_axis(merged_e, pos, axis=1)
-        new_i = jnp.where(new_s > NEG_INF, new_i, -1)
-        return new_s, new_i, new_e, visited, it + 1
+        # results: W = top-ef of (W u new)
+        mw_s = jnp.concatenate([w_s, scores], axis=1)
+        mw_i = jnp.concatenate([w_ids, new_ids], axis=1)
+        w_s2, pos = jax.lax.top_k(mw_s, ef)
+        w_i2 = jnp.take_along_axis(mw_i, pos, axis=1)
+        w_i2 = jnp.where(w_s2 > NEG_INF, w_i2, -1)
 
-    beam_scores, beam_ids, expanded, visited, _ = jax.lax.while_loop(
-        cond, body, (beam_scores, beam_ids, expanded, visited,
-                     jnp.int32(0)))
-    return beam_scores, beam_ids
+        # frontier: C = top-fcap of (C u new), sorted best-first
+        mc_s = jnp.concatenate([c_s, scores], axis=1)
+        mc_i = jnp.concatenate([c_ids, new_ids], axis=1)
+        c_s2, cpos = jax.lax.top_k(mc_s, fcap)
+        c_i2 = jnp.take_along_axis(mc_i, cpos, axis=1)
+        c_i2 = jnp.where(c_s2 > NEG_INF, c_i2, -1)
+        return w_s2, w_i2, c_s2, c_i2, visited, it + 1
+
+    w_s, w_ids, c_s, c_ids, visited, _ = jax.lax.while_loop(
+        cond, body, (w_s, w_ids, c_s, c_ids, visited, jnp.int32(0)))
+    return w_s, w_ids
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "max_hops"))
