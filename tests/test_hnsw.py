@@ -155,3 +155,21 @@ def test_hnsw_quantized_search(rng):
         total += 10
     assert idx._quant is not None and idx._quant.active
     assert hits / total >= 0.85, hits / total
+
+
+def test_hnsw_recall_at_scale(rng):
+    """Regression guard for search quality (classic W/C ef-search +
+    heuristic reverse prune): recall@10 must stay hnswlib-class."""
+    n, dims, k = 2000, 32, 10
+    idx = make_index(dims=dims, metric=VectorMetric.INNER_PRODUCT,
+                     m=16, efc=128)
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    for i in range(n):
+        idx.upsert(i, base[i])
+    idx.commit()
+    queries = rng.normal(size=(16, dims)).astype(np.float32)
+    scores, ids = idx._search_batch(queries, 64)
+    oracle = np.argsort(-(queries @ base.T), axis=1)[:, :k]
+    hits = sum(len(set(ids[i, :k].tolist()) & set(oracle[i].tolist()))
+               for i in range(16))
+    assert hits / (16 * k) >= 0.92, hits / (16 * k)
