@@ -60,6 +60,9 @@ class FtSelector:
         self.holder = holder
         self.cfg = cfg
         self.synonyms = SynonymsMap(cfg.synonyms)
+        # device-resident field-param vectors cached per DSL field signature
+        # (5 small arrays otherwise re-uploaded every query)
+        self._fp_cache: dict = {}
 
     # ------------------------------------------------------------------
     def process(self, dsl: str, normalize: bool = True) -> FtSelectResult:
@@ -152,7 +155,14 @@ class FtSelector:
             must[i] = (t.op == "must") or t.phrase_group >= 0
             notm[i] = t.op == "not"
 
-        fb, bb, bw, pb, pw = self._field_params(q)
+        fp_key = tuple((f.name, f.boost, f.sum_rank) for f in q.fields)
+        cached = self._fp_cache.get(fp_key)
+        if cached is None:
+            import jax.numpy as _jnp
+            cached = tuple(_jnp.asarray(a) for a in self._field_params(q))
+            if len(self._fp_cache) < 64:
+                self._fp_cache[fp_key] = cached
+        fb, bb, bw, pb, pw = cached
 
         dev = h.device_arrays()
         import jax.numpy as jnp

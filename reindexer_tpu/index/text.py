@@ -50,6 +50,8 @@ class FullTextIndex(Index):
         self._delta_holder: Optional[FtDataHolder] = None
         self._cache: OrderedDict[str, SelectKeyResult] = OrderedDict()
         self._rows_capacity = 0
+        self._selector: Optional[FtSelector] = None
+        self._delta_selector: Optional[FtSelector] = None
 
     # --- mutation (write path stays cheap: just store text) -------------
     def upsert(self, row_id: int, values: Any) -> None:
@@ -108,12 +110,15 @@ class FullTextIndex(Index):
             self._delta_docs.clear()
             self._overridden.clear()
             self._delta_holder = None
+            self._selector = FtSelector(self.holder, self.cfg)
+            self._delta_selector = None
             return
         if self._delta_docs and self._delta_holder is None:
             self._delta_holder = FtDataHolder(self.cfg, self.field_names)
             self._delta_holder.build(
                 ((row, texts) for row, texts in self._delta_docs.items()),
                 self._rows_capacity)
+            self._delta_selector = FtSelector(self._delta_holder, self.cfg)
 
     # --- query ----------------------------------------------------------
     def supports(self, condition: CondType) -> bool:
@@ -137,15 +142,19 @@ class FullTextIndex(Index):
             self._cache.move_to_end(dsl)
             return cached
         self.commit()
-        res = FtSelector(self.holder, self.cfg).process(dsl, normalize=False)
+        if self._selector is None:
+            self._selector = FtSelector(self.holder, self.cfg)
+        res = self._selector.process(dsl, normalize=False)
         ids, scores, matched = res.ids, res.ranks, res.matched_words
         if self._overridden:
             keep = np.asarray([int(i) not in self._overridden for i in ids],
                               dtype=bool)
             ids, scores = ids[keep], scores[keep]
         if self._delta_holder is not None:
-            d = FtSelector(self._delta_holder, self.cfg).process(
-                dsl, normalize=False)
+            if self._delta_selector is None:
+                self._delta_selector = FtSelector(self._delta_holder,
+                                                  self.cfg)
+            d = self._delta_selector.process(dsl, normalize=False)
             ids = np.concatenate([ids, d.ids])
             scores = np.concatenate([scores, d.ranks])
             matched = matched | d.matched_words
