@@ -15,6 +15,21 @@ builder (query.go):
     db.upsert("items", {"id": 1, "vec": [0.1] * 128})
     res = db.select(Query("items").where_knn("vec", qvec, HnswSearchParams(k=10, ef=50)))
 """
+import os as _os
+
+if _os.environ.get("RX_TPU_COMPILE_CACHE", "1") not in ("0", "false"):
+    # persistent XLA compile cache: restarts reuse compiled search kernels
+    # (multi-minute remote compiles otherwise; see CLAUDE.md). Safe no-op if
+    # jax is configured already.
+    try:
+        import jax as _jax
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .core.database import Reindexer
 from .core.errors import (ConflictError, LogicError, NotFoundError, ParamsError,
                           QueryError, ReindexerError, StorageError)
