@@ -275,9 +275,37 @@ class Selecter:
     # ==================================================================
     # entries tree evaluation
     # ==================================================================
+    def _substitute_composite(self, ns: Namespace, entries: list) -> list:
+        """Composite-index substitution (reference: QueryPreprocessor
+        composite substitution, nsselecter/querypreprocessor.h:33-114):
+        top-level AND EQ conditions covering all sub-fields of a composite
+        index collapse into one composite lookup."""
+        composites = [d for d in ns.payload_type.indexes if d.is_composite]
+        if not composites:
+            return entries
+        eq_at: dict[str, int] = {}
+        for i, (op, e) in enumerate(entries):
+            if (op == OpType.AND and isinstance(e, QueryEntry)
+                    and e.condition == CondType.EQ and len(e.values) == 1
+                    and e.field not in eq_at):
+                eq_at[e.field] = i
+        for cdef in composites:
+            fields = list(cdef.json_paths)
+            if all(f in eq_at for f in fields):
+                key = tuple(entries[eq_at[f]][1].values[0] for f in fields)
+                drop = {eq_at[f] for f in fields}
+                new_entries = [ent for i, ent in enumerate(entries)
+                               if i not in drop]
+                new_entries.insert(
+                    min(drop),
+                    (OpType.AND, QueryEntry(cdef.name, CondType.EQ, (key,))))
+                return new_entries
+        return entries
+
     def _eval_entries(self, ns: Namespace, entries: list, q: Query,
                       exists: np.ndarray, explain_sel: list,
                       ) -> tuple[np.ndarray, dict[str, RankSource]]:
+        entries = self._substitute_composite(ns, entries)
         cap = len(exists)
         mask: Optional[np.ndarray] = None
         sources: dict[str, RankSource] = {}

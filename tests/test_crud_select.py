@@ -361,3 +361,28 @@ def test_equal_position():
     from reindexer_tpu.query.dsl import parse_dsl, to_dsl
     q3 = parse_dsl(to_dsl(q))
     assert sorted(d["id"] for d in db.select(q3).docs()) == [1]
+
+
+def test_composite_substitution():
+    """AND EQ conditions covering a composite index's sub-fields collapse
+    into one composite lookup (reference: QueryPreprocessor substitution)."""
+    from reindexer_tpu import IndexDef, IndexOpts, Query, Reindexer
+    db = Reindexer()
+    db.open_namespace("cs", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("a", "-", "int"),
+        IndexDef("b", "-", "string"),
+        IndexDef("a+b", "hash", "composite", json_paths=("a", "b")),
+    ])
+    for i, (a, b) in enumerate([(1, "x"), (1, "y"), (2, "x"), (2, "y")]):
+        db.upsert("cs", {"id": i, "a": a, "b": b})
+    res = db.select(Query("cs").where("a", "=", 2).where("b", "=", "y"))
+    assert [d["id"] for d in res.docs()] == [3]
+    # substitution keeps other conditions intact
+    res2 = db.select(Query("cs").where("a", "=", 1).where("b", "=", "x")
+                     .where("id", "<", 10))
+    assert [d["id"] for d in res2.docs()] == [0]
+    # explain shows the composite selector
+    res3 = db.select(Query("cs").where("a", "=", 1).where("b", "=", "y")
+                     .explain())
+    assert any(s["field"] == "a+b" for s in res3.explain["selectors"])
