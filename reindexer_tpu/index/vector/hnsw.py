@@ -110,12 +110,13 @@ class HnswIndex(FloatVectorIndexBase):
         if self.metric == VectorMetric.COSINE:
             vec = normalize_rows(vec[None, :])[0]
         if row_id < len(self._levels) and self._levels[row_id] >= 0:
-            # in-place vector update of an existing node: links are kept
-            # (hnswlib updatePoint analog without link repair)
+            # vector update of an existing node: unlink and re-insert so the
+            # graph reflects the new position (reference: updatePoint link
+            # repair, hnswalg.h)
             self._grow(row_id + 1)
             self._host_vecs[row_id] = vec
             self._deleted[row_id] = False
-            return
+            self._unlink(row_id)
         self._pending[row_id] = vec
 
     def delete(self, row_id: int, values) -> None:
@@ -125,6 +126,35 @@ class HnswIndex(FloatVectorIndexBase):
             self._deleted[row_id] = True
             if row_id == self._entry:
                 self._reassign_entry()
+
+    def _unlink(self, row: int) -> None:
+        """Detach a node from every layer (incoming + outgoing edges) so it
+        can be re-inserted at its new position."""
+        if row == self._entry:
+            prev_level = self._levels[row]
+            self._levels[row] = -1
+            self._reassign_entry()
+            self._levels[row] = prev_level
+        layers = [(0, self._links0)] + [
+            (len(self._upper) - li, u) for li, u in enumerate(self._upper)]
+        for layer, links in layers:
+            dirty = self._dirty0 if layer == 0 else \
+                self._dirty_upper.setdefault(layer, set())
+            # outgoing
+            nbrs = links[row][links[row] >= 0]
+            links[row, :] = -1
+            dirty.add(row)
+            # incoming from former neighbors (HNSW edges are near-symmetric;
+            # scan the ex-neighbors' lists)
+            for s in nbrs:
+                srow = links[s]
+                hit = srow == row
+                if hit.any():
+                    kept = srow[(srow >= 0) & ~hit]
+                    links[s, :] = -1
+                    links[s, : len(kept)] = kept
+                    dirty.add(int(s))
+        self._levels[row] = -1
 
     def _reassign_entry(self) -> None:
         for lvl in range(self._max_level, -1, -1):

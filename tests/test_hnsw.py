@@ -173,3 +173,21 @@ def test_hnsw_recall_at_scale(rng):
     hits = sum(len(set(ids[i, :k].tolist()) & set(oracle[i].tolist()))
                for i in range(16))
     assert hits / (16 * k) >= 0.92, hits / (16 * k)
+
+
+def test_hnsw_vector_update_relinks(rng):
+    """Updating a vector re-inserts the node at its new position
+    (reference: updatePoint link repair)."""
+    idx = make_index(dims=8, m=8, efc=48)
+    base = rng.normal(size=(200, 8)).astype(np.float32)
+    for i in range(200):
+        idx.upsert(i, base[i])
+    idx.commit()
+    # move node 5 to a far-away cluster location
+    far = base[150] + np.asarray([8.0] * 8, np.float32)
+    idx.upsert(5, far)
+    res = idx.select(far + 0.001, HnswSearchParams(k=1, ef=32))
+    assert res.ids[0] == 5
+    # old position no longer matches node 5
+    res2 = idx.select(base[5], HnswSearchParams(k=5, ef=32))
+    assert res2.ids[0] != 5
