@@ -29,6 +29,59 @@ import numpy as np
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_q", "t_count", "cap", "merge_k", "bm25_type"))
+def score_and_merge_batch(
+    gather_idx, g_term, g_weight, g_idf,
+    post_doc, post_field, post_tf, post_minpos, doc_words,
+    field_boost, field_bm25_boost, field_bm25_weight,
+    field_pos_boost, field_pos_weight,
+    term_boost, term_lenboost, must_mask, not_mask,
+    k1, b, avg_len, n_q: int, t_count: int, cap: int, merge_k: int,
+    bm25_type: str,
+):
+    """Batched-query scoring: `n_q` independent DSL queries share ONE device
+    program by occupying disjoint term-id ranges (query q's terms live at
+    [q*t_count, (q+1)*t_count)). The serving-throughput analog of
+    knn_batch for full-text (SURVEY.md §7 stage 8).
+
+    g_term carries FLATTENED term ids; per-term vectors are [n_q*t_count].
+    Returns (scores f32[n_q, merge_k], ids int32[n_q, merge_k])."""
+    doc = post_doc[gather_idx]
+    fld = post_field[gather_idx]
+    tf = post_tf[gather_idx]
+    minpos = post_minpos[gather_idx]
+    wdoc = jnp.maximum(doc_words[doc], 1.0)
+    if bm25_type == "word_count":
+        bm25 = tf
+    else:
+        t_freq = tf / wdoc if bm25_type == "classic" else tf
+        bm25 = (g_idf * t_freq * (k1 + 1.0)
+                / (t_freq + k1 * (1.0 - b + b * wdoc / avg_len)))
+    w_f = field_bm25_weight[fld]
+    bm25_norm = (1.0 - w_f) + bm25 * field_bm25_boost[fld] * w_f
+    pw = field_pos_weight[fld]
+    posrank = (1.0 - pw) + _pos2rank(minpos) * field_pos_boost[fld] * pw
+    subrank = (field_boost[fld] * g_weight * bm25_norm
+               * term_boost[g_term] * term_lenboost[g_term] * posrank)
+    acc = jnp.zeros((n_q * t_count, cap), dtype=jnp.float32)
+    acc = acc.at[g_term, doc].max(subrank, mode="drop")
+    acc = acc.reshape(n_q, t_count, cap)
+    mm = must_mask.reshape(n_q, t_count)
+    nm = not_mask.reshape(n_q, t_count)
+    present = acc > 0.0
+    excluded = jnp.any(present & nm[:, :, None], axis=1)
+    rank_acc = jnp.where(nm[:, :, None], 0.0, acc)
+    sum_rank = jnp.sum(rank_acc, axis=1)                  # [n_q, cap]
+    all_must = jnp.all(present | ~mm[:, :, None], axis=1)
+    ok = all_must & ~excluded & (sum_rank > 0.0)
+    sum_rank = jnp.where(ok, sum_rank, NEG_INF)
+    top_s, top_i = jax.lax.top_k(sum_rank, merge_k)
+    top_i = jnp.where(top_s > NEG_INF, top_i, -1)
+    return top_s, top_i
+
+
 def idf_host(total_docs: int, matched_docs: np.ndarray, bm25_type: str,
              ) -> np.ndarray:
     """Per-word IDF on host (reference: bm25.h IDF formulas)."""

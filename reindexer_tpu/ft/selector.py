@@ -69,14 +69,14 @@ class FtSelector:
         q = parse_ft_dsl(dsl)
         return self.process_query(q, normalize=normalize)
 
-    def process_query(self, q: FtDslQuery,
-                      normalize: bool = True) -> FtSelectResult:
+    def _prepare(self, q: FtDslQuery) -> Optional[dict]:
+        """Host half of a query: synonym/stop handling, variant expansion,
+        gather-array construction, per-term vectors. Returns None when the
+        query cannot match anything."""
         h = self.holder
         cfg = self.cfg
-        empty = FtSelectResult(np.empty(0, dtype=np.int64),
-                               np.empty(0, dtype=np.float32), set(), h)
         if h.total_docs == 0 or not len(h.words):
-            return empty
+            return None
 
         # multi-word synonym spans add alternative variant terms
         terms = list(q.terms)
@@ -93,12 +93,12 @@ class FtSelector:
                  if t.pattern not in cfg.stop_words
                  and t.pattern not in cfg.morpheme_stop_words]
         if not terms:
-            return empty
+            return None
 
         # --- expand variants per term: word_id -> proc (max if several)
         variants: list[dict[int, float]] = [self._expand(t) for t in terms]
         if not any(variants):
-            return empty
+            return None
 
         # --- build gather arrays over posting CSR ranges
         g_idx_parts, g_term_parts, g_w_parts, g_idf_parts = [], [], [], []
@@ -129,12 +129,44 @@ class FtSelector:
             g_idf_parts.append(np.repeat(idfs, lens))
 
         if not g_idx_parts:
-            return empty
-        g_idx = np.concatenate(g_idx_parts)
-        g_term = np.concatenate(g_term_parts)
-        g_w = np.concatenate(g_w_parts)
-        g_idf = np.concatenate(g_idf_parts)
+            return None
+        n_terms = len(terms)
+        term_boost = np.ones(n_terms, dtype=np.float32)
+        term_lenb = np.ones(n_terms, dtype=np.float32)
+        must = np.zeros(n_terms, dtype=np.bool_)
+        notm = np.zeros(n_terms, dtype=np.bool_)
+        for i, t in enumerate(terms):
+            term_boost[i] = t.boost
+            term_lenb[i] = self._term_len_bound(t.term_len_boost)
+            must[i] = (t.op == "must") or t.phrase_group >= 0
+            notm[i] = t.op == "not"
+        return {
+            "terms": terms, "variants": variants,
+            "matched_words": matched_words,
+            "g_idx": np.concatenate(g_idx_parts),
+            "g_term": np.concatenate(g_term_parts),
+            "g_w": np.concatenate(g_w_parts),
+            "g_idf": np.concatenate(g_idf_parts),
+            "term_boost": term_boost, "term_lenb": term_lenb,
+            "must": must, "notm": notm,
+        }
 
+    def process_query(self, q: FtDslQuery,
+                      normalize: bool = True) -> FtSelectResult:
+        h = self.holder
+        cfg = self.cfg
+        bm25_type = cfg.bm25.bm25_type
+        empty = FtSelectResult(np.empty(0, dtype=np.int64),
+                               np.empty(0, dtype=np.float32), set(), h)
+        prep = self._prepare(q)
+        if prep is None:
+            return empty
+        terms = prep["terms"]
+        variants = prep["variants"]
+        matched_words = prep["matched_words"]
+
+        g_idx, g_term = prep["g_idx"], prep["g_term"]
+        g_w, g_idf = prep["g_w"], prep["g_idf"]
         gpad = _pad_pow2(len(g_idx))
         pad = gpad - len(g_idx)
         if pad:
@@ -143,17 +175,18 @@ class FtSelector:
             g_w = np.concatenate([g_w, np.zeros(pad, dtype=np.float32)])
             g_idf = np.concatenate([g_idf, np.zeros(pad, dtype=np.float32)])
 
-        # --- per-term / per-field parameter vectors
+        # --- per-term parameter vectors padded to a shape bucket
         t_count = _pad_pow2(len(terms), 2)
-        term_boost = np.ones(t_count, dtype=np.float32)
-        term_lenb = np.ones(t_count, dtype=np.float32)
-        must = np.zeros(t_count, dtype=np.bool_)
-        notm = np.zeros(t_count, dtype=np.bool_)
-        for i, t in enumerate(terms):
-            term_boost[i] = t.boost
-            term_lenb[i] = self._term_len_bound(t.term_len_boost)
-            must[i] = (t.op == "must") or t.phrase_group >= 0
-            notm[i] = t.op == "not"
+
+        def padt(a, fill=0):
+            out = np.full(t_count, fill, dtype=a.dtype)
+            out[: len(a)] = a
+            return out
+
+        term_boost = padt(prep["term_boost"], 1)
+        term_lenb = padt(prep["term_lenb"], 1)
+        must = padt(prep["must"], False)
+        notm = padt(prep["notm"], False)
 
         fp_key = tuple((f.name, f.boost, f.sum_rank) for f in q.fields)
         cached = self._fp_cache.get(fp_key)
@@ -222,6 +255,90 @@ class FtSelector:
                                   matched_words, h)
         docs, ranks = normalize_ranks(docs, scores, cfg.min_rank)
         return FtSelectResult(docs, ranks, matched_words, h)
+
+    # ------------------------------------------------------------------
+    def process_batch(self, dsls: list[str]) -> list[FtSelectResult]:
+        """Batched serving path: N DSL queries share ONE device program by
+        occupying disjoint term-id blocks (scorer.score_and_merge_batch).
+        Default field weights only (per-query @field lists fall back to
+        per-query execution)."""
+        h, cfg = self.holder, self.cfg
+        empty = FtSelectResult(np.empty(0, dtype=np.int64),
+                               np.empty(0, dtype=np.float32), set(), h)
+        queries = [parse_ft_dsl(d) for d in dsls]
+        if any(q.fields for q in queries):
+            return [self.process_query(q) for q in queries]
+        preps = [self._prepare(q) for q in queries]
+        live = [i for i, p in enumerate(preps) if p is not None]
+        if not live:
+            return [empty for _ in queries]
+
+        t_count = _pad_pow2(max(len(preps[i]["terms"]) for i in live), 2)
+        n_q = _pad_pow2(len(queries), 2)
+        parts_idx, parts_term, parts_w, parts_idf = [], [], [], []
+        term_boost = np.ones(n_q * t_count, dtype=np.float32)
+        term_lenb = np.ones(n_q * t_count, dtype=np.float32)
+        must = np.zeros(n_q * t_count, dtype=np.bool_)
+        notm = np.zeros(n_q * t_count, dtype=np.bool_)
+        for i in live:
+            p = preps[i]
+            off = i * t_count
+            parts_idx.append(p["g_idx"])
+            parts_term.append(p["g_term"] + off)
+            parts_w.append(p["g_w"])
+            parts_idf.append(p["g_idf"])
+            nt = len(p["terms"])
+            term_boost[off: off + nt] = p["term_boost"]
+            term_lenb[off: off + nt] = p["term_lenb"]
+            must[off: off + nt] = p["must"]
+            notm[off: off + nt] = p["notm"]
+        g_idx = np.concatenate(parts_idx)
+        g_term = np.concatenate(parts_term)
+        g_w = np.concatenate(parts_w)
+        g_idf = np.concatenate(parts_idf)
+        gpad = _pad_pow2(len(g_idx))
+        if gpad > len(g_idx):
+            pad = gpad - len(g_idx)
+            g_idx = np.concatenate([g_idx, np.zeros(pad, np.int32)])
+            g_term = np.concatenate([g_term, np.zeros(pad, np.int32)])
+            g_w = np.concatenate([g_w, np.zeros(pad, np.float32)])
+            g_idf = np.concatenate([g_idf, np.zeros(pad, np.float32)])
+
+        fb, bb, bw, pb, pw = self._field_params(queries[live[0]])
+        dev = h.device_arrays()
+        import jax.numpy as jnp
+        cap = dev["cap"]
+        merge_k = min(cfg.merge_limit, cap)
+        from .scorer import score_and_merge_batch
+        scores, docs = score_and_merge_batch(
+            jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
+            jnp.asarray(g_idf),
+            dev["post_doc"], dev["post_field"], dev["post_tf"],
+            dev["post_minpos"], dev["doc_words"],
+            jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(bw),
+            jnp.asarray(pb), jnp.asarray(pw),
+            jnp.asarray(term_boost), jnp.asarray(term_lenb),
+            jnp.asarray(must), jnp.asarray(notm),
+            cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
+            n_q, t_count, cap, merge_k, cfg.bm25.bm25_type)
+        scores = np.asarray(scores)
+        docs = np.asarray(docs)
+
+        out: list[FtSelectResult] = []
+        for i, q in enumerate(queries):
+            p = preps[i]
+            if p is None:
+                out.append(empty)
+                continue
+            s, d = scores[i], docs[i]
+            keep = d >= 0
+            s, d = s[keep], d[keep]
+            if q.phrase_distance and len(d):
+                pm = self._verify_phrases(q, p["terms"], p["variants"], d)
+                s, d = s[pm], d[pm]
+            d2, ranks = normalize_ranks(d, s, cfg.min_rank)
+            out.append(FtSelectResult(d2, ranks, p["matched_words"], h))
+        return out
 
     # ------------------------------------------------------------------
     def _term_len_bound(self, k: float) -> float:

@@ -302,3 +302,18 @@ def test_sum_ranks_by_fields_ratio():
     # without '+' marks the same data ranks by max-over-fields
     res2 = db.select(Query("docs").match("ft", "@title,body alpha"))
     assert set(got_ids(res2)) == {1, 2}
+
+
+def test_ft_batch_matches_single(db):
+    """Batched FT serving path must produce the same results as per-query
+    execution."""
+    from reindexer_tpu.ft.selector import FtSelector
+    idx = db.get_namespace("docs").get_index("ft")
+    idx.commit()
+    sel = FtSelector(idx.holder, idx.cfg)
+    dsls = ["fox", "+lazy -fox", "termina*", '"quick brown fox"', "zzzz"]
+    batch = sel.process_batch(dsls)
+    for dsl, got in zip(dsls, batch):
+        single = sel.process(dsl)
+        assert got.ids.tolist() == single.ids.tolist(), dsl
+        np.testing.assert_allclose(got.ranks, single.ranks, rtol=1e-5)
