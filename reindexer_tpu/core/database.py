@@ -259,6 +259,35 @@ class Reindexer:
                 out.append(QueryResults(ns_name=ns_name, items=items))
             return out
 
+    def ft_batch(self, ns_name: str, field: str,
+                 dsls: Sequence[str]) -> list[QueryResults]:
+        """Batched full-text serving path: N DSL queries answered by ONE
+        device program (ft/selector.process_batch) — the FT counterpart of
+        knn_batch."""
+        ns = self.get_namespace(ns_name)
+        index = ns.get_index(field)
+        from ..index.text import FullTextIndex
+        if not isinstance(index, FullTextIndex):
+            raise QueryError(f"'{field}' is not a full-text index")
+        with ns.lock:
+            index.commit()
+            from ..ft.selector import FtSelector
+            if index._selector is None:
+                index._selector = FtSelector(index.holder, index.cfg)
+            results = index._selector.process_batch(list(dsls))
+            out = []
+            for res in results:
+                items = []
+                for rid, rank in zip(res.ids, res.ranks):
+                    doc = ns.get_item(int(rid))
+                    if doc is None:
+                        continue
+                    items.append(ResultItem(doc=doc, row_id=int(rid),
+                                            rank=float(rank),
+                                            ns_name=ns_name))
+                out.append(QueryResults(ns_name=ns_name, items=items))
+            return out
+
     def update_query(self, q: Query) -> QueryResults:
         return self._selecter.update(q)
 

@@ -317,3 +317,9 @@ def test_ft_batch_matches_single(db):
         single = sel.process(dsl)
         assert got.ids.tolist() == single.ids.tolist(), dsl
         np.testing.assert_allclose(got.ranks, single.ranks, rtol=1e-5)
+
+
+def test_db_ft_batch(db):
+    batch = db.ft_batch("docs", "ft", ["fox", "terminator"])
+    assert [d["id"] for d in batch[0].docs()] == [1]
+    assert batch[1].docs()[0]["id"] == 3
