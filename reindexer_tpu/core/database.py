@@ -271,10 +271,22 @@ class Reindexer:
             raise QueryError(f"'{field}' is not a full-text index")
         with ns.lock:
             index.commit()
-            from ..ft.selector import FtSelector
-            if index._selector is None:
-                index._selector = FtSelector(index.holder, index.cfg)
-            results = index._selector.process_batch(list(dsls))
+            if index._delta_holder is not None or index._overridden:
+                # incremental delta present: the merging single-query path
+                # handles overridden-row masking; batch per query
+                from ..core.type_consts import CondType
+                from ..ft.selector import FtSelectResult
+                results = []
+                for dsl in dsls:
+                    r = index.select_key(CondType.EQ, (dsl,))
+                    results.append(FtSelectResult(
+                        r.ids, r.ranks, (r.aux or {}).get("matched_words",
+                                                          set())))
+            else:
+                from ..ft.selector import FtSelector
+                if index._selector is None:
+                    index._selector = FtSelector(index.holder, index.cfg)
+                results = index._selector.process_batch(list(dsls))
             out = []
             for res in results:
                 items = []

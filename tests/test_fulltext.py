@@ -323,3 +323,11 @@ def test_db_ft_batch(db):
     batch = db.ft_batch("docs", "ft", ["fox", "terminator"])
     assert [d["id"] for d in batch[0].docs()] == [1]
     assert batch[1].docs()[0]["id"] == 3
+
+
+def test_db_ft_batch_with_delta(db):
+    """ft_batch stays correct when incremental deltas exist."""
+    db.select(Query("docs").match("ft", "fox"))   # full build
+    db.upsert("docs", {"id": 50, "title": "newfox arrival", "body": "fox"})
+    batch = db.ft_batch("docs", "ft", ["fox"])
+    assert 50 in [d["id"] for d in batch[0].docs()]
