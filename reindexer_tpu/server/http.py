@@ -320,6 +320,23 @@ class _Handler(BaseHTTPRequestHandler):
             if method == "GET":
                 return self._send(200,
                                   db.get_namespace(ns_name).schema or {})
+        if head == "knn_batch" and method == "POST":
+            # batched KNN serving (TPU extension: N query vectors answered
+            # by one device program)
+            body = self._body() or {}
+            from ..index.vector.params import KnnSearchParams
+            params = KnnSearchParams.from_dict(body.get("params", {}))
+            results = db.knn_batch(ns_name, body["field"],
+                                   body["queries"], params)
+            return self._send(200, {"results": [
+                {"items": r.docs(),
+                 "ranks": [it.rank for it in r]} for r in results]})
+        if head == "ft_batch" and method == "POST":
+            body = self._body() or {}
+            results = db.ft_batch(ns_name, body["field"], body["queries"])
+            return self._send(200, {"results": [
+                {"items": r.docs(),
+                 "ranks": [it.rank for it in r]} for r in results]})
         if head == "metalist" and method == "GET":
             keys = db.enum_meta(ns_name)
             return self._send(200, {"meta": [{"key": k} for k in keys],

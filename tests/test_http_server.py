@@ -194,3 +194,29 @@ def test_events_long_poll(server):
                for e in body["events"])
     code, _ = call(server, "DELETE", f"/api/v1/db/evdb/events/{sub}")
     assert code == 200
+
+
+def test_batch_endpoints(server):
+    call(server, "POST", "/api/v1/db", {"name": "bdb"})
+    call(server, "POST", "/api/v1/db/bdb/namespaces", {
+        "name": "b", "indexes": [
+            {"name": "id", "index_type": "hash", "field_type": "int",
+             "is_pk": True},
+            {"name": "txt", "index_type": "text", "field_type": "string"},
+            {"name": "vec", "index_type": "vec_bf",
+             "config": {"dimension": 4, "metric": "l2"}}]})
+    call(server, "PUT", "/api/v1/db/bdb/namespaces/b/items", [
+        {"id": 1, "txt": "alpha words", "vec": [0.0, 0, 0, 0]},
+        {"id": 2, "txt": "beta words", "vec": [1.0, 0, 0, 0]}])
+    code, body = call(server, "POST", "/api/v1/db/bdb/namespaces/b/knn_batch",
+                      {"field": "vec", "queries": [[0.0, 0, 0, 0],
+                                                   [1.0, 0, 0, 0]],
+                       "params": {"k": 1}})
+    assert code == 200
+    assert body["results"][0]["items"][0]["id"] == 1
+    assert body["results"][1]["items"][0]["id"] == 2
+    code, body = call(server, "POST", "/api/v1/db/bdb/namespaces/b/ft_batch",
+                      {"field": "txt", "queries": ["alpha", "beta"]})
+    assert code == 200
+    assert body["results"][0]["items"][0]["id"] == 1
+    assert body["results"][1]["items"][0]["id"] == 2
