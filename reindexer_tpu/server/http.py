@@ -41,6 +41,15 @@ class DBManager:
         self.dbs: dict[str, Reindexer] = {}
         self.auth = None
         self._lock = threading.Lock()
+        # rediscover persisted databases (reference: dbmanager scans the
+        # storage root on startup)
+        if storage_root and os.path.isdir(storage_root):
+            for entry in sorted(os.listdir(storage_root)):
+                if os.path.isdir(os.path.join(storage_root, entry)):
+                    try:
+                        self.create(entry)
+                    except Exception:
+                        pass
 
     def get(self, name: str) -> Reindexer:
         with self._lock:

@@ -220,3 +220,29 @@ def test_batch_endpoints(server):
     assert code == 200
     assert body["results"][0]["items"][0]["id"] == 1
     assert body["results"][1]["items"][0]["id"] == 2
+
+
+def test_server_rediscovers_databases(tmp_path):
+    root = str(tmp_path / "srvroot")
+    srv = ReindexerServer(port=0, storage_root=root)
+    srv.start()
+    try:
+        call(srv, "POST", "/api/v1/db", {"name": "persisted"})
+        call(srv, "POST", "/api/v1/db/persisted/namespaces", {
+            "name": "n", "indexes": [{"name": "id", "index_type": "hash",
+                                      "field_type": "int", "is_pk": True}]})
+        call(srv, "PUT", "/api/v1/db/persisted/namespaces/n/items",
+             {"id": 7})
+    finally:
+        srv.stop()
+
+    srv2 = ReindexerServer(port=0, storage_root=root)
+    srv2.start()
+    try:
+        code, body = call(srv2, "GET", "/api/v1/db")
+        assert "persisted" in body["items"]
+        code, body = call(srv2, "GET",
+                          "/api/v1/db/persisted/query?q=SELECT%20*%20FROM%20n")
+        assert body["items"][0]["id"] == 7
+    finally:
+        srv2.stop()
