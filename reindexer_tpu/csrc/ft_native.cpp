@@ -70,6 +70,15 @@ inline bool is_word_core(Py_UCS4 c) {
     return c != '_' && Py_UNICODE_ISALNUM(c);
 }
 
+// CJK ideographs/kana tokenize as single characters (ft/tokenizer.py
+// _split_cjk — the unigram analog of the reference's MMSeg splitter)
+inline bool is_cjk(Py_UCS4 c) {
+    return (c >= 0x3040 && c <= 0x30FF)     // kana
+        || (c >= 0x3400 && c <= 0x4DBF)     // CJK ext A
+        || (c >= 0x4E00 && c <= 0x9FFF)     // CJK unified
+        || (c >= 0xF900 && c <= 0xFAFF);    // CJK compat
+}
+
 void tokenize_into(PyObject* text, const std::vector<Py_UCS4>& extra,
                    int32_t row, int32_t field, TokenSink& sink) {
     Py_ssize_t len = PyUnicode_GET_LENGTH(text);
@@ -81,6 +90,18 @@ void tokenize_into(PyObject* text, const std::vector<Py_UCS4>& extra,
     while (i < len) {
         Py_UCS4 c = Py_UNICODE_TOLOWER(PyUnicode_READ(kind, data, i));
         if (!is_word_core(c)) { i++; continue; }
+        if (is_cjk(c)) {
+            // CJK char is its own token
+            word.clear();
+            append_utf8(word, c);
+            i++;
+            int64_t wid = sink.intern(word);
+            sink.token_ids.push_back(wid);
+            sink.doc_ids.push_back(row);
+            sink.field_ids.push_back(field);
+            sink.positions.push_back(pos++);
+            continue;
+        }
         // word start
         word.clear();
         Py_ssize_t last_core_end = i + 1;
@@ -89,6 +110,7 @@ void tokenize_into(PyObject* text, const std::vector<Py_UCS4>& extra,
         i++;
         while (i < len) {
             Py_UCS4 d = Py_UNICODE_TOLOWER(PyUnicode_READ(kind, data, i));
+            if (is_cjk(d)) break;   // CJK boundary closes the word
             bool core = is_word_core(d);
             bool interior = core || d == '_';
             if (!interior) {

@@ -78,6 +78,10 @@ class FtSelector:
         if h.total_docs == 0 or not len(h.words):
             return None
 
+        # CJK query terms split into per-character phrase groups (mirror of
+        # the index-side unigram split, tokenizer._split_cjk)
+        q = self._cjk_expand(q)
+
         # multi-word synonym spans add alternative variant terms
         terms = list(q.terms)
         patterns = [t.pattern for t in terms]
@@ -341,6 +345,42 @@ class FtSelector:
         return out
 
     # ------------------------------------------------------------------
+    def _cjk_expand(self, q: FtDslQuery) -> FtDslQuery:
+        from .tokenizer import _split_cjk
+        needs = any(len(_split_cjk(t.pattern,
+                                   self.cfg.extra_word_symbols)) > 1
+                    for t in q.terms)
+        if not needs:
+            return q
+        out = FtDslQuery(fields=q.fields,
+                         phrase_distance=dict(q.phrase_distance))
+        next_gid = max(out.phrase_distance, default=-1) + 1
+        for t in q.terms:
+            parts = _split_cjk(t.pattern, self.cfg.extra_word_symbols)
+            if len(parts) == 1:
+                if t.phrase_group >= 0:
+                    # keep ordering consistent with spliced CJK positions
+                    t = dataclasses.replace(t,
+                                            phrase_pos=t.phrase_pos * 1000)
+                out.terms.append(t)
+                continue
+            if t.phrase_group >= 0:
+                # splice characters into the existing phrase keeping order
+                for j, p in enumerate(parts):
+                    out.terms.append(dataclasses.replace(
+                        t, pattern=p, exact=True,
+                        phrase_pos=t.phrase_pos * 1000 + j))
+            else:
+                gid = next_gid
+                next_gid += 1
+                out.phrase_distance[gid] = 1
+                op = "not" if t.op == "not" else "must"
+                for j, p in enumerate(parts):
+                    out.terms.append(dataclasses.replace(
+                        t, pattern=p, op=op, exact=True,
+                        phrase_group=gid, phrase_pos=j))
+        return out
+
     def _term_len_bound(self, k: float) -> float:
         """bound(termLenBoost, weight, boost) (ftconfig.h:146)."""
         f = self.cfg.default_field

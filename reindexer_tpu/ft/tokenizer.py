@@ -23,11 +23,40 @@ def _word_re(extra_symbols: str) -> "re.Pattern[str]":
     return re.compile(rf"[^\W_](?:[\w{extra}]*[^\W_])?", re.UNICODE)
 
 
+# CJK ideograph ranges (BMP unified + extension A + compat + kana)
+_CJK_RE = re.compile(
+    "([぀-ヿ㐀-䶿一-鿿豈-﫿])")
+
+
+def _split_cjk(tok: str, extra_symbols: str = "-/+_`'") -> list[str]:
+    """CJK-aware post-split: ideographs/kana index as single-character
+    tokens (the unigram analog of the reference's MMSeg Chinese splitter,
+    ft_fast/frisosplitter.cc — segmentation quality differs, searchability
+    matches: every character is findable and phrases use positions).
+    Non-CJK residue re-applies the word rule (trims dangling delimiters)."""
+    if not _CJK_RE.search(tok):
+        return [tok]
+    out = []
+    word_re = _word_re(extra_symbols)
+    for part in _CJK_RE.split(tok):
+        if not part:
+            continue
+        if _CJK_RE.fullmatch(part):
+            out.append(part)
+        else:
+            out.extend(word_re.findall(part))
+    return out
+
+
 def tokenize(text: str, extra_symbols: str = "-/+_`'") -> list[str]:
-    """Split text into lower-cased word tokens."""
+    """Split text into lower-cased word tokens (CJK runs split into
+    single-character tokens)."""
     if not text:
         return []
-    return _word_re(extra_symbols).findall(text.lower())
+    out: list[str] = []
+    for tok in _word_re(extra_symbols).findall(text.lower()):
+        out.extend(_split_cjk(tok, extra_symbols))
+    return out
 
 
 def tokenize_with_offsets(text: str, extra_symbols: str = "-/+_`'",
@@ -37,7 +66,15 @@ def tokenize_with_offsets(text: str, extra_symbols: str = "-/+_`'",
     if not text:
         return
     for m in _word_re(extra_symbols).finditer(text.lower()):
-        yield m.group(0), m.start(), m.end()
+        tok = m.group(0)
+        parts = _split_cjk(tok, extra_symbols)
+        if len(parts) == 1:
+            yield tok, m.start(), m.end()
+        else:
+            pos = m.start()
+            for part in parts:
+                yield part, pos, pos + len(part)
+                pos += len(part)
 
 
 def is_number(tok: str) -> bool:

@@ -331,3 +331,15 @@ def test_db_ft_batch_with_delta(db):
     db.upsert("docs", {"id": 50, "title": "newfox arrival", "body": "fox"})
     batch = db.ft_batch("docs", "ft", ["fox"])
     assert 50 in [d["id"] for d in batch[0].docs()]
+
+
+def test_cjk_search():
+    """CJK text indexes as per-character tokens (MMSeg splitter analog):
+    words and phrases of ideographs are searchable."""
+    db = make_db()
+    db.upsert("docs", {"id": 1, "title": "中文搜索引擎", "body": "支持中文"})
+    db.upsert("docs", {"id": 2, "title": "日本語テスト", "body": "漢字"})
+    assert got_ids(db.select(Query("docs").match("ft", "搜索"))) == [1]
+    assert got_ids(db.select(Query("docs").match("ft", '"中文搜索"'))) == [1]
+    assert got_ids(db.select(Query("docs").match("ft", "漢字"))) == [2]
+    assert got_ids(db.select(Query("docs").match("ft", '"搜索中文"'))) == []

@@ -21,6 +21,7 @@ TEXTS = [
     "пример русского текста с Ёлками и ЗАГЛАВНЫМИ",
     "mixed-words under_score it's a+b c/d trailing- -leading",
     "numbers 123 and 45x67",
+    "中文搜索 测试 abc中def 中-文 ここでテスト",
     "", "    ", "!!!",
 ]
 
