@@ -371,6 +371,12 @@ class Reindexer:
             current = get_json_path(doc, idef.json_paths[0])
             if emb.strategy == "empty_only" and current:
                 continue
+            if emb.strategy == "strict" and current:
+                # strict: the vector must come from the embedder only
+                # (reference: float_vector.md embedding strategies)
+                raise ParamsError(
+                    f"index '{idef.name}' embedding strategy is 'strict': "
+                    "documents must not carry the vector field")
             src = [str(get_json_path(doc, f) or "") for f in emb.fields]
             fn = self._embedders.get(emb.cache_tag or emb.endpoint)
             if fn is None:

@@ -386,3 +386,47 @@ def test_composite_substitution():
     res3 = db.select(Query("cs").where("a", "=", 1).where("b", "=", "y")
                      .explain())
     assert any(s["field"] == "a+b" for s in res3.explain["selectors"])
+
+
+def test_embedding_strategies():
+    """Upsert-side auto-embedding strategies (reference: float_vector.md
+    embedding config: always / empty_only / strict)."""
+    from reindexer_tpu import (EmbeddingConfig, FloatVectorOpts, IndexDef,
+                               IndexOpts, IndexType, ParamsError, Query,
+                               Reindexer, VectorMetric)
+    from reindexer_tpu.index.vector.params import KnnSearchParams
+    import numpy as np
+
+    def fake_embedder(texts):
+        return [[float(len(t)), 0.0, 0.0, 0.0] for t in texts]
+
+    for strategy in ("always", "empty_only", "strict"):
+        db = Reindexer()
+        db.register_embedder("tag1", fake_embedder)
+        db.open_namespace("e", [
+            IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+            IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+                dims=4, metric=VectorMetric.L2,
+                embedding=EmbeddingConfig(endpoint="http://x", fields=("t",),
+                                          cache_tag="tag1",
+                                          strategy=strategy))),
+        ])
+        db.upsert("e", {"id": 1, "t": "abc"})          # embedded: [3,0,0,0]
+        if strategy == "strict":
+            import pytest as _pt
+            with _pt.raises(ParamsError):
+                db.upsert("e", {"id": 2, "t": "x", "vec": [9, 0, 0, 0]})
+        else:
+            db.upsert("e", {"id": 2, "t": "hello", "vec": [9.0, 0, 0, 0]})
+            res = db.select(Query("e").where_knn(
+                "vec", np.asarray([9.0, 0, 0, 0], np.float32),
+                KnnSearchParams(k=1)).select("*", "vectors()"))
+            doc = res.docs()[0]
+            if strategy == "always":
+                assert doc["vec"] == [5.0, 0.0, 0.0, 0.0]   # re-embedded
+            else:
+                assert doc["vec"] == [9.0, 0, 0, 0]          # kept
+        # query-side embedding from text
+        res = db.select(Query("e").where_knn("vec", "abc",
+                                             KnnSearchParams(k=1)))
+        assert res.docs()[0]["id"] in (1, 2)
