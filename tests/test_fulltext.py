@@ -343,3 +343,26 @@ def test_cjk_search():
     assert got_ids(db.select(Query("docs").match("ft", '"中文搜索"'))) == [1]
     assert got_ids(db.select(Query("docs").match("ft", "漢字"))) == [2]
     assert got_ids(db.select(Query("docs").match("ft", '"搜索中文"'))) == []
+
+
+def test_merge_limit_caps_results():
+    """mergeLimit caps the merged doc count (reference default 20000,
+    ftconfig.h:155)."""
+    db = make_db(ft_config={"merge_limit": 3})
+    for i in range(10):
+        db.upsert("docs", {"id": i, "title": f"common term {i}",
+                           "body": "common"})
+    res = db.select(Query("docs").match("ft", "common"))
+    assert 0 < len(res) <= 3
+
+
+def test_min_rank_threshold():
+    """minRank (0..255) floors returned ranks (ftconfig.h minRank)."""
+    db = make_db(ft_config={"min_rank": 200})
+    db.upsert("docs", {"id": 1, "title": "target target target",
+                       "body": "target target target target"})
+    db.upsert("docs", {"id": 2, "title": "mostly other words here",
+                       "body": "target appears once in a longer body " * 3})
+    res = db.select(Query("docs").match("ft", "target"))
+    assert 1 in got_ids(res)
+    assert all(it.rank >= 200 for it in res)
