@@ -147,7 +147,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
           f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f}", file=sys.stderr)
 
 
-def bench_hnsw(n=50_000, dims=96, k=10, ef=64, batch=64, smoke=False):
+def bench_hnsw(n=20_000, dims=96, k=10, ef=64, batch=64, smoke=False):
     """HNSW batched search QPS + recall@10 vs the exact BF oracle
     (BASELINE.md config #2 shape, scaled to bench budget)."""
     import jax
