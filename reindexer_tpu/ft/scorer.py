@@ -31,7 +31,8 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_q", "t_count", "cap", "merge_k", "bm25_type"))
+    static_argnames=("n_q", "t_count", "cap", "merge_k", "bm25_type",
+                     "use_proximity"))
 def score_and_merge_batch(
     gather_idx, g_term, g_weight, g_idf,
     post_doc, post_field, post_tf, post_minpos, doc_words,
@@ -40,6 +41,7 @@ def score_and_merge_batch(
     term_boost, term_lenboost, must_mask, not_mask,
     k1, b, avg_len, n_q: int, t_count: int, cap: int, merge_k: int,
     bm25_type: str,
+    dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
 ):
     """Batched-query scoring: `n_q` independent DSL queries share ONE device
     program by occupying disjoint term-id ranges (query q's terms live at
@@ -71,6 +73,13 @@ def score_and_merge_batch(
     mm = must_mask.reshape(n_q, t_count)
     nm = not_mask.reshape(n_q, t_count)
     present = acc > 0.0
+    if use_proximity:
+        minp = _term_minpos(g_term, doc, minpos, g_weight,
+                            n_q * t_count, cap)
+        minp = jnp.swapaxes(minp.reshape(n_q, t_count, cap), 0, 1)
+        att = _apply_proximity(jnp.swapaxes(acc, 0, 1), minp,
+                               nm.T, dist_w, dist_b)
+        acc = jnp.swapaxes(att, 0, 1)
     excluded = jnp.any(present & nm[:, :, None], axis=1)
     rank_acc = jnp.where(nm[:, :, None], 0.0, acc)
     sum_rank = jnp.sum(rank_acc, axis=1)                  # [n_q, cap]
@@ -108,6 +117,51 @@ def _pos2rank(pos: jnp.ndarray) -> jnp.ndarray:
                                                 0.5)))))
 
 
+_POS_BIG = jnp.float32(1e9)
+
+
+def _term_minpos(g_term, doc, minpos, g_weight, t_count: int, cap: int):
+    """Min token position per (term, doc) — scatter-min companion to the
+    rank accumulator. Padding postings (g_weight == 0) are pushed to the
+    sentinel so they never win the min."""
+    p = jnp.where(g_weight > 0.0, minpos.astype(jnp.float32), _POS_BIG)
+    minp = jnp.full((t_count, cap), _POS_BIG, dtype=jnp.float32)
+    return minp.at[g_term, doc].min(p, mode="drop")
+
+
+def _apply_proximity(acc, minp, not_mask, dist_w, dist_b):
+    """Term-proximity attenuation (reference: mergerimpl.h:179-181): for each
+    term after the first that matches a doc already matched by an earlier
+    term, its rank is multiplied by
+
+        normDist = (1 - distanceWeight)
+                 + distanceBoost * distanceWeight / max(distance, 1)
+
+    (FTFieldConfig::bound, ftconfig.h:146) where `distance` is the position
+    distance to the previous matched term. The reference takes the min over
+    all same-field position pairs; this TPU formulation uses the per-(term,
+    doc) min positions already resident on device (post_minpos) — a scan
+    over the tiny term axis, elementwise over docs, so the cost is O(T*cap)
+    adds on top of the existing accumulator."""
+    present = acc > 0.0
+
+    def step(carry, xs):
+        acc_t, minp_t, pres_t, not_t = xs
+        has_prev = carry < _POS_BIG
+        dist = jnp.maximum(jnp.abs(minp_t - carry), 1.0)
+        norm = jnp.where(pres_t & has_prev,
+                         (1.0 - dist_w) + dist_b * dist_w / dist, 1.0)
+        new_carry = jnp.where(pres_t & ~not_t, minp_t, carry)
+        return new_carry, acc_t * norm
+
+    carry0 = jnp.full(acc.shape[1:], _POS_BIG, dtype=jnp.float32)
+    nm = jnp.broadcast_to(
+        not_mask.reshape(not_mask.shape + (1,) * (acc.ndim - not_mask.ndim)),
+        acc.shape)
+    _, out = jax.lax.scan(step, carry0, (acc, minp, present, nm))
+    return out
+
+
 def sum_ranks(
     gather_idx, g_term, g_weight, g_idf,
     post_doc, post_field, post_tf, post_minpos, doc_words,
@@ -115,6 +169,7 @@ def sum_ranks(
     field_pos_boost, field_pos_weight,
     term_boost, term_lenboost, must_mask, not_mask,
     k1, b, avg_len, t_count: int, cap: int, bm25_type: str,
+    dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
 ):
     """Traceable core: per-doc summed rank + validity mask (docRank =
     sum_t max subTermRank with must/not folding). Shared by the single-chip
@@ -145,6 +200,9 @@ def sum_ranks(
     acc = acc.at[g_term, doc].max(subrank, mode="drop")
 
     present = acc > 0.0
+    if use_proximity:
+        minp = _term_minpos(g_term, doc, minpos, g_weight, t_count, cap)
+        acc = _apply_proximity(acc, minp, not_mask, dist_w, dist_b)
     excluded = jnp.any(present & not_mask[:, None], axis=0)
     rank_acc = jnp.where(not_mask[:, None], 0.0, acc)
     sum_rank = jnp.sum(rank_acc, axis=0)
@@ -162,6 +220,7 @@ def sum_ranks_fielded(
     sum_fields_mask,            # bool[F] '+'-marked fields
     ratio: float,
     k1, b, avg_len, t_count: int, f_count: int, cap: int, bm25_type: str,
+    dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
 ):
     """Field-rank summation variant (reference: SumRanksByFieldsRatio,
     fulltext.md:118-128): per (term, doc) the field ranks sort descending and
@@ -207,6 +266,9 @@ def sum_ranks_fielded(
     acc = jnp.sum(v_sorted * w, axis=2)              # [T, cap]
 
     present = acc > 0.0
+    if use_proximity:
+        minp = _term_minpos(g_term, doc, minpos, g_weight, t_count, cap)
+        acc = _apply_proximity(acc, minp, not_mask, dist_w, dist_b)
     excluded = jnp.any(present & not_mask[:, None], axis=0)
     rank_acc = jnp.where(not_mask[:, None], 0.0, acc)
     sum_rank = jnp.sum(rank_acc, axis=0)
@@ -218,7 +280,7 @@ def sum_ranks_fielded(
 @functools.partial(
     jax.jit,
     static_argnames=("t_count", "f_count", "cap", "merge_k", "bm25_type",
-                     "ratio"))
+                     "ratio", "use_proximity"))
 def score_and_merge_fielded(
     gather_idx, g_term, g_weight, g_idf,
     post_doc, post_field, post_tf, post_minpos, doc_words,
@@ -227,6 +289,7 @@ def score_and_merge_fielded(
     term_boost, term_lenboost, must_mask, not_mask, sum_fields_mask,
     k1, b, avg_len, t_count: int, f_count: int, cap: int, merge_k: int,
     bm25_type: str, ratio: float,
+    dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
 ):
     sum_rank, ok = sum_ranks_fielded(
         gather_idx, g_term, g_weight, g_idf,
@@ -235,7 +298,8 @@ def score_and_merge_fielded(
         field_pos_boost, field_pos_weight,
         term_boost, term_lenboost, must_mask, not_mask,
         sum_fields_mask, ratio,
-        k1, b, avg_len, t_count, f_count, cap, bm25_type)
+        k1, b, avg_len, t_count, f_count, cap, bm25_type,
+        dist_w, dist_b, use_proximity)
     sum_rank = jnp.where(ok, sum_rank, NEG_INF)
     top_s, top_i = jax.lax.top_k(sum_rank, merge_k)
     top_i = jnp.where(top_s > NEG_INF, top_i, -1)
@@ -244,7 +308,8 @@ def score_and_merge_fielded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_count", "cap", "merge_k", "bm25_type"))
+    static_argnames=("t_count", "cap", "merge_k", "bm25_type",
+                     "use_proximity"))
 def score_and_merge(
     gather_idx: jnp.ndarray,     # int32[G] posting indices (pad -> 0)
     g_term: jnp.ndarray,         # int32[G] query-term id per gathered posting
@@ -266,6 +331,7 @@ def score_and_merge(
     not_mask: jnp.ndarray,       # bool[T] term must NOT match
     k1: float, b: float, avg_len: float,
     t_count: int, cap: int, merge_k: int, bm25_type: str,
+    dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
 ):
     """Returns (scores f32[merge_k], doc_ids int32[merge_k]); empty slots
     have score -inf / id -1. Scores are un-normalized docRank sums — the
@@ -276,7 +342,8 @@ def score_and_merge(
         field_boost, field_bm25_boost, field_bm25_weight,
         field_pos_boost, field_pos_weight,
         term_boost, term_lenboost, must_mask, not_mask,
-        k1, b, avg_len, t_count, cap, bm25_type)
+        k1, b, avg_len, t_count, cap, bm25_type,
+        dist_w, dist_b, use_proximity)
     sum_rank = jnp.where(ok, sum_rank, NEG_INF)
     top_s, top_i = jax.lax.top_k(sum_rank, merge_k)
     top_i = jnp.where(top_s > NEG_INF, top_i, -1)

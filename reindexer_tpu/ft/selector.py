@@ -205,6 +205,9 @@ class FtSelector:
         import jax.numpy as jnp
         cap = dev["cap"]
         merge_k = min(cfg.merge_limit, cap)
+        # term-proximity boost only matters for multi-term queries
+        # (mergerimpl.h:179 — attenuates later terms far from earlier ones)
+        use_prox = cfg.distance_weight > 0.0 and len(terms) > 1
         sum_fields = [f.name for f in q.fields if f.sum_rank]
         if cfg.sum_ranks_by_fields_ratio > 0 and sum_fields:
             # field-rank summation (fulltext.md:118-128 '+'-marked fields)
@@ -224,7 +227,9 @@ class FtSelector:
                 jnp.asarray(must), jnp.asarray(notm), jnp.asarray(sum_mask),
                 cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
                 t_count, len(fb), cap, merge_k, bm25_type,
-                float(cfg.sum_ranks_by_fields_ratio))
+                float(cfg.sum_ranks_by_fields_ratio),
+                dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
+                use_proximity=use_prox)
         else:
             scores, docs = score_and_merge(
                 jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
@@ -236,7 +241,9 @@ class FtSelector:
                 jnp.asarray(term_boost), jnp.asarray(term_lenb),
                 jnp.asarray(must), jnp.asarray(notm),
                 cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
-                t_count, cap, merge_k, bm25_type)
+                t_count, cap, merge_k, bm25_type,
+                dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
+                use_proximity=use_prox)
         scores = np.asarray(scores)
         docs = np.asarray(docs)
         keep = docs >= 0
@@ -324,7 +331,11 @@ class FtSelector:
             jnp.asarray(term_boost), jnp.asarray(term_lenb),
             jnp.asarray(must), jnp.asarray(notm),
             cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
-            n_q, t_count, cap, merge_k, cfg.bm25.bm25_type)
+            n_q, t_count, cap, merge_k, cfg.bm25.bm25_type,
+            dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
+            use_proximity=(cfg.distance_weight > 0.0
+                           and any(len(preps[i]["terms"]) > 1
+                                   for i in live)))
         scores = np.asarray(scores)
         docs = np.asarray(docs)
 

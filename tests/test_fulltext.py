@@ -366,3 +366,32 @@ def test_min_rank_threshold():
     res = db.select(Query("docs").match("ft", "target"))
     assert 1 in got_ids(res)
     assert all(it.rank >= 200 for it in res)
+
+
+def test_term_proximity_boost():
+    """Terms close together rank higher than terms far apart (reference:
+    mergerimpl.h:179-181 distance attenuation with distanceWeight=0.5)."""
+    from reindexer_tpu.ft.config import FtFastConfig
+    from reindexer_tpu.ft.dataholder import FtDataHolder
+    from reindexer_tpu.ft.selector import FtSelector
+
+    near = "alpha beta " + " ".join(f"f{i}" for i in range(28))
+    far = ("alpha " + " ".join(f"x{i}" for i in range(28)) + " beta")
+
+    def run(dw):
+        cfg = FtFastConfig()
+        cfg.distance_weight = dw
+        # neutralize the per-term position rank so only proximity differs
+        cfg.default_field.position_weight = 0.0
+        holder = FtDataHolder(cfg, ["text"])
+        holder.build([(0, [near]), (1, [far])], 2)
+        sel = FtSelector(holder, cfg)
+        res = sel.process("alpha beta")
+        return {int(i): float(r) for i, r in zip(res.ids, res.ranks)}
+
+    boosted = run(0.5)
+    assert set(boosted) == {0, 1}
+    assert boosted[0] > boosted[1], boosted
+
+    flat = run(0.0)
+    assert abs(flat[0] - flat[1]) < 1e-3, flat
