@@ -302,14 +302,77 @@ class Selecter:
                 return new_entries
         return entries
 
+    # cost classes for planner ordering (reference: QueryPreprocessor
+    # cost-based condition reorder, nsselecter/querypreprocessor.cc —
+    # cheap indexed lookups run first so expensive comparators / device
+    # dispatches see an already-narrowed candidate set and can be skipped
+    # outright when the AND-chain is already empty)
+    def _entry_cost(self, ns: Namespace, entry: Any) -> int:
+        if isinstance(entry, AlwaysTrue):
+            return 0
+        if isinstance(entry, QueryEntry):
+            idef = ns.index_def(entry.field)
+            if idef is not None and idef.is_fulltext:
+                return 60          # ranked source, device scoring program
+            index = ns.get_index(entry.field)
+            if index is not None and index.supports(entry.condition):
+                return 10          # indexed lookup
+            if ns.column_values(entry.field) is not None:
+                return 20          # vectorized column comparator
+            return 40              # raw per-doc Python comparator
+        if isinstance(entry, BetweenFieldsEntry):
+            return 30
+        if isinstance(entry, Bracket):
+            return 50
+        if isinstance(entry, KnnQueryEntry):
+            return 70              # device KNN dispatch
+        if isinstance(entry, SubQueryEntry):
+            return 80
+        if isinstance(entry, JoinedQuery):
+            return 90              # full joined-ns select
+        return 50
+
+    def _plan_order(self, ns: Namespace, entries: list) -> list:
+        """Stable-sort entries by cost class within maximal runs of AND/NOT
+        ops. Entries in such a run commute (each contributes `& m` or
+        `& ~m` to the conjunction), so reordering preserves semantics; OR
+        entries are fixed pivots because `(a & b) | c != (a | c) & b`."""
+        out: list = []
+        run: list = []
+        for op, entry in entries:
+            if op == OpType.OR:
+                run.sort(key=lambda oe: self._entry_cost(ns, oe[1]))
+                out.extend(run)
+                run = []
+                out.append((op, entry))
+            else:
+                run.append((op, entry))
+        run.sort(key=lambda oe: self._entry_cost(ns, oe[1]))
+        out.extend(run)
+        return out
+
     def _eval_entries(self, ns: Namespace, entries: list, q: Query,
                       exists: np.ndarray, explain_sel: list,
                       ) -> tuple[np.ndarray, dict[str, RankSource]]:
         entries = self._substitute_composite(ns, entries)
+        entries = self._plan_order(ns, entries)
         cap = len(exists)
         mask: Optional[np.ndarray] = None
         sources: dict[str, RankSource] = {}
-        for op, entry in entries:
+        for pos, (op, entry) in enumerate(entries):
+            # AND short-circuit: once the conjunction is empty and no OR
+            # can revive it, later entries cannot change the (empty) result
+            # (reference analog: the leading SelectIterator driving the scan
+            # — comparators are never consulted past an empty iterator)
+            if (op != OpType.OR and mask is not None and not mask.any()
+                    and all(o != OpType.OR for o, _ in entries[pos:])):
+                if explain_sel is not None:
+                    explain_sel.append({
+                        "field": getattr(entry, "field", None)
+                        or type(entry).__name__,
+                        "skipped": True, "matched": 0, "time_us": 0,
+                    })
+                continue
             t0 = time.perf_counter()
             m, src = self._eval_entry(ns, entry, q, exists, explain_sel)
             if src is not None:
