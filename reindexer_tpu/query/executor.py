@@ -16,6 +16,7 @@ sorting/reranker.h) inside the sort-expression evaluator.
 """
 from __future__ import annotations
 
+import json
 import time
 from typing import Any, Optional
 
@@ -40,6 +41,26 @@ class Selecter:
     def __init__(self, db):
         self.db = db
 
+    # query-count cache (reference: QueryCountCache, core/querycache.h) and
+    # join-preselect cache (reference: JoinCache/JoinPreResult,
+    # core/joincache.h) live ON the namespace (like the reference's per-ns
+    # caches) so dropping/recreating a namespace discards them; entries are
+    # validated against Namespace.version
+    @staticmethod
+    def _ns_cache(ns: Namespace, name: str) -> dict:
+        cache = getattr(ns, name, None)
+        if cache is None:
+            cache = {}
+            setattr(ns, name, cache)
+        return cache
+
+    def _query_fingerprint(self, q: Query) -> str:
+        from .dsl import to_dsl
+        try:
+            return json.dumps(to_dsl(q), sort_keys=True, default=str)
+        except Exception:
+            return repr(vars(q))
+
     # ==================================================================
     # SELECT
     # ==================================================================
@@ -51,6 +72,29 @@ class Selecter:
         ns = self.db.get_namespace(q.namespace)
         with ns.lock:
             ns.collect_expired()
+
+            # count_cached fast path (reference: QueryCountCache — pure-count
+            # queries reuse the total until the namespace version changes)
+            count_key = None
+            if (q.limit_ == 0 and not q.explain_ and not q.merge_queries
+                    and q.aggregations
+                    and all(a.agg_type in (AggType.COUNT, AggType.COUNT_CACHED)
+                            for a in q.aggregations)
+                    and any(a.agg_type == AggType.COUNT_CACHED
+                            for a in q.aggregations)):
+                count_key = self._query_fingerprint(q)
+                hit = self._ns_cache(ns, "query_count_cache").get(count_key)
+                if hit is not None and hit[0] == ns.version:
+                    aggs = []
+                    for a in q.aggregations:
+                        r = AggregationResult(a.agg_type.value, a.fields)
+                        r.value = float(hit[1])
+                        aggs.append(r)
+                    ns.perf.hit("selects", time.perf_counter() - t_start)
+                    return QueryResults(
+                        ns_name=ns.name, items=[], total_count=hit[1],
+                        aggregations=aggs)
+
             cap = ns.rows_capacity
             exists = ns.exists_mask()
             explain_sel: list[dict] = []
@@ -91,6 +135,11 @@ class Selecter:
             t_sort1 = time.perf_counter()
 
             total = len(rows)
+            if count_key is not None:
+                cc = self._ns_cache(ns, "query_count_cache")
+                if len(cc) >= 256:
+                    cc.clear()
+                cc[count_key] = (ns.version, total)
             # --- pagination
             lo = q.offset_
             hi = total if q.limit_ is None else min(total, lo + q.limit_)
@@ -627,13 +676,28 @@ class Selecter:
         """Evaluate a join: boolean mask over main-ns rows + per-row matched
         joined rows (reference: joins/items_processor, preselect strategy)."""
         joined_ns = self.db.get_namespace(jq.query.namespace)
-        # preselect the joined namespace with its own filters
+        # preselect the joined namespace with its own filters; the preselect
+        # rows + hash table are cached until the joined ns changes
+        # (reference: JoinCache/JoinPreResult, core/joincache.h)
         with joined_ns.lock:
-            j_exists = joined_ns.exists_mask()
-            j_mask, _ = self._eval_entries(joined_ns, jq.query.entries, jq.query,
-                                           j_exists, [])
-            j_mask &= j_exists
-            j_rows = np.flatnonzero(j_mask)
+            join_cache = self._ns_cache(joined_ns, "join_preselect_cache")
+            jkey = (self._query_fingerprint(jq.query),
+                    tuple((c.op, c.condition, c.left_field, c.right_field)
+                          for c in jq.on))
+            cached = join_cache.get(jkey)
+            if cached is not None and cached["version"] != joined_ns.version:
+                cached = None
+            if cached is None:
+                j_exists = joined_ns.exists_mask()
+                j_mask, _ = self._eval_entries(joined_ns, jq.query.entries,
+                                               jq.query, j_exists, [])
+                j_mask &= j_exists
+                cached = {"version": joined_ns.version,
+                          "j_rows": np.flatnonzero(j_mask), "j_keys": None}
+                if len(join_cache) >= 128:
+                    join_cache.clear()
+                join_cache[jkey] = cached
+            j_rows = cached["j_rows"]
 
             cap = ns.rows_capacity
             mask = np.zeros(cap, dtype=np.bool_)
@@ -648,14 +712,18 @@ class Selecter:
             all_eq_and = all(c.condition == CondType.EQ and c.op == OpType.AND
                              for c in jq.on)
             if all_eq_and:
-                j_keys: dict[tuple, list[int]] = {}
-                for jrow in j_rows:
-                    jdoc = joined_ns.get_item(int(jrow))
-                    if jdoc is None:
-                        continue
-                    key = tuple(self._join_key(get_json_path(jdoc, c.right_field))
-                                for c in jq.on)
-                    j_keys.setdefault(key, []).append(int(jrow))
+                j_keys = cached["j_keys"]
+                if j_keys is None:
+                    j_keys = {}
+                    for jrow in j_rows:
+                        jdoc = joined_ns.get_item(int(jrow))
+                        if jdoc is None:
+                            continue
+                        key = tuple(
+                            self._join_key(get_json_path(jdoc, c.right_field))
+                            for c in jq.on)
+                        j_keys.setdefault(key, []).append(int(jrow))
+                    cached["j_keys"] = j_keys
                 for row in main_rows:
                     doc = ns.get_item(int(row))
                     if doc is None:

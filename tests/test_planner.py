@@ -63,3 +63,69 @@ def test_reorder_preserves_not_semantics():
     got = {it.doc["id"] for it in db.select(q)}
     expect = {i for i in range(200) if i % 7 == 1 and i % 10 != 8}
     assert got == expect
+
+
+def test_count_cached_query_cache():
+    """count_cached totals are served from the per-ns query-count cache and
+    invalidated on any namespace change (reference: QueryCountCache)."""
+    db = make_db()
+    q = (Query("ns").where("grp", "EQ", 4)
+         .aggregate("count_cached").limit(0))
+    r1 = db.select(q)
+    assert r1.aggregations[0].value == 20
+
+    # second run must come from the cache: break _eval_entries to prove it
+    sel = db._selecter
+    orig = sel._eval_entries
+    calls = []
+    sel._eval_entries = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    r2 = db.select(q)
+    assert r2.aggregations[0].value == 20
+    assert not calls, "cached count must not re-evaluate conditions"
+
+    # a write bumps ns.version -> cache invalidated, fresh count
+    db.upsert("ns", {"id": 1000, "grp": 4, "raw": "zz"})
+    r3 = db.select(q)
+    assert calls
+    assert r3.aggregations[0].value == 21
+    sel._eval_entries = orig
+
+
+def test_join_preselect_cache():
+    """Joined-ns preselect rows + hash table are cached until the joined
+    namespace changes (reference: JoinCache / JoinPreResult)."""
+    db = make_db()
+    db.open_namespace("other", [
+        IndexDef("oid", "hash", "int", opts=IndexOpts(is_pk=True)),
+    ])
+    for i in range(50):
+        db.upsert("other", {"oid": i, "ref": i % 10, "flag": i % 2})
+
+    def run():
+        q = Query("ns")
+        q.inner_join(Query("other").where("flag", "EQ", 0)).on(
+            "grp", "EQ", "ref")
+        return {it.doc["id"] for it in db.select(q)}
+
+    expect = {i for i in range(200) if (i % 10) % 2 == 0}  # even refs only
+    got1 = run()
+    assert got1 == expect
+
+    sel = db._selecter
+    orig = sel._eval_entries
+    joined_evals = []
+
+    def spy(ns, *a, **k):
+        if ns.name == "other":
+            joined_evals.append(1)
+        return orig(ns, *a, **k)
+
+    sel._eval_entries = spy
+    assert run() == expect
+    assert not joined_evals, "join preselect must be cached"
+
+    # writing to the joined ns invalidates the cache (ref=3 now matches)
+    db.upsert("other", {"oid": 100, "ref": 3, "flag": 0})
+    assert run() == expect | {i for i in range(200) if i % 10 == 3}
+    assert joined_evals
+    sel._eval_entries = orig
