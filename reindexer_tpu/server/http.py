@@ -94,11 +94,45 @@ def _items_payload(res: QueryResults, with_columns: bool = False) -> dict:
     return out
 
 
+try:
+    import msgpack as _msgpack
+except Exception:                     # pragma: no cover
+    _msgpack = None
+
+
+def _to_csv(items: list[dict]) -> str:
+    """CSV rendering of result items (reference: csvbuilder.cc / queryresults
+    CSV encoder): columns = ordered union of document keys; nested values are
+    JSON-encoded in their cell."""
+    import csv as _csv
+    import io
+    cols: list[str] = []
+    seen = set()
+    for doc in items:
+        for k in doc:
+            if k not in seen:
+                seen.add(k)
+                cols.append(k)
+    buf = io.StringIO()
+    w = _csv.writer(buf)
+    w.writerow(cols)
+    for doc in items:
+        row = []
+        for c in cols:
+            v = doc.get(c)
+            if isinstance(v, (dict, list)):
+                v = json.dumps(v, ensure_ascii=False, default=str)
+            row.append(v)
+        w.writerow(row)
+    return buf.getvalue()
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "reindexer_tpu"
     protocol_version = "HTTP/1.1"
     mgr: DBManager = None            # set by make_server
     txs: dict[str, Transaction] = {}
+    _fmt = "json"                    # per-request response format
 
     # silence request logging
     def log_message(self, fmt, *args):
@@ -106,10 +140,22 @@ class _Handler(BaseHTTPRequestHandler):
 
     # --- plumbing -------------------------------------------------------
     def _send(self, code: int, payload: Any) -> None:
-        body = json.dumps(payload, ensure_ascii=False,
-                          default=str).encode("utf-8")
+        """Serialize by negotiated format (reference: httpserver format=
+        json|msgpack|csv-file per-request encoders, httpserver.cc queries/
+        items routes)."""
+        if self._fmt == "msgpack" and _msgpack is not None:
+            body = _msgpack.packb(payload, default=str)
+            ctype = "application/x-msgpack"
+        elif self._fmt == "csv-file" and isinstance(payload, dict) \
+                and isinstance(payload.get("items"), list):
+            body = _to_csv(payload["items"]).encode("utf-8")
+            ctype = "text/csv; charset=utf-8"
+        else:
+            body = json.dumps(payload, ensure_ascii=False,
+                              default=str).encode("utf-8")
+            ctype = "application/json; charset=utf-8"
         self.send_response(code)
-        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -133,6 +179,9 @@ class _Handler(BaseHTTPRequestHandler):
         raw = self.rfile.read(length)
         if not raw:
             return None
+        ctype = self.headers.get("Content-Type") or ""
+        if "msgpack" in ctype and _msgpack is not None:
+            return _msgpack.unpackb(raw)
         return json.loads(raw.decode("utf-8"))
 
     def _check_auth(self, method: str, parts: list[str]) -> Optional[str]:
@@ -164,6 +213,10 @@ class _Handler(BaseHTTPRequestHandler):
         parts = [urllib.parse.unquote(p) for p in parsed.path.split("/")
                  if p != ""]
         qs = urllib.parse.parse_qs(parsed.query)
+        fmt = qs.get("format", [None])[0]
+        if fmt is None and "msgpack" in (self.headers.get("Accept") or ""):
+            fmt = "msgpack"
+        self._fmt = fmt or "json"
         try:
             err = self._check_auth(method, parts)
             if err == "unauthorized":

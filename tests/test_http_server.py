@@ -246,3 +246,61 @@ def test_server_rediscovers_databases(tmp_path):
         assert body["items"][0]["id"] == 7
     finally:
         srv2.stop()
+
+
+def raw_call(srv, method, path, data=None, headers=None):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    req = urllib.request.Request(url, data=data, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def test_msgpack_wire_format(server):
+    """format=msgpack / Accept + msgpack request bodies (reference: per-
+    format builders, core/cjson msgpack codec + httpserver format param)."""
+    msgpack = pytest.importorskip("msgpack")
+    call(server, "POST", "/api/v1/db", {"name": "mpdb"})
+    call(server, "POST", "/api/v1/db/mpdb/namespaces", {
+        "name": "ms", "indexes": [
+            {"name": "id", "index_type": "hash", "field_type": "int",
+             "is_pk": True}]})
+    # write items with a msgpack body
+    payload = msgpack.packb([{"id": 1, "tag": "a"}, {"id": 2, "tag": "b"}])
+    code, ctype, _ = raw_call(
+        server, "PUT", "/api/v1/db/mpdb/namespaces/ms/items", payload,
+        {"Content-Type": "application/x-msgpack"})
+    assert code == 200
+    # read them back as msgpack (query param)
+    code, ctype, raw = raw_call(
+        server, "GET", "/api/v1/db/mpdb/namespaces/ms/items?format=msgpack")
+    assert code == 200 and "msgpack" in ctype
+    body = msgpack.unpackb(raw)
+    assert {d["id"] for d in body["items"]} == {1, 2}
+    # Accept-header negotiation on the query route
+    code, ctype, raw = raw_call(
+        server, "GET", "/api/v1/db/mpdb/query?q=SELECT%20*%20FROM%20ms",
+        headers={"Accept": "application/x-msgpack"})
+    assert code == 200 and "msgpack" in ctype
+    assert len(msgpack.unpackb(raw)["items"]) == 2
+
+
+def test_csv_export(server):
+    """format=csv-file renders items as CSV (reference: csvbuilder.cc)."""
+    call(server, "POST", "/api/v1/db", {"name": "csvdb"})
+    call(server, "POST", "/api/v1/db/csvdb/namespaces", {
+        "name": "cs", "indexes": [
+            {"name": "id", "index_type": "hash", "field_type": "int",
+             "is_pk": True}]})
+    call(server, "PUT", "/api/v1/db/csvdb/namespaces/cs/items",
+         [{"id": 1, "name": "x", "tags": ["a", "b"]},
+          {"id": 2, "name": "y"}])
+    code, ctype, raw = raw_call(
+        server, "GET",
+        "/api/v1/db/csvdb/query?q=SELECT%20*%20FROM%20cs&format=csv-file")
+    assert code == 200 and "csv" in ctype
+    lines = raw.decode().strip().splitlines()
+    assert lines[0].split(",")[:2] == ["id", "name"]
+    assert len(lines) == 3
+    assert '"[""a"", ""b""]"' in lines[1]
