@@ -27,6 +27,7 @@ import math
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ...core.payload import IndexDef
@@ -63,6 +64,19 @@ def _pow2(n: int, floor: int = 8) -> int:
     while c < n:
         c *= 2
     return c
+
+
+# jitted dirty-row mirror updates: one compiled program per pow2 shape
+# bucket (see _pad_dirty) instead of a fresh eager-scatter compile per
+# distinct dirty count
+@jax.jit
+def _scatter_rows(table, rows, vals):
+    return table.at[rows].set(vals)
+
+
+@jax.jit
+def _scatter_layer_rows(stack, li, rows, vals):
+    return stack.at[li, rows].set(vals)
 
 
 class HnswIndex(FloatVectorIndexBase):
@@ -300,37 +314,36 @@ class HnswIndex(FloatVectorIndexBase):
         if kc > 0:
             cm_ids_pad[:B, :kc] = chunk_ids
             cm_sc_pad[:B, :kc] = chunk_scores
-        lvl_of = {int(r): int(levels[j]) for j, r in enumerate(rows)}
+        lvl_arr = np.full(self._links0.shape[0], -1, dtype=np.int32)
+        lvl_arr[row_arr] = levels
 
         # walk down from the top; connect at layers <= point level.
         # each connecting layer is ONE fused device program (beam + batch
         # candidate merge + heuristic — ops/hnsw_kernels.insert_layer)
+        ents = jnp.asarray(ents)   # stays device-resident across layers
         for lc in range(self._max_level, -1, -1):
             links_l = self._device_layer(lc)
             connect_here = np.flatnonzero(levels >= lc) if lc > 0 else \
                 np.arange(B)
             if len(connect_here) == 0:
                 # pure descent on this layer
-                nxt = greedy_descend(
-                    qd, pack, links_l[None], jnp.asarray(ents),
-                    self.metric)
-                ents = np.asarray(nxt)
+                ents = greedy_descend(qd, pack, links_l[None], ents,
+                                      self.metric)
                 continue
             if lc > 0 and kc > 0:
                 # only chunk members that reach this layer are candidates
-                ok = np.vectorize(
-                    lambda r: lvl_of.get(int(r), -1) >= lc)(cm_ids_pad[:B])
+                ids = cm_ids_pad[:B]
+                ok = (ids >= 0) & (lvl_arr[np.maximum(ids, 0)] >= lc)
                 cm_sc = np.where(ok, cm_sc_pad[:B], -np.inf)
                 layer_sc = np.full((qpad, kcp), -np.inf, dtype=np.float32)
                 layer_sc[:B] = cm_sc
             else:
                 layer_sc = cm_sc_pad
-            sel_d, ents_d = insert_layer(
-                qd, pack, links_l, jnp.asarray(ents),
+            sel_d, ents = insert_layer(
+                qd, pack, links_l, ents,
                 jnp.asarray(cm_ids_pad), jnp.asarray(layer_sc),
                 ef=efc, expand=2, max_iters=2 * efc, m=self.m,
                 metric=self.metric)
-            ents = np.asarray(ents_d)
             sel = np.asarray(sel_d)[:B][connect_here]
             self._connect_selected(lc, [rows[j] for j in connect_here], sel)
 
@@ -414,6 +427,23 @@ class HnswIndex(FloatVectorIndexBase):
     # ------------------------------------------------------------------
     # device mirrors
     # ------------------------------------------------------------------
+    @staticmethod
+    def _pad_dirty(rows: np.ndarray, vals: np.ndarray,
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """Pow2-pad a dirty-row update so the jitted scatter compiles for a
+        handful of shape buckets instead of one program per distinct count
+        (eager `.at[].set` costs a multi-second remote compile per new shape
+        through the device tunnel). Padding repeats row 0 with identical
+        values — duplicate scatter writes of the same value are benign."""
+        p2 = _pow2(len(rows))
+        if p2 == len(rows):
+            return rows, vals
+        pr = np.full(p2, rows[0], dtype=rows.dtype)
+        pv = np.broadcast_to(vals[0], (p2,) + vals.shape[1:]).copy()
+        pr[: len(rows)] = rows
+        pv[: len(rows)] = vals
+        return pr, pv
+
     def _sync_device(self) -> None:
         if self._full_sync or self._d_links0 is None \
                 or self._d_links0.shape[0] != len(self._levels):
@@ -427,8 +457,9 @@ class HnswIndex(FloatVectorIndexBase):
         if self._dirty0:
             r = np.fromiter(self._dirty0, dtype=np.int32,
                             count=len(self._dirty0))
-            self._d_links0 = self._d_links0.at[jnp.asarray(r)].set(
-                jnp.asarray(self._links0[r]))
+            r, v = self._pad_dirty(r, self._links0[r])
+            self._d_links0 = _scatter_rows(
+                self._d_links0, jnp.asarray(r), jnp.asarray(v))
             self._dirty0.clear()
         if self._dirty_upper:
             if self._d_upper is None or \
@@ -439,8 +470,10 @@ class HnswIndex(FloatVectorIndexBase):
                 for layer, rows in self._dirty_upper.items():
                     li = len(self._upper) - layer
                     r = np.fromiter(rows, dtype=np.int32, count=len(rows))
-                    self._d_upper = self._d_upper.at[li, jnp.asarray(r)].set(
-                        jnp.asarray(self._upper[li][r]))
+                    r, v = self._pad_dirty(r, self._upper[li][r])
+                    self._d_upper = _scatter_layer_rows(
+                        self._d_upper, jnp.int32(li), jnp.asarray(r),
+                        jnp.asarray(v))
             self._dirty_upper.clear()
 
     def _device_layer(self, layer: int) -> jnp.ndarray:
