@@ -64,6 +64,14 @@ class Reindexer:
                         for k, v in DEFAULT_CONFIG.items()}
         self._embedders: dict[str, Any] = {}
         self._activity: list[dict] = []
+        # per-normalized-query latency stats (reference: #queriesperfstats,
+        # core/queryperfstat.h — queries aggregate under a values-stripped
+        # normalization)
+        self._queries_perf: dict[str, dict] = {}
+        # background TTL expiry (reference: TtlIndex expiry thread,
+        # core/index/ttlindex.cc) — started lazily on the first TTL index
+        self._ttl_stop = threading.Event()
+        self._ttl_thread: Optional[threading.Thread] = None
         self.storage = storage
         if dsn and storage is None:
             from ..storage.engine import FileStorage
@@ -89,9 +97,30 @@ class Reindexer:
                     self.storage.attach_namespace(ns)
             for idef in indexes:
                 ns.add_index(idef)
+                if idef.opts.expire_after:
+                    self._ensure_ttl_thread()
             return ns
 
     add_namespace = open_namespace
+
+    # ------------------------------------------------------------------
+    # background TTL expiry (reference: TTL index expiry thread)
+    # ------------------------------------------------------------------
+    def _ensure_ttl_thread(self) -> None:
+        if self._ttl_thread is not None and self._ttl_thread.is_alive():
+            return
+        self._ttl_thread = threading.Thread(
+            target=self._ttl_loop, name="rx-ttl", daemon=True)
+        self._ttl_thread.start()
+
+    def _ttl_loop(self) -> None:
+        while not self._ttl_stop.wait(float(
+                self._config.get("ttl_poll_interval_sec", 1.0))):
+            for ns in list(self._namespaces.values()):
+                try:
+                    ns.collect_expired()
+                except Exception:      # expiry must never kill the daemon
+                    pass
 
     def close_namespace(self, name: str) -> None:
         with self._lock:
@@ -139,6 +168,8 @@ class Reindexer:
     # ------------------------------------------------------------------
     def add_index(self, ns_name: str, idef: IndexDef) -> None:
         self.get_namespace(ns_name).add_index(idef)
+        if idef.opts.expire_after:
+            self._ensure_ttl_thread()
 
     def update_index(self, ns_name: str, idef: IndexDef) -> None:
         self.get_namespace(ns_name).update_index(idef)
@@ -214,19 +245,59 @@ class Reindexer:
             res = self._selecter.select(q)
         finally:
             self._activity.remove(act)
+        dt_us = (time.perf_counter() - t0) * 1e6
+        prof = self._config.get("profiling", {})
+        # per-normalized-query latency stats (reference: #queriesperfstats,
+        # queries aggregate under a values-stripped normalization)
+        if prof.get("queriesperfstats"):
+            key = self._normalize_query(q)
+            st = self._queries_perf.get(key)
+            if st is None:
+                if len(self._queries_perf) >= 1024:
+                    self._queries_perf.clear()
+                st = self._queries_perf.setdefault(key, {
+                    "total_queries_count": 0,
+                    "total_avg_latency_us": 0.0,
+                    "min_latency_us": dt_us,
+                    "max_latency_us": 0.0})
+            n = st["total_queries_count"]
+            st["total_avg_latency_us"] = (
+                (st["total_avg_latency_us"] * n + dt_us) / (n + 1))
+            st["total_queries_count"] = n + 1
+            st["min_latency_us"] = min(st["min_latency_us"], dt_us)
+            st["max_latency_us"] = max(st["max_latency_us"], dt_us)
         # slow-query logging (reference: profiling.long_queries_logging,
         # tools/logginglongqueries.cc)
-        thr = (self._config.get("profiling", {})
-               .get("long_queries_logging", {})
+        thr = (prof.get("long_queries_logging", {})
                .get("select", {}).get("threshold_us", -1))
-        if thr >= 0:
-            dt_us = (time.perf_counter() - t0) * 1e6
-            if dt_us > thr:
-                import logging
-                logging.getLogger("reindexer_tpu.slowlog").warning(
-                    "slow select on '%s': %.0f us (threshold %d us)",
-                    q.namespace, dt_us, thr)
+        if 0 <= thr < dt_us:
+            import logging
+            logging.getLogger("reindexer_tpu.slowlog").warning(
+                "slow select on '%s': %.0f us (threshold %d us)",
+                q.namespace, dt_us, thr)
         return res
+
+    @staticmethod
+    def _normalize_query(q) -> str:
+        """Values-stripped query signature (reference: QueryPerfStat
+        normalization — WHERE values become '?')."""
+        from .type_consts import CondType, OpType
+        parts = [f"SELECT FROM {q.namespace}"]
+        for op, e in q.entries:
+            f = getattr(e, "field", None) or type(e).__name__
+            c = getattr(e, "condition", None)
+            try:
+                op_s, c_s = OpType(op).name, CondType(c).name
+            except ValueError:
+                op_s, c_s = str(op), str(c)
+            parts.append(f"{op_s} {f} {c_s} ?")
+        for s in getattr(q, "sorts", ()):
+            parts.append(f"ORDER BY {getattr(s, 'expression', s)}")
+        for a in getattr(q, "aggregations", ()):
+            parts.append(f"AGG {getattr(a, 'agg_type', a)}")
+        if q.limit_ is not None:
+            parts.append("LIMIT ?")
+        return " ".join(str(p) for p in parts)
 
     def knn_batch(self, ns_name: str, field: str, queries,
                   params) -> list[QueryResults]:
@@ -417,10 +488,7 @@ class Reindexer:
             for n, real in self._namespaces.items():
                 docs.append({"name": n, **real.perf.stats()})
         elif name == "#queriesperfstats":
-            for n, real in self._namespaces.items():
-                st = real.perf.stats()
-                if "selects" in st:
-                    docs.append({"query": f"SELECT * FROM {n}", **st["selects"]})
+            docs = [{"query": k, **v} for k, v in self._queries_perf.items()]
         elif name == "#config":
             for section, value in self._config.items():
                 docs.append({"type": section, section: value})
@@ -448,6 +516,8 @@ class Reindexer:
             self._namespaces[name] = ns
             self.storage.load_namespace(ns)
             self.storage.attach_namespace(ns)
+            if any(d.opts.expire_after for d in ns.index_defs()):
+                self._ensure_ttl_thread()
 
     def flush(self) -> None:
         if self.storage is None:
@@ -456,6 +526,9 @@ class Reindexer:
             self.storage.flush_namespace(ns)
 
     def close(self) -> None:
+        self._ttl_stop.set()
+        if self._ttl_thread is not None:
+            self._ttl_thread.join(timeout=2.0)
         self.flush()
         if self.storage is not None:
             self.storage.close()

@@ -129,3 +129,40 @@ def test_join_preselect_cache():
     assert run() == expect | {i for i in range(200) if i % 10 == 3}
     assert joined_evals
     sel._eval_entries = orig
+
+
+def test_background_ttl_expiry():
+    """The TTL daemon removes expired rows without any query touching the
+    namespace (reference: TTL index expiry thread, ttlindex.cc)."""
+    import time as _t
+    db = Reindexer()
+    db.update_config("ttl_poll_interval_sec", 0.05)
+    db.open_namespace("t", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("ts", "ttl", "int64", opts=IndexOpts(expire_after=1)),
+    ])
+    now = int(_t.time())
+    db.upsert("t", {"id": 1, "ts": now - 100})    # long expired
+    db.upsert("t", {"id": 2, "ts": now + 3600})   # fresh
+    ns = db.get_namespace("t")
+    deadline = _t.time() + 5.0
+    while _t.time() < deadline and ns.item_count() != 1:
+        _t.sleep(0.05)
+    assert ns.item_count() == 1                   # expired without a select
+    got = {it.doc["id"] for it in db.select(Query("t"))}
+    assert got == {2}
+    db.close()
+
+
+def test_queries_perf_stats():
+    """#queriesperfstats aggregates per normalized query (values stripped)."""
+    db = make_db()
+    for v in (1, 2, 3):
+        db.select(Query("ns").where("grp", "EQ", v))
+    db.select(Query("ns").where("grp", "LT", 5))
+    stats = {it.doc["query"]: it.doc for it in db.select(Query("#queriesperfstats"))}
+    eq = [v for k, v in stats.items() if " EQ ?" in k and "grp" in k]
+    assert eq and eq[0]["total_queries_count"] == 3
+    assert eq[0]["total_avg_latency_us"] > 0
+    lt = [v for k, v in stats.items() if " LT ?" in k]
+    assert lt and lt[0]["total_queries_count"] == 1
