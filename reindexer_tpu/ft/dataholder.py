@@ -86,6 +86,7 @@ class FtDataHolder:
         self.pos_start = np.zeros(1, dtype=np.int64)
         self.pos_flat = np.empty(0, dtype=np.int32)
         self.doc_words = np.empty(0, dtype=np.float32)
+        self.field_words = np.zeros((1, 0), dtype=np.int32)
         self.total_docs = 0
         self.avg_doc_len = 1.0
         self._typo_dict: Optional[TypoDict] = None
@@ -108,6 +109,8 @@ class FtDataHolder:
             collected = self._collect_python(docs)
         if collected is None:
             self.doc_words = np.zeros(cap, dtype=np.float32)
+            self.field_words = np.zeros(
+                (max(len(self.field_names), 1), cap), dtype=np.int32)
             self._device = None
             return
         self.words, tok_wid, doc_arr, field_arr, pos_arr = collected
@@ -154,6 +157,13 @@ class FtDataHolder:
 
         self.doc_words = np.bincount(
             doc_arr, minlength=cap).astype(np.float32)
+        # per-(field, doc) word counts: fullMatchBoost applies when the
+        # matched field holds exactly as many words as the query has terms
+        # (reference: Merger::addFullMatchBoost, merger.h:101-109)
+        nf = max(len(self.field_names), 1)
+        self.field_words = np.bincount(
+            field_arr.astype(np.int64) * cap + doc_arr,
+            minlength=nf * cap).astype(np.int32).reshape(nf, cap)
         used = self.doc_words > 0
         self.avg_doc_len = float(self.doc_words[used].mean()) if used.any() else 1.0
         self._typo_dict = None
@@ -330,6 +340,9 @@ class FtDataHolder:
                 "post_tf": jnp.asarray(pad(self.post_tf, pp)),
                 "post_minpos": jnp.asarray(pad(self.post_minpos, pp)),
                 "doc_words": jnp.asarray(pad(self.doc_words, capp)),
+                "field_words": jnp.asarray(np.pad(
+                    self.field_words,
+                    ((0, 0), (0, capp - self.field_words.shape[1])))),
                 "cap": capp,
             }
         return self._device

@@ -32,7 +32,7 @@ NEG_INF = jnp.float32(-jnp.inf)
 @functools.partial(
     jax.jit,
     static_argnames=("n_q", "t_count", "cap", "merge_k", "bm25_type",
-                     "use_proximity"))
+                     "use_proximity", "use_fullmatch"))
 def score_and_merge_batch(
     gather_idx, g_term, g_weight, g_idf,
     post_doc, post_field, post_tf, post_minpos, doc_words,
@@ -42,6 +42,8 @@ def score_and_merge_batch(
     k1, b, avg_len, n_q: int, t_count: int, cap: int, merge_k: int,
     bm25_type: str,
     dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
+    field_words=None, n_terms=None, fm_boost=1.0,
+    use_fullmatch: bool = False,
 ):
     """Batched-query scoring: `n_q` independent DSL queries share ONE device
     program by occupying disjoint term-id ranges (query q's terms live at
@@ -83,6 +85,16 @@ def score_and_merge_batch(
     excluded = jnp.any(present & nm[:, :, None], axis=1)
     rank_acc = jnp.where(nm[:, :, None], 0.0, acc)
     sum_rank = jnp.sum(rank_acc, axis=1)                  # [n_q, cap]
+    if use_fullmatch:
+        pos_present = present & ~nm[:, :, None]
+        matched_all = (jnp.sum(pos_present.astype(jnp.int32), axis=1)
+                       == n_terms[:, None])               # [n_q, cap]
+        searched = field_boost[: field_words.shape[0]] > 0.0
+        fm = matched_all & jnp.any(
+            searched[None, :, None]
+            & (field_words[None] == n_terms[:, None, None]),
+            axis=1)                                       # [n_q, cap]
+        sum_rank = jnp.where(fm, sum_rank * fm_boost, sum_rank)
     all_must = jnp.all(present | ~mm[:, :, None], axis=1)
     ok = all_must & ~excluded & (sum_rank > 0.0)
     sum_rank = jnp.where(ok, sum_rank, NEG_INF)
@@ -162,6 +174,20 @@ def _apply_proximity(acc, minp, not_mask, dist_w, dist_b):
     return out
 
 
+def _full_match_boost(sum_rank, field_boost, field_words, n_terms, fm_boost,
+                      matched_all):
+    """Boost docs that matched ALL positive terms (canBeBoostedByFullMatch,
+    mergerimpl.h:527-531) AND where a searched field holds exactly as many
+    words as the query has terms (reference: Merger::addFullMatchBoost,
+    merger.h:101-109 — the reference checks the matched field only; this
+    device form checks every searched field, equivalent for the common
+    exact-title-match case)."""
+    searched = field_boost[: field_words.shape[0]] > 0.0
+    fm = matched_all & jnp.any(
+        searched[:, None] & (field_words == n_terms), axis=0)
+    return jnp.where(fm, sum_rank * fm_boost, sum_rank)
+
+
 def sum_ranks(
     gather_idx, g_term, g_weight, g_idf,
     post_doc, post_field, post_tf, post_minpos, doc_words,
@@ -170,6 +196,7 @@ def sum_ranks(
     term_boost, term_lenboost, must_mask, not_mask,
     k1, b, avg_len, t_count: int, cap: int, bm25_type: str,
     dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
+    field_words=None, n_terms=0, fm_boost=1.0, use_fullmatch: bool = False,
 ):
     """Traceable core: per-doc summed rank + validity mask (docRank =
     sum_t max subTermRank with must/not folding). Shared by the single-chip
@@ -206,6 +233,11 @@ def sum_ranks(
     excluded = jnp.any(present & not_mask[:, None], axis=0)
     rank_acc = jnp.where(not_mask[:, None], 0.0, acc)
     sum_rank = jnp.sum(rank_acc, axis=0)
+    if use_fullmatch:
+        pos_present = present & ~not_mask[:, None]
+        matched_all = jnp.sum(pos_present.astype(jnp.int32), axis=0) == n_terms
+        sum_rank = _full_match_boost(sum_rank, field_boost, field_words,
+                                     n_terms, fm_boost, matched_all)
     all_must = jnp.all(present | ~must_mask[:, None], axis=0)
     ok = all_must & ~excluded & (sum_rank > 0.0)
     return sum_rank, ok
@@ -221,6 +253,7 @@ def sum_ranks_fielded(
     ratio: float,
     k1, b, avg_len, t_count: int, f_count: int, cap: int, bm25_type: str,
     dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
+    field_words=None, n_terms=0, fm_boost=1.0, use_fullmatch: bool = False,
 ):
     """Field-rank summation variant (reference: SumRanksByFieldsRatio,
     fulltext.md:118-128): per (term, doc) the field ranks sort descending and
@@ -272,6 +305,11 @@ def sum_ranks_fielded(
     excluded = jnp.any(present & not_mask[:, None], axis=0)
     rank_acc = jnp.where(not_mask[:, None], 0.0, acc)
     sum_rank = jnp.sum(rank_acc, axis=0)
+    if use_fullmatch:
+        pos_present = present & ~not_mask[:, None]
+        matched_all = jnp.sum(pos_present.astype(jnp.int32), axis=0) == n_terms
+        sum_rank = _full_match_boost(sum_rank, field_boost, field_words,
+                                     n_terms, fm_boost, matched_all)
     all_must = jnp.all(present | ~must_mask[:, None], axis=0)
     ok = all_must & ~excluded & (sum_rank > 0.0)
     return sum_rank, ok
@@ -280,7 +318,7 @@ def sum_ranks_fielded(
 @functools.partial(
     jax.jit,
     static_argnames=("t_count", "f_count", "cap", "merge_k", "bm25_type",
-                     "ratio", "use_proximity"))
+                     "ratio", "use_proximity", "use_fullmatch"))
 def score_and_merge_fielded(
     gather_idx, g_term, g_weight, g_idf,
     post_doc, post_field, post_tf, post_minpos, doc_words,
@@ -290,6 +328,7 @@ def score_and_merge_fielded(
     k1, b, avg_len, t_count: int, f_count: int, cap: int, merge_k: int,
     bm25_type: str, ratio: float,
     dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
+    field_words=None, n_terms=0, fm_boost=1.0, use_fullmatch: bool = False,
 ):
     sum_rank, ok = sum_ranks_fielded(
         gather_idx, g_term, g_weight, g_idf,
@@ -299,7 +338,8 @@ def score_and_merge_fielded(
         term_boost, term_lenboost, must_mask, not_mask,
         sum_fields_mask, ratio,
         k1, b, avg_len, t_count, f_count, cap, bm25_type,
-        dist_w, dist_b, use_proximity)
+        dist_w, dist_b, use_proximity,
+        field_words, n_terms, fm_boost, use_fullmatch)
     sum_rank = jnp.where(ok, sum_rank, NEG_INF)
     top_s, top_i = jax.lax.top_k(sum_rank, merge_k)
     top_i = jnp.where(top_s > NEG_INF, top_i, -1)
@@ -309,7 +349,7 @@ def score_and_merge_fielded(
 @functools.partial(
     jax.jit,
     static_argnames=("t_count", "cap", "merge_k", "bm25_type",
-                     "use_proximity"))
+                     "use_proximity", "use_fullmatch"))
 def score_and_merge(
     gather_idx: jnp.ndarray,     # int32[G] posting indices (pad -> 0)
     g_term: jnp.ndarray,         # int32[G] query-term id per gathered posting
@@ -332,6 +372,7 @@ def score_and_merge(
     k1: float, b: float, avg_len: float,
     t_count: int, cap: int, merge_k: int, bm25_type: str,
     dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
+    field_words=None, n_terms=0, fm_boost=1.0, use_fullmatch: bool = False,
 ):
     """Returns (scores f32[merge_k], doc_ids int32[merge_k]); empty slots
     have score -inf / id -1. Scores are un-normalized docRank sums — the
@@ -343,7 +384,8 @@ def score_and_merge(
         field_pos_boost, field_pos_weight,
         term_boost, term_lenboost, must_mask, not_mask,
         k1, b, avg_len, t_count, cap, bm25_type,
-        dist_w, dist_b, use_proximity)
+        dist_w, dist_b, use_proximity,
+        field_words, n_terms, fm_boost, use_fullmatch)
     sum_rank = jnp.where(ok, sum_rank, NEG_INF)
     top_s, top_i = jax.lax.top_k(sum_rank, merge_k)
     top_i = jnp.where(top_s > NEG_INF, top_i, -1)

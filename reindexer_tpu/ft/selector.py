@@ -208,6 +208,9 @@ class FtSelector:
         # term-proximity boost only matters for multi-term queries
         # (mergerimpl.h:179 — attenuates later terms far from earlier ones)
         use_prox = cfg.distance_weight > 0.0 and len(terms) > 1
+        # fullMatchBoost: field length == positive-term count (merger.h:101)
+        n_pos_terms = int((~prep["notm"]).sum())
+        use_fm = cfg.full_match_boost != 1.0 and n_pos_terms > 0
         sum_fields = [f.name for f in q.fields if f.sum_rank]
         if cfg.sum_ranks_by_fields_ratio > 0 and sum_fields:
             # field-rank summation (fulltext.md:118-128 '+'-marked fields)
@@ -229,7 +232,9 @@ class FtSelector:
                 t_count, len(fb), cap, merge_k, bm25_type,
                 float(cfg.sum_ranks_by_fields_ratio),
                 dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
-                use_proximity=use_prox)
+                use_proximity=use_prox,
+                field_words=dev["field_words"], n_terms=n_pos_terms,
+                fm_boost=cfg.full_match_boost, use_fullmatch=use_fm)
         else:
             scores, docs = score_and_merge(
                 jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
@@ -243,7 +248,9 @@ class FtSelector:
                 cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
                 t_count, cap, merge_k, bm25_type,
                 dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
-                use_proximity=use_prox)
+                use_proximity=use_prox,
+                field_words=dev["field_words"], n_terms=n_pos_terms,
+                fm_boost=cfg.full_match_boost, use_fullmatch=use_fm)
         scores = np.asarray(scores)
         docs = np.asarray(docs)
         keep = docs >= 0
@@ -291,8 +298,10 @@ class FtSelector:
         term_lenb = np.ones(n_q * t_count, dtype=np.float32)
         must = np.zeros(n_q * t_count, dtype=np.bool_)
         notm = np.zeros(n_q * t_count, dtype=np.bool_)
+        n_pos = np.full(n_q, -1, dtype=np.int32)   # -1: never full-matches
         for i in live:
             p = preps[i]
+            n_pos[i] = int((~p["notm"]).sum()) or -1   # 0 would match empty fields
             off = i * t_count
             parts_idx.append(p["g_idx"])
             parts_term.append(p["g_term"] + off)
@@ -335,7 +344,11 @@ class FtSelector:
             dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
             use_proximity=(cfg.distance_weight > 0.0
                            and any(len(preps[i]["terms"]) > 1
-                                   for i in live)))
+                                   for i in live)),
+            field_words=dev["field_words"],
+            n_terms=jnp.asarray(n_pos),
+            fm_boost=cfg.full_match_boost,
+            use_fullmatch=cfg.full_match_boost != 1.0)
         scores = np.asarray(scores)
         docs = np.asarray(docs)
 

@@ -120,9 +120,18 @@ def test_must_and_not(db):
 def test_prefix_suffix(db):
     res = db.select(Query("docs").match("ft", "termina*"))
     assert set(got_ids(res)) == {3, 4}
-    # full match ranks above prefix match
-    res2 = db.select(Query("docs").match("ft", "terminator termina*"))
+    # with fullMatchBoost disabled, the exact-word match outranks the
+    # prefix/stem match (proc 100 vs 85/20)
+    db2 = make_db(ft_config={"full_match_boost": 1.0})
+    for doc in DOCS:
+        db2.upsert("docs", doc)
+    res2 = db2.select(Query("docs").match("ft", "terminator termina*"))
     assert got_ids(res2)[0] == 3
+    # default fullMatchBoost=1.1 (merger.h:101 addFullMatchBoost) boosts
+    # doc 4: its 2-word title equals the 2-term query and all terms matched
+    res2b = db.select(Query("docs").match("ft", "terminator termina*"))
+    assert set(got_ids(res2b)) == {3, 4}
+    assert got_ids(res2b)[0] == 4
     res3 = db.select(Query("docs").match("ft", "*nator"))
     assert set(got_ids(res3)) == {3}
 
@@ -395,3 +404,21 @@ def test_term_proximity_boost():
 
     flat = run(0.0)
     assert abs(flat[0] - flat[1]) < 1e-3, flat
+
+
+def test_full_match_boost_exact_title():
+    """addFullMatchBoost (merger.h:101): the doc whose searched field is
+    exactly the query outranks a doc embedding the same words in a longer
+    field — and the boost is off when full_match_boost=1.0 and the ranks tie
+    structurally."""
+    docs = [
+        {"id": 1, "title": "quick fox", "body": "zzz yyy xxx www"},
+        {"id": 2, "title": "the quick fox jumps", "body": "aaa bbb ccc"},
+    ]
+    db = make_db()
+    for d in docs:
+        db.upsert("docs", d)
+    res = db.select(Query("docs").match("ft", "quick fox"))
+    ranks = {it.doc["id"]: it.rank for it in res}
+    assert set(ranks) == {1, 2}
+    assert ranks[1] > ranks[2], ranks
