@@ -238,8 +238,9 @@ class Reindexer:
             if q.update_entries:
                 return self._selecter.update(q)
         t0 = time.perf_counter()
-        act = {"query": q.namespace, "state": "in_progress",
-               "start": time.time()}
+        act = {"query": self._normalize_query(q), "namespace": q.namespace,
+               "state": "in_progress", "query_start": time.time(),
+               "client": "builtin"}
         self._activity.append(act)
         try:
             res = self._selecter.select(q)
