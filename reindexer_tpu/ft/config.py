@@ -124,6 +124,11 @@ class FtFastConfig:
         cfg.partial_match_decrease = int(
             d.get("partial_match_decrease", cfg.partial_match_decrease))
         cfg.min_relevancy = float(d.get("min_relevancy", cfg.min_relevancy))
+        # min_relevancy is the deprecated alias initializing min_rank
+        # (reference: ftconfig.cc:121-123 — minRank = 100 * minRelevancy)
+        if "min_relevancy" in d and "min_rank" not in d:
+            cfg.min_rank = int(100.0 * cfg.min_relevancy)
+        cfg.min_rank = int(d.get("min_rank", cfg.min_rank))
         cfg.max_typos = int(d.get("max_typos", d.get("max_typos_in_word",
                                                      cfg.max_typos)))
         cfg.max_typo_len = int(d.get("max_typo_len", cfg.max_typo_len))

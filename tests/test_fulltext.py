@@ -422,3 +422,12 @@ def test_full_match_boost_exact_title():
     ranks = {it.doc["id"]: it.rank for it in res}
     assert set(ranks) == {1, 2}
     assert ranks[1] > ranks[2], ranks
+
+
+def test_min_relevancy_alias():
+    """min_relevancy initializes min_rank as 100*value unless min_rank is
+    given explicitly (reference: ftconfig.cc:121-123)."""
+    from reindexer_tpu.ft.config import FtFastConfig
+    assert FtFastConfig.from_dict({"min_relevancy": 0.4}).min_rank == 40
+    assert FtFastConfig.from_dict(
+        {"min_relevancy": 0.4, "min_rank": 7}).min_rank == 7
