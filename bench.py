@@ -219,8 +219,16 @@ def bench_ft(n_docs=50_000, smoke=False):
     for q in queries:      # steady state: same shapes, no result cache
         sel.process(q)
     dt = (time.perf_counter() - t0) / len(queries)
+    # batched serving path: all queries in ONE device program (the
+    # production path — ft_batch; single-query is dispatch-bound through
+    # the tunnel)
+    sel.process_batch(queries)          # warm batch shapes
+    t0 = time.perf_counter()
+    sel.process_batch(queries)
+    bdt = (time.perf_counter() - t0) / len(queries)
     print(f"# ft n_docs={n_docs} postings={holder.num_postings} "
-          f"build={build_s:.2f}s qps={1.0/dt:.1f}", file=sys.stderr)
+          f"build={build_s:.2f}s qps={1.0/dt:.1f} "
+          f"batch_qps={1.0/bdt:.1f}", file=sys.stderr)
 
 
 def main():
