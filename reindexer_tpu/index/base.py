@@ -49,6 +49,13 @@ class Index:
         self.definition = definition
         self.name = definition.name
 
+    # --- planner hooks ----------------------------------------------------
+    def estimate_matches(self, condition: Any, values: Any):
+        """Cheap upper-bound match-count estimate for planner ordering
+        (reference: Index::SelectKey expectedIterations / cost-based reorder,
+        querypreprocessor.cc). None = unknown."""
+        return None
+
     # --- mutation -------------------------------------------------------
     def upsert(self, row_id: int, values: Any) -> None:
         raise NotImplementedError

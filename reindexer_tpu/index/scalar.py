@@ -117,6 +117,22 @@ class HashIndex(Index):
         return condition in (CondType.EQ, CondType.SET, CondType.ANY,
                              CondType.ALLSET)
 
+    def estimate_matches(self, condition: CondType, values: Any):
+        """Posting-size selectivity estimate (planner ordering)."""
+        try:
+            if condition in (CondType.EQ, CondType.SET):
+                return sum(len(self._post.sets.get(k) or ())
+                           for k in self._keys_of(values))
+            if condition == CondType.ALLSET:
+                sizes = [len(self._post.sets.get(k) or ())
+                         for k in self._keys_of(values)]
+                return min(sizes) if sizes else 0
+            if condition == CondType.ANY:
+                return len(self._rows_with_value)
+        except Exception:
+            return None
+        return None
+
     def select_key(self, condition: CondType, values: tuple, **kw) -> SelectKeyResult:
         if condition in (CondType.EQ, CondType.SET):
             keys = self._keys_of(values)

@@ -356,30 +356,38 @@ class Selecter:
     # cheap indexed lookups run first so expensive comparators / device
     # dispatches see an already-narrowed candidate set and can be skipped
     # outright when the AND-chain is already empty)
-    def _entry_cost(self, ns: Namespace, entry: Any) -> int:
+    _EST_UNKNOWN = 1 << 60
+
+    def _entry_cost(self, ns: Namespace, entry: Any) -> tuple:
+        """(cost class, selectivity estimate): classes order cheap indexed
+        lookups before comparators/device dispatches; within the indexed
+        class, smaller posting-size estimates run first to maximize
+        short-circuit odds (reference: cost-based reorder w/ index
+        distribution stats, querypreprocessor.cc)."""
         if isinstance(entry, AlwaysTrue):
-            return 0
+            return (0, self._EST_UNKNOWN)
         if isinstance(entry, QueryEntry):
             idef = ns.index_def(entry.field)
             if idef is not None and idef.is_fulltext:
-                return 60          # ranked source, device scoring program
+                return (60, self._EST_UNKNOWN)  # ranked device program
             index = ns.get_index(entry.field)
             if index is not None and index.supports(entry.condition):
-                return 10          # indexed lookup
+                est = index.estimate_matches(entry.condition, entry.values)
+                return (10, est if est is not None else self._EST_UNKNOWN)
             if ns.column_values(entry.field) is not None:
-                return 20          # vectorized column comparator
-            return 40              # raw per-doc Python comparator
+                return (20, self._EST_UNKNOWN)  # vectorized comparator
+            return (40, self._EST_UNKNOWN)      # raw per-doc comparator
         if isinstance(entry, BetweenFieldsEntry):
-            return 30
+            return (30, self._EST_UNKNOWN)
         if isinstance(entry, Bracket):
-            return 50
+            return (50, self._EST_UNKNOWN)
         if isinstance(entry, KnnQueryEntry):
-            return 70              # device KNN dispatch
+            return (70, self._EST_UNKNOWN)      # device KNN dispatch
         if isinstance(entry, SubQueryEntry):
-            return 80
+            return (80, self._EST_UNKNOWN)
         if isinstance(entry, JoinedQuery):
-            return 90              # full joined-ns select
-        return 50
+            return (90, self._EST_UNKNOWN)      # full joined-ns select
+        return (50, self._EST_UNKNOWN)
 
     def _plan_order(self, ns: Namespace, entries: list) -> list:
         """Stable-sort entries by cost class within maximal runs of AND/NOT

@@ -166,3 +166,23 @@ def test_queries_perf_stats():
     assert eq[0]["total_avg_latency_us"] > 0
     lt = [v for k, v in stats.items() if " LT ?" in k]
     assert lt and lt[0]["total_queries_count"] == 1
+
+
+def test_selectivity_orders_indexed_conditions():
+    """Within the indexed cost class, smaller posting-size estimates run
+    first (reference: cost-based reorder with index stats)."""
+    db = Reindexer()
+    db.open_namespace("s", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("wide", "hash", "int"),    # 2 distinct values -> big postings
+        IndexDef("narrow", "hash", "int"),  # 100 distinct -> small postings
+    ])
+    for i in range(400):
+        db.upsert("s", {"id": i, "wide": i % 2, "narrow": i % 100})
+    q = (Query("s").where("wide", "EQ", 0).where("narrow", "EQ", 7)
+         .explain())
+    res = db.select(q)
+    order = [s["field"] for s in res.explain["selectors"]]
+    assert order.index("narrow") < order.index("wide"), order
+    assert {it.doc["id"] for it in res} == {
+        i for i in range(400) if i % 2 == 0 and i % 100 == 7}
