@@ -166,6 +166,21 @@ class VectorKeeper:
         n = matrix.shape[0]
         self.flush()
         self._grow_to(start_row + n)
+        if self.count == 0:
+            # fresh keeper: compose on host, upload once — zero device
+            # compiles (eager slice-sets cost a remote compile per distinct
+            # shape through the tunnel)
+            data = np.zeros((self.capacity, self.dims), dtype=np.float32)
+            valid = np.zeros((self.capacity,), dtype=np.bool_)
+            data[start_row: start_row + n] = matrix
+            valid[start_row: start_row + n] = True
+            self.data = jnp.asarray(data)
+            self.valid = jnp.asarray(valid)
+            self.sq = jnp.asarray(
+                np.sum(data * data, axis=1, dtype=np.float32))
+            self.count = n
+            self._max_row = max(self._max_row, start_row + n - 1)
+            return
         prev_valid = int(np.asarray(self.valid[start_row: start_row + n]).sum())
         self.data = self.data.at[start_row: start_row + n].set(
             jnp.asarray(matrix))
@@ -216,9 +231,14 @@ class VectorKeeper:
         self._grow_to(data.shape[0])
         n = data.shape[0]
         if n:
-            self.data = self.data.at[:n].set(jnp.asarray(data))
-            self.valid = self.valid.at[:n].set(jnp.asarray(valid))
-            self.sq = self.sq.at[:n].set(jnp.asarray(
-                np.sum(data * data, axis=1, dtype=np.float32)))
+            # restart path: compose on host, upload once (no device compiles)
+            full = np.zeros((self.capacity, self.dims), dtype=np.float32)
+            vfull = np.zeros((self.capacity,), dtype=np.bool_)
+            full[:n] = data
+            vfull[:n] = valid
+            self.data = jnp.asarray(full)
+            self.valid = jnp.asarray(vfull)
+            self.sq = jnp.asarray(
+                np.sum(full * full, axis=1, dtype=np.float32))
             self.count = int(valid.sum())
             self._max_row = n - 1
