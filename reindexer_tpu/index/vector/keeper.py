@@ -42,10 +42,10 @@ def _scatter_invalidate(valid, rows):
 
 
 def _bucket(n: int) -> int:
-    b = 1
+    b = 8
     while b < n:
         b *= 2
-    return min(max(b, 8), max(n, _MAX_SCATTER_BUCKET) if n > _MAX_SCATTER_BUCKET else b)
+    return min(b, _MAX_SCATTER_BUCKET)
 
 
 class VectorKeeper:
@@ -114,11 +114,30 @@ class VectorKeeper:
         set_items = [(r, v) for r, v in items if v is not None]
         del_rows = np.asarray([r for r, v in items if v is None],
                               dtype=np.int32)
-        # adjust valid count incrementally on host
-        all_rows = np.fromiter((r for r, _ in items), dtype=np.int32,
-                               count=len(items))
-        prev_valid = np.asarray(self.valid)[all_rows]
-        self.count += len(set_items) - int(prev_valid.sum())
+        fresh = self.count == 0
+        if fresh:
+            prev_valid_sum = 0
+        else:
+            all_rows = np.fromiter((r for r, _ in items), dtype=np.int32,
+                                   count=len(items))
+            prev_valid_sum = int(np.asarray(self.valid)[all_rows].sum())
+        self.count += len(set_items) - prev_valid_sum
+
+        if fresh and set_items:
+            # initial build: compose on host, upload once — no scatter
+            # programs at all (an unbucketed scatter shape costs a
+            # multi-minute remote compile per distinct size)
+            rows = np.fromiter((r for r, _ in set_items), dtype=np.int32,
+                               count=len(set_items))
+            data = np.zeros((self.capacity, self.dims), dtype=np.float32)
+            valid = np.zeros((self.capacity,), dtype=np.bool_)
+            data[rows] = np.stack([v for _, v in set_items])
+            valid[rows] = True
+            self.data = jnp.asarray(data)
+            self.valid = jnp.asarray(valid)
+            self.sq = jnp.asarray(np.sum(data * data, axis=1,
+                                         dtype=np.float32))
+            return
 
         if len(del_rows):
             bucket = _bucket(len(del_rows))
@@ -127,24 +146,26 @@ class VectorKeeper:
                     [del_rows, np.repeat(del_rows[:1], bucket - len(del_rows))])
             self.valid = _scatter_invalidate(self.valid, jnp.asarray(del_rows))
         if set_items:
-            n = len(set_items)
             rows = np.fromiter((r for r, _ in set_items), dtype=np.int32,
-                               count=n)
+                               count=len(set_items))
             vals = np.stack([v for _, v in set_items]).astype(np.float32)
-            flags = np.ones((n,), dtype=np.bool_)
-            # pad to bucketed batch shape; padding repeats the first entry, so
-            # the duplicate scatter writes identical values (safe)
-            bucket = _bucket(n)
-            if bucket > n:
-                pad = bucket - n
-                rows = np.concatenate([rows, np.repeat(rows[:1], pad)])
-                vals = np.concatenate([vals, np.repeat(vals[:1], pad, axis=0)])
-                flags = np.concatenate([flags, np.repeat(flags[:1], pad)])
-            sq = np.sum(vals * vals, axis=1, dtype=np.float32)
-            self.data, self.valid, self.sq = _scatter(
-                self.data, self.valid, self.sq,
-                jnp.asarray(rows), jnp.asarray(vals), jnp.asarray(flags),
-                jnp.asarray(sq))
+            # chunked pow2-bucketed scatters: shapes stay in a small warm
+            # set regardless of how many rows a flush carries
+            for i in range(0, len(rows), _MAX_SCATTER_BUCKET):
+                r = rows[i: i + _MAX_SCATTER_BUCKET]
+                v = vals[i: i + _MAX_SCATTER_BUCKET]
+                f = np.ones((len(r),), dtype=np.bool_)
+                bucket = _bucket(len(r))
+                if bucket > len(r):
+                    pad = bucket - len(r)
+                    r = np.concatenate([r, np.repeat(r[:1], pad)])
+                    v = np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                    f = np.concatenate([f, np.repeat(f[:1], pad)])
+                sq = np.sum(v * v, axis=1, dtype=np.float32)
+                self.data, self.valid, self.sq = _scatter(
+                    self.data, self.valid, self.sq,
+                    jnp.asarray(r), jnp.asarray(v), jnp.asarray(f),
+                    jnp.asarray(sq))
 
     def clear(self) -> None:
         self._pending.clear()
