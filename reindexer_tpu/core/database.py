@@ -498,7 +498,25 @@ class Reindexer:
         elif name == "#clientsstats":
             docs = []
         elif name == "#replicationstats":
+            # leader-side stats when replication is active (reference:
+            # #replicationstats, cluster/replication)
+            state = getattr(self, "_replication_state", None)
             docs = []
+            if state is not None:
+                docs.append({
+                    "type": "async",
+                    "server_id": state.server_id,
+                    "last_lsn": state.wal._next_lsn - 1,
+                    "first_lsn": state.wal._first_lsn,
+                    "wal_records": len(state.wal._records),
+                    "namespaces": sorted(self._namespaces),
+                })
+            repl = getattr(self, "_async_replicator", None)
+            if repl is not None:
+                for node in getattr(repl, "nodes", []):
+                    docs.append({"type": "node", **{
+                        k: v for k, v in vars(node).items()
+                        if isinstance(v, (str, int, float, bool))}})
         else:
             raise NotFoundError(f"unknown system namespace '{name}'")
         from .payload import IndexDef as _ID, IndexOpts as _IO

@@ -147,3 +147,19 @@ def test_replication_over_http():
                       follower.select(Query("t")).docs()) == [1, 2]
     finally:
         srv.stop()
+
+
+def test_replicationstats_system_ns():
+    """#replicationstats reports leader WAL state when replication is on."""
+    import jax
+    from reindexer_tpu import IndexDef, IndexOpts, Query, Reindexer
+    from reindexer_tpu.replication import ReplicationState
+    db = Reindexer()
+    ReplicationState(db, server_id=5)
+    db.open_namespace("r", [IndexDef("id", "hash", "int",
+                                     opts=IndexOpts(is_pk=True))])
+    for i in range(4):
+        db.upsert("r", {"id": i})
+    rows = db.select(Query("#replicationstats")).docs()
+    assert rows and rows[0]["server_id"] == 5
+    assert rows[0]["last_lsn"] >= 4 and "r" in rows[0]["namespaces"]
