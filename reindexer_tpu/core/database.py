@@ -496,7 +496,8 @@ class Reindexer:
         elif name == "#activitystats":
             docs = [dict(a) for a in self._activity]
         elif name == "#clientsstats":
-            docs = []
+            # connected RPC clients (registered by net/rpc_server.py)
+            docs = [dict(v) for v in getattr(self, "_clients", {}).values()]
         elif name == "#replicationstats":
             # leader-side stats when replication is active (reference:
             # #replicationstats, cluster/replication)

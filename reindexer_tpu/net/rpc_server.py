@@ -14,6 +14,7 @@ import asyncio
 import itertools
 import json
 import threading
+import time
 from typing import Any, Optional
 
 from ..core.errors import (ConflictError, NotFoundError, ParamsError,
@@ -95,11 +96,19 @@ class RpcServer:
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
         conn = _Conn(self)
+        peer = writer.get_extra_info("peername") or ("?", 0)
+        # client registration feeds #clientsstats (reference: RPC clients
+        # stats, server/rpcserver.cc + clientsstats.h)
+        stat = {"client_id": id(conn) & 0xFFFF, "ip": f"{peer[0]}:{peer[1]}",
+                "start_time": time.time(), "recv_bytes": 0, "sent_bytes": 0,
+                "user_name": "", "client_version": "rpc"}
+        registered_db = None
         try:
             while True:
                 head = await reader.readexactly(HEADER_SIZE)
                 seq, cmd, _, length = unpack_header(head)
                 body = await reader.readexactly(length) if length else b""
+                stat["recv_bytes"] += HEADER_SIZE + length
                 try:
                     args = decode_args(body) if body else []
                     result = self._dispatch(conn, Cmd(cmd), args)
@@ -111,11 +120,23 @@ class RpcServer:
                 except Exception as e:   # pragma: no cover
                     out = pack_frame(seq, cmd, Status.INTERNAL,
                                      encode_args([str(e)]))
+                stat["sent_bytes"] += len(out)
+                stat["user_name"] = conn.user or ""
+                if conn.db is not None and registered_db is not conn.db:
+                    if registered_db is not None:
+                        getattr(registered_db, "_clients", {}).pop(
+                            id(conn), None)
+                    if not hasattr(conn.db, "_clients"):
+                        conn.db._clients = {}
+                    conn.db._clients[id(conn)] = stat
+                    registered_db = conn.db
                 writer.write(out)
                 await writer.drain()
         except (asyncio.IncompleteReadError, ConnectionError):
             pass
         finally:
+            if registered_db is not None:
+                getattr(registered_db, "_clients", {}).pop(id(conn), None)
             writer.close()
 
     # --- dispatch (reference: rpcserver.cc:1343-1392) ---------------------

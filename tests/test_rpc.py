@@ -102,3 +102,29 @@ def test_replication_over_rpc(server):
     repl = AsyncReplicator(follower, chan)
     repl.sync_once()
     assert sorted(d["id"] for d in follower.select(Query("t")).docs()) == [1, 2]
+
+
+def test_clientsstats_registration():
+    """#clientsstats lists connected RPC clients and drops them on
+    disconnect (reference: clientsstats.h)."""
+    import time
+    from reindexer_tpu import IndexDef, IndexOpts, Query
+    from reindexer_tpu.net.rpc_client import RpcReindexer
+    from reindexer_tpu.net.rpc_server import RpcServer
+    srv = RpcServer()
+    srv.start()
+    try:
+        cl = RpcReindexer("127.0.0.1", srv.port, db="cdb")
+        cl.open_namespace("n", [IndexDef("id", "hash", "int",
+                                         opts=IndexOpts(is_pk=True))])
+        cl.upsert("n", {"id": 1})
+        db = srv.mgr.get("cdb")
+        rows = db.select(Query("#clientsstats")).docs()
+        assert len(rows) == 1 and rows[0]["recv_bytes"] > 0
+        cl.close()
+        deadline = time.time() + 3
+        while time.time() < deadline and db.select(Query("#clientsstats")).docs():
+            time.sleep(0.05)
+        assert db.select(Query("#clientsstats")).docs() == []
+    finally:
+        srv.stop()
