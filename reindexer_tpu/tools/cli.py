@@ -101,8 +101,20 @@ def execute_line(db, line: str, out: TextIO) -> None:
                 for k in db.get_namespace(ns).enum_meta():
                     out.write(k + "\n")
     elif cmd == "dump":
-        names = parts[1].split() if len(parts) > 1 else None
-        dump(db, names, out)
+        names = " ".join(parts[1:]).split() if len(parts) > 1 else None
+        if names and names[0] == "wal":
+            # WAL dump (reference: reindexer_tool \dump wal): replication
+            # log records from the given LSN (default: all retained)
+            state = getattr(db, "_replication_state", None)
+            if state is None:
+                from ..replication import ReplicationState
+                state = ReplicationState(db)
+            from_lsn = int(names[1]) if len(names) > 1 else 0
+            for rec in state.updates(from_lsn).get("updates", []):
+                out.write(json.dumps(rec, ensure_ascii=False,
+                                     default=str) + "\n")
+        else:
+            dump(db, names, out)
     elif cmd in ("quit", "q", "exit"):
         raise EOFError
     else:

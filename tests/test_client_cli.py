@@ -85,3 +85,25 @@ def test_cli_sql_and_commands():
     execute_line(db, "SELECT * FROM c", out)
     lines = [l for l in out.getvalue().splitlines() if l.startswith("{")]
     assert json.loads(lines[0]) == {"id": 1, "x": "y"}
+
+
+def test_cli_wal_dump():
+    """\\dump wal prints replication log records from an LSN
+    (reference: reindexer_tool WAL dump)."""
+    import io
+    from reindexer_tpu import Reindexer
+    from reindexer_tpu.replication import ReplicationState
+    from reindexer_tpu.tools.cli import execute_line
+    db = Reindexer()
+    ReplicationState(db)
+    out = io.StringIO()
+    execute_line(db, '\\namespaces add {"name": "w", "indexes": '
+                 '[{"name": "id", "index_type": "hash", '
+                 '"field_type": "int", "is_pk": true}]}', out)
+    execute_line(db, '\\upsert w {"id": 1}', out)
+    execute_line(db, '\\upsert w {"id": 2}', out)
+    o1, o2 = io.StringIO(), io.StringIO()
+    execute_line(db, "\\dump wal", o1)
+    execute_line(db, "\\dump wal 2", o2)
+    assert len(o1.getvalue().splitlines()) == 3
+    assert len(o2.getvalue().splitlines()) == 1
