@@ -60,8 +60,11 @@ class ClusterNode:
         self.leader_id: Optional[int] = None
         self._last_heartbeat = time.monotonic()
         self._election_deadline = self._new_deadline()
-        # replicated log
+        # replicated log: records append uncommitted; they apply to the
+        # engine only once the leader advances commit_index past them
+        # (quorum-ack rule — reference: ClusterDataReplicator sync mode)
         self.log: list[LogRecord] = []
+        self.commit_index = 0
         self.applied_index = 0
         self._lock = threading.RLock()
         self._stop = threading.Event()
@@ -156,43 +159,71 @@ class ClusterNode:
 
     def _send_heartbeats(self) -> None:
         for peer in self.peers.values():
-            peer.heartbeat(self.term, self.server_id, len(self.log))
+            peer.heartbeat(self.term, self.server_id, len(self.log),
+                           self.commit_index)
 
-    def heartbeat(self, term: int, leader_id: int, log_len: int) -> None:
-        """RPC: leader ping (reference: LeadersPing verb)."""
+    def heartbeat(self, term: int, leader_id: int, log_len: int,
+                  commit_index: int = 0) -> None:
+        """RPC: leader ping carrying the commit index (reference:
+        LeadersPing verb + AppendEntries leaderCommit semantics)."""
         if not self.alive:
             return
         with self._lock:
-            if term >= self.term:
-                self.term = term
-                self.role = Role.FOLLOWER
-                self.leader_id = leader_id
-                self._election_deadline = self._new_deadline()
+            if term < self.term:
+                return             # stale leader: ignore its ping entirely
+            self.term = term
+            self.role = Role.FOLLOWER
+            self.leader_id = leader_id
+            self._election_deadline = self._new_deadline()
         # catch up missing records
         if log_len > len(self.log):
             leader = self.peers.get(leader_id)
             if leader is not None:
                 for rec in leader.records_since(len(self.log)):
-                    self.append_record(rec)
+                    self.append_record(rec, commit_index)
+        with self._lock:
+            self._advance_commit(commit_index)
 
     # --- replicated writes ---------------------------------------------
     def records_since(self, index: int) -> list[LogRecord]:
         with self._lock:
             return list(self.log[index:])
 
-    def append_record(self, rec: LogRecord) -> bool:
-        """RPC: apply one replicated record on a follower."""
+    def append_record(self, rec: LogRecord, leader_commit: int = 0) -> bool:
+        """RPC: append one replicated record on a follower (uncommitted
+        until `leader_commit` covers it)."""
         if not self.alive:
             return False
         with self._lock:
+            if rec.term < self.term:
+                return False          # record from a deposed leader
+            if rec.term > self.term:
+                self.term = rec.term
+                self.role = Role.FOLLOWER
+                self.voted_for = None
+            if rec.index <= len(self.log):
+                have = self.log[rec.index - 1]
+                if have.term == rec.term:
+                    self._advance_commit(leader_commit)
+                    return True       # already have it
+                if have.index <= self.applied_index:
+                    return False      # applied divergence: needs resync
+                del self.log[rec.index - 1:]   # truncate conflicting tail
             if rec.index != len(self.log) + 1:
-                if rec.index <= len(self.log):
-                    return True      # already have it
                 return False          # gap: wait for catch-up
             self.log.append(rec)
+            self._advance_commit(leader_commit)
+            return True
+
+    def _advance_commit(self, commit_index: int) -> None:
+        """Apply committed-but-unapplied records (callers hold _lock)."""
+        commit_index = min(commit_index, len(self.log))
+        if commit_index > self.commit_index:
+            self.commit_index = commit_index
+        while self.applied_index < self.commit_index:
+            rec = self.log[self.applied_index]
             self._apply(rec)
             self.applied_index = rec.index
-            return True
 
     def _apply(self, rec: LogRecord) -> None:
         op, ns, payload = rec.op, rec.ns, rec.payload
@@ -209,21 +240,28 @@ class ClusterNode:
             self.db.put_meta(ns, payload["key"], payload["value"])
 
     def _replicate(self, ns: str, op: str, payload: dict) -> None:
-        """Leader: append + quorum-synchronous fan-out (reference: sync
-        cluster quorum ack)."""
+        """Leader: append uncommitted, fan out, apply only after quorum ack
+        (reference: sync cluster quorum ack). A write that misses quorum
+        stays uncommitted — it is never applied locally, so the 'failed'
+        write cannot diverge from the followers."""
         with self._lock:
+            if self.role != Role.LEADER:
+                raise ReindexerError("not the leader")
             rec = LogRecord(index=len(self.log) + 1, term=self.term,
                             ns=ns, op=op, payload=payload)
             self.log.append(rec)
-            self._apply(rec)
-            self.applied_index = rec.index
+            commit = self.commit_index
         acks = 1
         for peer in self.peers.values():
-            if peer.append_record(rec):
+            if peer.append_record(rec, commit):
                 acks += 1
         if acks < self.quorum():
             raise ReindexerError(
                 f"write not acknowledged by quorum ({acks}/{self.quorum()})")
+        with self._lock:
+            self._advance_commit(rec.index)
+        # push the new commit index so followers apply synchronously
+        self._send_heartbeats()
 
     # --- public API (proxied like the reference ClusterProxy) -----------
     def _leader(self) -> "ClusterNode":

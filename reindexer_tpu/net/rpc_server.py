@@ -20,6 +20,7 @@ from typing import Any, Optional
 from ..core.errors import (ConflictError, NotFoundError, ParamsError,
                            QueryError, ReindexerError)
 from ..core.payload import IndexDef
+from ..server.auth import ROLE_ORDER
 from ..query.dsl import parse_dsl
 from .protocol import (Cmd, HEADER_SIZE, MODIFY_MODES, Status, pack_frame,
                        unpack_header)
@@ -30,15 +31,48 @@ _STATUS_OF = {QueryError: Status.QUERY_ERROR, ParamsError: Status.PARAMS_ERROR,
 
 
 class _Conn:
-    """Per-connection state (db binding, cursors, transactions)."""
+    """Per-connection state (db binding, role, cursors, transactions)."""
 
     def __init__(self, server: "RpcServer"):
         self.server = server
         self.db = None
         self.user: Optional[str] = None
+        self.role: str = "owner"      # auth disabled => unrestricted
         self.cursors: dict[int, Any] = {}
         self.txs: dict[int, Any] = {}
         self.ids = itertools.count(1)
+
+
+# per-verb minimum role (reference: rpcserver.cc getDB(ctx, kRole...) —
+# OpenNamespace: data_read (:282); DropNamespace/Truncate/index DDL:
+# db_admin (:286,294,376-392); item/tx/meta writes: data_write; selects by
+# statement type (:217-223))
+_VERB_NEED = {
+    Cmd.OPEN_NAMESPACE: "data_read",
+    Cmd.DROP_NAMESPACE: "db_admin",
+    Cmd.TRUNCATE_NAMESPACE: "db_admin",
+    Cmd.ENUM_NAMESPACES: "data_read",
+    Cmd.ADD_INDEX: "db_admin",
+    Cmd.UPDATE_INDEX: "db_admin",
+    Cmd.DROP_INDEX: "db_admin",
+    Cmd.MODIFY_ITEM: "data_write",
+    Cmd.SELECT_SQL: "data_read",      # escalated by SQL statement type below
+    Cmd.SELECT_DSL: "data_read",
+    Cmd.FETCH_RESULTS: "data_read",
+    Cmd.CLOSE_RESULTS: "data_read",
+    Cmd.BEGIN_TX: "data_write",
+    Cmd.TX_MODIFY: "data_write",
+    Cmd.COMMIT_TX: "data_write",
+    Cmd.ROLLBACK_TX: "data_write",
+    Cmd.PUT_META: "data_write",
+    Cmd.GET_META: "data_read",
+    Cmd.ENUM_META: "data_read",
+    Cmd.GET_SNAPSHOT: "data_read",
+    Cmd.GET_UPDATES: "data_read",
+}
+
+_SQL_NEED = {"UPDATE": "data_write", "DELETE": "data_write",
+             "TRUNCATE": "db_admin", "DROP": "db_admin"}
 
 
 class RpcServer:
@@ -153,11 +187,31 @@ class RpcServer:
                 if who is None:
                     raise ReindexerError("invalid credentials")
                 conn.user = who
-            conn.db = self.mgr.create(db_name)
+                conn.role = self.auth.role_for(who, db_name)
+                if ROLE_ORDER[conn.role] < ROLE_ORDER["data_read"]:
+                    raise ReindexerError(
+                        f"forbidden: no access to database '{db_name}'")
+                # only owners may implicitly create a missing database
+                # (reference: dbmanager.cc:89 OpenDatabase canCreate gate)
+                if db_name in self.mgr.names() \
+                        or ROLE_ORDER[conn.role] >= ROLE_ORDER["owner"]:
+                    conn.db = self.mgr.create(db_name)
+                else:
+                    conn.db = self.mgr.get(db_name)   # raises NotFound
+            else:
+                conn.db = self.mgr.create(db_name)
             return ["ok"]
         if conn.db is None:
             raise QueryError("not logged in (send LOGIN first)")
         db = conn.db
+        need = _VERB_NEED.get(cmd, "db_admin")
+        if cmd == Cmd.SELECT_SQL and args:
+            head = str(args[0]).lstrip().split(None, 1)
+            need = _SQL_NEED.get(head[0].upper() if head else "", need)
+        if ROLE_ORDER[conn.role] < ROLE_ORDER[need]:
+            raise ReindexerError(
+                f"forbidden: role '{conn.role}' lacks '{need}' "
+                f"for {cmd.name}")
 
         if cmd == Cmd.OPEN_NAMESPACE:
             ns, idefs = args[0], json.loads(args[1]) if args[1] else []

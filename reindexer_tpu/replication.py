@@ -65,6 +65,17 @@ class WalTracker:
     def last_lsn(self) -> int:
         return self._next_lsn - 1
 
+    def seed(self, lsn: int) -> None:
+        """Start the ring at `lsn` so records the tracker never saw (state
+        that predates its attachment) read as fallen-off-the-ring: a
+        follower below `lsn` is forced to snapshot-sync instead of silently
+        receiving an empty update list (reference: WALTracker is initialized
+        from the namespace's persisted LSN counter, wal/waltracker.h)."""
+        with self._lock:
+            if self._next_lsn <= lsn:
+                self._first_lsn = lsn + 1
+                self._next_lsn = lsn + 1
+
     def since(self, from_lsn: int) -> Optional[list[dict]]:
         """Records with lsn > from_lsn; None when the range fell off the ring
         (follower must force-sync)."""
@@ -83,7 +94,14 @@ class ReplicationState:
         self.server_id = server_id
         self.wal = WalTracker()
         db._replication_state = self
-        for name in db.namespace_names():
+        existing = db.namespace_names()
+        if existing:
+            # state predating this tracker (leader restored from storage, or
+            # the state lazily created on the first replication poll) is not
+            # in the ring — seed past LSN 0 so a fresh follower force-syncs
+            # it instead of receiving an empty "up to date" update list
+            self.wal.seed(1)
+        for name in existing:
             self._hook(db.get_namespace(name))
         orig_open = db.open_namespace
 

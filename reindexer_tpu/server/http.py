@@ -33,6 +33,63 @@ from ..query.query import Query
 from ..query.results import QueryResults
 
 
+class _Forbidden(Exception):
+    """Role check failure raised after routing (maps to HTTP 403)."""
+
+
+_SQL_WRITE_NEED = {"UPDATE": "data_write", "DELETE": "data_write",
+                   "TRUNCATE": "db_admin", "DROP": "db_admin"}
+
+
+def _sql_need(sql: str) -> str:
+    """Role required to run a SQL statement, by statement type (reference:
+    httpserver.cc:128-150 execQueryByType — select: data_read,
+    update/delete: data_write, truncate: db_admin)."""
+    head = sql.lstrip().split(None, 1)
+    kw = head[0].upper() if head else ""
+    return _SQL_WRITE_NEED.get(kw, "data_read")
+
+
+def _required_role(method: str, parts: list[str], qs: dict) -> str:
+    """Per-route minimum role, mirroring the reference's route table
+    (httpserver.cc getDB<kRole...> per handler; dbmanager.cc:89,152:
+    database create/drop require owner)."""
+    if parts[:3] != ["api", "v1", "db"]:
+        return "data_read" if method == "GET" else "data_write"
+    rest = parts[3:]
+    if not rest:                          # /api/v1/db (list | create db)
+        return "owner" if method == "POST" else "data_read"
+    sub = rest[1:]
+    if not sub:                           # /api/v1/db/<db> (drop db)
+        return "owner" if method == "DELETE" else "data_read"
+    head = sub[0]
+    if head == "query":
+        if method == "GET":               # ?q= SQL gated by statement type
+            return _sql_need(qs.get("q", [""])[0])
+        # POST = DSL select; PUT = update query; DELETE = delete query
+        return "data_read" if method == "POST" else "data_write"
+    if head == "sqlquery":
+        return "data_read"                # escalated in-handler via _require
+    if head in ("dslquery", "suggest", "replication", "events"):
+        return "data_read"
+    if head == "transactions":
+        return "data_write"
+    if head == "namespaces":
+        nsub = sub[1:]                    # [ns?, op?, ...]
+        if len(nsub) <= 1:                # list/create | get/drop namespace
+            return "data_read" if method == "GET" else "db_admin"
+        op = nsub[1]
+        if op in ("truncate", "rename"):
+            return "db_admin"
+        if op in ("indexes", "schema"):
+            return "data_read" if method == "GET" else "db_admin"
+        if op in ("knn_batch", "ft_batch"):
+            return "data_read"            # batched searches are reads
+        # items / metabykey / transactions(begin) / ...
+        return "data_read" if method == "GET" else "data_write"
+    return "data_read" if method == "GET" else "data_write"
+
+
 class DBManager:
     """Multi-database root (reference: server/dbmanager.cc)."""
 
@@ -184,29 +241,40 @@ class _Handler(BaseHTTPRequestHandler):
             return _msgpack.unpackb(raw)
         return json.loads(raw.decode("utf-8"))
 
-    def _check_auth(self, method: str, parts: list[str]) -> Optional[str]:
-        """Role check (reference: dbmanager role gates per verb). Returns an
-        error string or None."""
+    def _check_auth(self, method: str, parts: list[str],
+                    qs: dict) -> Optional[str]:
+        """Authenticate and enforce the per-route role, mirroring the
+        reference's per-handler role templates (httpserver.cc getDB<kRole...>
+        + dbmanager.cc:89,152 owner gates for database create/drop). Returns
+        an error string or None."""
         auth = getattr(self.mgr, "auth", None)
+        self._auth_user = None
         if auth is None or not auth.enabled:
             return None
         user = auth.authenticate(self.headers.get("Authorization"))
         if user is None:
             return "unauthorized"
+        self._auth_user = user
         db_name = parts[3] if len(parts) > 3 and parts[:3] == ["api", "v1", "db"] \
             else "*"
-        tail = parts[4] if len(parts) > 4 else ""
-        if method == "GET":
-            need = "data_read"
-        elif tail in ("namespaces",) and method in ("POST", "DELETE", "PUT") \
-                or (len(parts) == 3 and method in ("POST", "DELETE")):
-            need = "db_admin"
-        else:
-            need = "data_write"
+        self._auth_db = db_name
+        need = _required_role(method, parts, qs)
         if not auth.allows(user, db_name, need):
             return f"forbidden: role '{auth.role_for(user, db_name)}' " \
                    f"lacks '{need}'"
         return None
+
+    def _require(self, need: str, db_name: Optional[str] = None) -> None:
+        """Late role escalation for routes whose required role depends on the
+        request body (POST /sqlquery with UPDATE/DELETE/TRUNCATE SQL)."""
+        auth = getattr(self.mgr, "auth", None)
+        if auth is None or not auth.enabled:
+            return
+        db_name = db_name or getattr(self, "_auth_db", "*")
+        user = getattr(self, "_auth_user", None)
+        if not auth.allows(user, db_name, need):
+            raise _Forbidden(f"forbidden: role "
+                             f"'{auth.role_for(user, db_name)}' lacks '{need}'")
 
     def _route(self, method: str) -> None:
         parsed = urllib.parse.urlparse(self.path)
@@ -218,12 +286,14 @@ class _Handler(BaseHTTPRequestHandler):
             fmt = "msgpack"
         self._fmt = fmt or "json"
         try:
-            err = self._check_auth(method, parts)
+            err = self._check_auth(method, parts, qs)
             if err == "unauthorized":
                 return self._err(401, "unauthorized")
             if err is not None:
                 return self._err(403, err)
             self._dispatch(method, parts, qs)
+        except _Forbidden as e:
+            self._err(403, str(e))
         except NotFoundError as e:
             self._err(404, str(e))
         except (ParamsError, QueryError, json.JSONDecodeError) as e:
@@ -310,6 +380,7 @@ class _Handler(BaseHTTPRequestHandler):
         if head == "sqlquery" and method == "POST":
             length = int(self.headers.get("Content-Length", 0) or 0)
             sql = self.rfile.read(length).decode("utf-8")
+            self._require(_sql_need(sql), db_name)
             return self._send(200, _items_payload(db.select(sql)))
         if head == "dslquery" and method == "POST":
             q = parse_dsl(self._body() or {})

@@ -143,6 +143,16 @@ class FileStorage:
                         ns.upsert(json.loads(line))
                     except (ValueError, KeyError):
                         skipped += 1
+        # apply cached ANN index states NOW — the cache stamp (item count at
+        # flush) is only valid against the snapshot; WAL records replayed
+        # below must land ON TOP of the cached state, otherwise an upsert of
+        # an existing doc (count unchanged) would be clobbered by stale
+        # cached vectors (reference stamps by lastUpdateTime/lsnCounter_,
+        # ann_storage_cache_helper.h)
+        from ..index.vector.base import FloatVectorIndexBase
+        for ix in ns.indexes:
+            if isinstance(ix, FloatVectorIndexBase):
+                self.ann_cache.load(ns.name, ix, ns.item_count())
         # replay WAL since last snapshot (reference: per-doc LSN replay,
         # replication.md:39-44)
         wal_path = os.path.join(d, "wal.jsonl")
@@ -175,12 +185,6 @@ class FileStorage:
                         ns.meta.pop(rec["key"], None)
                     elif op == "truncate":
                         ns.truncate()
-        # apply cached ANN index states (skips graph/centroid rebuild when
-        # the item count matches the snapshot stamp)
-        from ..index.vector.base import FloatVectorIndexBase
-        for ix in ns.indexes:
-            if isinstance(ix, FloatVectorIndexBase):
-                self.ann_cache.load(ns.name, ix, ns.item_count())
 
     def drop_namespace(self, name: str) -> None:
         with self._lock:

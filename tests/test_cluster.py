@@ -64,6 +64,24 @@ def test_no_quorum_rejects_writes(cluster):
             n.kill()
     with pytest.raises(ReindexerError):
         leader.upsert("q", {"id": 1})
+    # the failed write must NOT be applied locally (quorum-commit rule:
+    # uncommitted records never reach the engine — no divergence)
+    assert leader.select(Query("q")).docs() == []
+    assert leader.applied_index == leader.commit_index
+
+
+def test_stale_term_append_rejected(cluster):
+    from reindexer_tpu.cluster import LogRecord
+    leader = wait_leader(cluster)
+    assert leader is not None
+    leader.open_namespace("s", IDX)
+    leader.upsert("s", {"id": 1})
+    follower = next(n for n in cluster if n.role != Role.LEADER)
+    # a deposed leader writing with an old term must be refused
+    stale = LogRecord(index=len(follower.log) + 1, term=follower.term - 1,
+                      ns="s", op="upsert", payload={"doc": {"id": 99}})
+    assert follower.append_record(stale) is False
+    assert all(d["id"] != 99 for d in follower.select(Query("s")).docs())
 
 
 def test_revived_node_catches_up(cluster):

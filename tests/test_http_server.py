@@ -177,6 +177,128 @@ def test_auth_roles():
         srv.stop()
 
 
+def test_auth_per_route_roles():
+    """Per-route role matrix (reference: httpserver.cc getDB<kRole...>;
+    dbmanager.cc:89,152 owner gates for db create/drop)."""
+    from reindexer_tpu.server.auth import AuthManager
+    from reindexer_tpu.server.http import ReindexerServer
+    import base64
+
+    auth = AuthManager()
+    auth.add_user("root", "rootpw", {"*": "owner"})
+    auth.add_user("admin", "adminpw", {"*": "db_admin"})
+    auth.add_user("writer", "writepw", {"*": "data_write"})
+    auth.add_user("reader", "readpw", {"*": "data_read"})
+    srv = ReindexerServer(port=0, auth=auth)
+    srv.start()
+    try:
+        def call_auth(method, path, user, pw, body=None, raw=None):
+            url = f"http://127.0.0.1:{srv.port}{path}"
+            data = raw if raw is not None else (
+                json.dumps(body).encode() if body is not None else None)
+            req = urllib.request.Request(url, data=data, method=method)
+            req.add_header("Content-Type", "application/json")
+            tok = base64.b64encode(f"{user}:{pw}".encode()).decode()
+            req.add_header("Authorization", f"Basic {tok}")
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert call_auth("POST", "/api/v1/db", "root", "rootpw",
+                         {"name": "rdb"}) == 200
+        ns_body = {"name": "n", "indexes": [
+            {"name": "id", "index_type": "hash", "field_type": "int",
+             "is_pk": True}]}
+        # data_write may write items but NOT create/drop/rename namespaces
+        assert call_auth("POST", "/api/v1/db/rdb/namespaces", "writer",
+                         "writepw", ns_body) == 403
+        assert call_auth("POST", "/api/v1/db/rdb/namespaces", "admin",
+                         "adminpw", ns_body) == 200
+        for m in ("POST", "PUT", "PATCH"):
+            assert call_auth(m, "/api/v1/db/rdb/namespaces/n/items",
+                             "writer", "writepw", {"id": 1}) == 200, m
+        # rename is a GET in the route table but still db_admin
+        assert call_auth("GET", "/api/v1/db/rdb/namespaces/n/rename/m",
+                         "writer", "writepw") == 403
+        assert call_auth("GET", "/api/v1/db/rdb/namespaces/n/rename/m",
+                         "reader", "readpw") == 403
+        assert call_auth("GET", "/api/v1/db/rdb/namespaces/n/rename/m",
+                         "admin", "adminpw") == 200
+        assert call_auth("GET", "/api/v1/db/rdb/namespaces/m/rename/n",
+                         "admin", "adminpw") == 200
+        # index DDL needs db_admin, not data_write
+        idx = {"name": "x", "index_type": "hash", "field_type": "int"}
+        assert call_auth("POST", "/api/v1/db/rdb/namespaces/n/indexes",
+                         "writer", "writepw", idx) == 403
+        assert call_auth("POST", "/api/v1/db/rdb/namespaces/n/indexes",
+                         "admin", "adminpw", idx) == 200
+        # truncate needs db_admin
+        assert call_auth("DELETE", "/api/v1/db/rdb/namespaces/n/truncate",
+                         "writer", "writepw") == 403
+        # SQL statement type gates the role: UPDATE via sqlquery for reader
+        assert call_auth("POST", "/api/v1/db/rdb/sqlquery", "reader",
+                         "readpw", raw=b"UPDATE n SET id = 9") == 403
+        assert call_auth("POST", "/api/v1/db/rdb/sqlquery", "reader",
+                         "readpw", raw=b"SELECT * FROM n") == 200
+        # GET /query with UPDATE SQL is write-gated too
+        import urllib.parse as _up
+        q = _up.quote("UPDATE n SET id = 9")
+        assert call_auth("GET", f"/api/v1/db/rdb/query?q={q}",
+                         "reader", "readpw") == 403
+        assert call_auth("GET", f"/api/v1/db/rdb/query?q={q}",
+                         "writer", "writepw") == 200
+        # database drop requires owner (db_admin is not enough)
+        assert call_auth("DELETE", "/api/v1/db/rdb", "admin",
+                         "adminpw") == 403
+        # database create requires owner
+        assert call_auth("POST", "/api/v1/db", "admin", "adminpw",
+                         {"name": "nope"}) == 403
+        assert call_auth("DELETE", "/api/v1/db/rdb", "root", "rootpw") == 200
+    finally:
+        srv.stop()
+
+
+def test_rpc_per_verb_roles():
+    """RPC per-verb role gates (reference: rpcserver.cc getDB(ctx, kRole...))
+    + owner-only implicit database creation (dbmanager.cc:89)."""
+    from reindexer_tpu.net.rpc_client import RpcReindexer
+    from reindexer_tpu.net.rpc_server import RpcServer
+    from reindexer_tpu.server.auth import AuthManager
+    from reindexer_tpu import IndexDef, IndexOpts, ReindexerError
+    import pytest
+
+    auth = AuthManager()
+    auth.add_user("root", "rootpw", {"*": "owner"})
+    auth.add_user("writer", "writepw", {"*": "data_write"})
+    auth.add_user("reader", "readpw", {"*": "data_read"})
+    srv = RpcServer(auth=auth)
+    srv.start()
+    try:
+        # non-owner LOGIN cannot implicitly create a database
+        with pytest.raises(ReindexerError):
+            RpcReindexer("127.0.0.1", srv.port, "newdb", "writer", "writepw")
+        root = RpcReindexer("127.0.0.1", srv.port, "newdb", "root", "rootpw")
+        root.open_namespace("n", [IndexDef("id", "hash", "int",
+                                           opts=IndexOpts(is_pk=True))])
+        root.upsert("n", {"id": 1})
+        writer = RpcReindexer("127.0.0.1", srv.port, "newdb",
+                              "writer", "writepw")
+        writer.upsert("n", {"id": 2})          # data_write: ok
+        with pytest.raises(ReindexerError):    # DDL needs db_admin
+            writer.drop_namespace("n")
+        reader = RpcReindexer("127.0.0.1", srv.port, "newdb",
+                              "reader", "readpw")
+        assert len(reader.select("SELECT * FROM n")) == 2
+        with pytest.raises(ReindexerError):    # writes need data_write
+            reader.upsert("n", {"id": 3})
+        with pytest.raises(ReindexerError):    # UPDATE SQL is write-gated
+            reader.select("UPDATE n SET id = 9")
+    finally:
+        srv.stop()
+
+
 def test_events_long_poll(server):
     call(server, "POST", "/api/v1/db", {"name": "evdb"})
     call(server, "POST", "/api/v1/db/evdb/namespaces", {

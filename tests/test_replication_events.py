@@ -84,6 +84,30 @@ def test_online_replication():
     assert follower.get_meta("t", "k") == "v"
 
 
+def test_force_sync_of_preexisting_leader_data():
+    """A ReplicationState attached AFTER the leader already holds data (e.g.
+    restored from storage, or lazily created on the first poll) must force
+    a fresh follower to snapshot-sync rather than report 'up to date'
+    (advisor finding on WalTracker.since(0))."""
+    db = Reindexer()
+    db.open_namespace("t", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+    for i in range(5):
+        db.upsert("t", {"id": i})
+    state = ReplicationState(db)          # attach late: ring never saw them
+    follower = Reindexer()
+    repl = AsyncReplicator(follower, LeaderChannel(state))
+    repl.sync_once()
+    assert repl.force_syncs == 1
+    assert len(follower.select(Query("t")).docs()) == 5
+    # afterwards: plain online replay, no repeated force syncs
+    db.upsert("t", {"id": 100})
+    repl.sync_once()
+    repl.sync_once()
+    assert repl.force_syncs == 1
+    assert len(follower.select(Query("t")).docs()) == 6
+
+
 def test_force_sync_after_ring_overflow():
     leader, state = make_leader()
     state.wal.capacity = 10

@@ -97,6 +97,39 @@ def test_ann_cache_stale_dropped(tmp_path, rng):
     assert res.docs()[0]["id"] == 99
 
 
+def test_ann_cache_not_clobbering_wal_updates(tmp_path, rng):
+    """An upsert of an EXISTING doc after flush (item count unchanged) lands
+    in the WAL; on reload the cached vectors must not clobber the replayed
+    update (advisor finding: cache must apply BEFORE WAL replay)."""
+    path = str(tmp_path / "db")
+    db = Reindexer(path)
+    db.open_namespace("v", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("vec", IndexType.HNSW, vector_opts=FloatVectorOpts(
+            dims=4, metric=VectorMetric.L2, m=4, ef_construction=16)),
+    ])
+    for i in range(20):
+        db.upsert("v", {"id": i, "vec": [float(i), 0, 0, 0]})
+    db.select(Query("v").where_knn("vec", np.zeros(4, np.float32),
+                                   HnswSearchParams(k=1, ef=8)))
+    db.flush()
+    # count-preserving update: doc 5 moves far away; only in the WAL
+    db.upsert("v", {"id": 5, "vec": [500.0, 0, 0, 0]})
+    db.storage.close()
+
+    db2 = Reindexer(path)
+    res = db2.select(Query("v").where_knn(
+        "vec", np.asarray([500.0, 0, 0, 0], np.float32),
+        HnswSearchParams(k=1, ef=8)))
+    assert res.docs()[0]["id"] == 5, \
+        "stale ANN cache served the pre-update vector"
+    # and the old location must NOT still answer for doc 5
+    near_old = db2.select(Query("v").where_knn(
+        "vec", np.asarray([5.0, 0, 0, 0], np.float32),
+        HnswSearchParams(k=1, ef=8)))
+    assert near_old.docs()[0]["id"] != 5
+
+
 def test_drop_namespace_removes_storage(tmp_path):
     path = str(tmp_path / "db")
     db = Reindexer(path)
