@@ -103,6 +103,244 @@ def score_and_merge_batch(
     return top_s, top_i
 
 
+# ---------------------------------------------------------------------------
+# Sorted / segmented-scan formulation (no dense [T, cap] accumulator)
+# ---------------------------------------------------------------------------
+#
+# The dense scatter-max above lowers to a serial loop on TPU (arbitrary-index
+# scatters) and its [terms, docs] accumulator is O(T*cap) memory — 1M-doc
+# corpora OOM the batched variant. This formulation replaces it with ONE
+# lax.sort of the gathered postings by (doc, term) followed by log-depth
+# segmented scans (associative_scan):
+#   * per-(doc,term) segment:  max subrank (variant max), min position
+#   * per-doc segment:         sum of term maxes, must/not/full-match counts
+# Memory is O(G) (G = gathered postings), top-k runs over G not cap, and
+# nothing scatters. Replaces the same reference hot loop (mergerimpl.h:95-124).
+
+
+def _pair_scan(sr, mp, starts):
+    """Segmented (max, min) inclusive scan; segments begin where starts."""
+    def comb(a, b):
+        va, na, fa = a
+        vb, nb, fb = b
+        return (jnp.where(fb, vb, jnp.maximum(va, vb)),
+                jnp.where(fb, nb, jnp.minimum(na, nb)),
+                fa | fb)
+    v, n, _ = jax.lax.associative_scan(comb, (sr, mp, starts))
+    return v, n
+
+
+def _doc_scan(contrib, excl_b, must_c, pos_c, starts):
+    """Segmented (sum, or, count, count) inclusive scan keyed by doc runs."""
+    def comb(a, b):
+        sa, ea, ma, pa, fa = a
+        sb, eb, mb, pb, fb = b
+        return (jnp.where(fb, sb, sa + sb),
+                jnp.where(fb, eb, ea | eb),
+                jnp.where(fb, mb, ma + mb),
+                jnp.where(fb, pb, pa + pb),
+                fa | fb)
+    s, e, m, p, _ = jax.lax.associative_scan(
+        comb, (contrib, excl_b, must_c, pos_c, starts))
+    return s, e, m, p
+
+
+def _seg_last_valid(vals, valid, starts, ident):
+    """Segmented 'last valid value so far' inclusive scan."""
+    def comb(a, b):
+        va, ha, fa = a
+        vb, hb, fb = b
+        v = jnp.where(fb | hb, vb, va)
+        h = jnp.where(fb, hb, ha | hb)
+        return v, h, fa | fb
+    v, h, _ = jax.lax.associative_scan(
+        comb, (jnp.where(valid, vals, ident), valid, starts))
+    return v, h
+
+
+def _subranks(gather_idx, g_term, g_weight, g_idf,
+              post_doc, post_field, post_tf, post_minpos, doc_words,
+              field_boost, field_bm25_boost, field_bm25_weight,
+              field_pos_boost, field_pos_weight,
+              term_boost, term_lenboost, k1, b, avg_len, bm25_type):
+    """Per-gathered-posting subTermRank (shared by dense + sorted paths)."""
+    doc = post_doc[gather_idx]
+    fld = post_field[gather_idx]
+    tf = post_tf[gather_idx]
+    minpos = post_minpos[gather_idx]
+    wdoc = jnp.maximum(doc_words[doc], 1.0)
+    if bm25_type == "word_count":
+        bm25 = tf
+    else:
+        t_freq = tf / wdoc if bm25_type == "classic" else tf
+        bm25 = (g_idf * t_freq * (k1 + 1.0)
+                / (t_freq + k1 * (1.0 - b + b * wdoc / avg_len)))
+    w_f = field_bm25_weight[fld]
+    bm25_norm = (1.0 - w_f) + bm25 * field_bm25_boost[fld] * w_f
+    pw = field_pos_weight[fld]
+    posrank = (1.0 - pw) + _pos2rank(minpos) * field_pos_boost[fld] * pw
+    subrank = (field_boost[fld] * g_weight * bm25_norm
+               * term_boost[g_term] * term_lenboost[g_term] * posrank)
+    return doc, minpos, subrank
+
+
+def sum_ranks_sorted(
+    gather_idx, g_term, g_weight, g_idf,
+    post_doc, post_field, post_tf, post_minpos, doc_words,
+    field_boost, field_bm25_boost, field_bm25_weight,
+    field_pos_boost, field_pos_weight,
+    term_boost, term_lenboost, must_mask, not_mask,
+    k1, b, avg_len, t_count: int, cap: int, bm25_type: str,
+    dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
+    field_words=None, n_terms=0, fm_boost=1.0, use_fullmatch: bool = False,
+):
+    """Traceable core of the sorted path. Returns (scores f32[G],
+    doc_keys i32[G]) where scores are -inf except at doc-run leaders."""
+    doc, minpos, subrank = _subranks(
+        gather_idx, g_term, g_weight, g_idf,
+        post_doc, post_field, post_tf, post_minpos, doc_words,
+        field_boost, field_bm25_boost, field_bm25_weight,
+        field_pos_boost, field_pos_weight,
+        term_boost, term_lenboost, k1, b, avg_len, bm25_type)
+
+    padm = g_weight <= 0.0
+    dockey = jnp.where(padm, cap, doc).astype(jnp.int32)
+    termk = jnp.where(padm, t_count, g_term).astype(jnp.int32)
+    mp = jnp.where(padm, _POS_BIG, minpos.astype(jnp.float32))
+    sr = jnp.where(padm, 0.0, subrank)
+
+    dockey, termk, sr, mp = jax.lax.sort(
+        (dockey, termk, sr, mp), num_keys=2)
+    real = dockey < cap
+
+    prev_doc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), dockey[:-1]])
+    prev_term = jnp.concatenate([jnp.full((1,), -1, jnp.int32), termk[:-1]])
+    nxt_doc = jnp.concatenate([dockey[1:], jnp.full((1,), -2, jnp.int32)])
+    nxt_term = jnp.concatenate([termk[1:], jnp.full((1,), -2, jnp.int32)])
+    pair_start = (dockey != prev_doc) | (termk != prev_term)
+    pair_end = (dockey != nxt_doc) | (termk != nxt_term)
+    doc_start = dockey != prev_doc
+    doc_end = dockey != nxt_doc
+
+    smax, pmin = _pair_scan(sr, mp, pair_start)
+    leader = pair_end & real
+    present = leader & (smax > 0.0)
+
+    # per-element term masks (index t_count = padding -> False)
+    ext = jnp.zeros((1,), dtype=jnp.bool_)
+    t_not = jnp.concatenate([not_mask, ext])[jnp.minimum(termk, t_count)]
+    t_must = jnp.concatenate([must_mask, ext])[jnp.minimum(termk, t_count)]
+
+    att = smax
+    if use_proximity:
+        # carry = min-position of the previous positive present term in this
+        # doc (terms appear in ascending order inside a doc run — the exact
+        # order the dense scan walks them)
+        upd = present & ~t_not
+        lastv, lasth = _seg_last_valid(pmin, upd, doc_start, _POS_BIG)
+        carry = jnp.concatenate([jnp.full((1,), _POS_BIG), lastv[:-1]])
+        hasp = jnp.concatenate([jnp.zeros((1,), jnp.bool_), lasth[:-1]])
+        carry = jnp.where(doc_start, _POS_BIG, carry)
+        hasp = jnp.where(doc_start, False, hasp)
+        dist = jnp.maximum(jnp.abs(pmin - carry), 1.0)
+        norm = jnp.where(present & hasp,
+                         (1.0 - dist_w) + dist_b * dist_w / dist, 1.0)
+        att = smax * norm
+
+    contrib = jnp.where(present & ~t_not, att, 0.0)
+    excl_b = present & t_not
+    must_c = (present & t_must).astype(jnp.int32)
+    pos_c = (present & ~t_not).astype(jnp.int32)
+    docsum, excl, must_cnt, pos_cnt = _doc_scan(
+        contrib, excl_b, must_c, pos_c, doc_start)
+
+    n_must = jnp.sum(must_mask.astype(jnp.int32))
+    doc_leader = doc_end & real
+    if use_fullmatch:
+        searched = field_boost[: field_words.shape[0]] > 0.0
+        fm_doc = jnp.any(searched[:, None] & (field_words == n_terms), axis=0)
+        fm = fm_doc[jnp.minimum(dockey, cap - 1)] & (pos_cnt == n_terms)
+        docsum = jnp.where(fm, docsum * fm_boost, docsum)
+    ok = (doc_leader & (must_cnt == n_must) & ~excl & (docsum > 0.0))
+    scores = jnp.where(ok, docsum, NEG_INF)
+    return scores, dockey
+
+
+def _topk_sorted(scores, dockey, merge_k: int):
+    kk = min(merge_k, scores.shape[0])
+    top_s, idx = jax.lax.top_k(scores, kk)
+    top_i = jnp.take(dockey, idx)
+    top_i = jnp.where(top_s > NEG_INF, top_i, -1)
+    if kk < merge_k:
+        top_s = jnp.pad(top_s, (0, merge_k - kk), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, (0, merge_k - kk), constant_values=-1)
+    return top_s, top_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_count", "cap", "merge_k", "bm25_type",
+                     "use_proximity", "use_fullmatch"))
+def score_and_merge_sorted(
+    gather_idx, g_term, g_weight, g_idf,
+    post_doc, post_field, post_tf, post_minpos, doc_words,
+    field_boost, field_bm25_boost, field_bm25_weight,
+    field_pos_boost, field_pos_weight,
+    term_boost, term_lenboost, must_mask, not_mask,
+    k1, b, avg_len, t_count: int, cap: int, merge_k: int, bm25_type: str,
+    dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
+    field_words=None, n_terms=0, fm_boost=1.0, use_fullmatch: bool = False,
+):
+    """Drop-in replacement for score_and_merge built on the sorted path."""
+    scores, dockey = sum_ranks_sorted(
+        gather_idx, g_term, g_weight, g_idf,
+        post_doc, post_field, post_tf, post_minpos, doc_words,
+        field_boost, field_bm25_boost, field_bm25_weight,
+        field_pos_boost, field_pos_weight,
+        term_boost, term_lenboost, must_mask, not_mask,
+        k1, b, avg_len, t_count, cap, bm25_type,
+        dist_w, dist_b, use_proximity,
+        field_words, n_terms, fm_boost, use_fullmatch)
+    return _topk_sorted(scores, dockey, merge_k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_count", "cap", "merge_k", "bm25_type",
+                     "use_proximity", "use_fullmatch"))
+def score_and_merge_batch_sorted(
+    gather_idx, g_term, g_weight, g_idf,      # [n_q, G] per-query arrays
+    post_doc, post_field, post_tf, post_minpos, doc_words,
+    field_boost, field_bm25_boost, field_bm25_weight,
+    field_pos_boost, field_pos_weight,
+    term_boost, term_lenboost, must_mask, not_mask,   # [n_q, t_count]
+    k1, b, avg_len, t_count: int, cap: int, merge_k: int, bm25_type: str,
+    dist_w=0.0, dist_b=1.0, use_proximity: bool = False,
+    field_words=None, n_terms=None, fm_boost=1.0,     # n_terms: i32[n_q]
+    use_fullmatch: bool = False,
+):
+    """Batched serving path: vmap of the sorted single-query pipeline.
+    Memory is O(n_q * G) — scales to 1M-doc corpora where the dense
+    [n_q*t_count, cap] accumulator cannot."""
+    def one(gi, gt, gw, gidf, tb, tlb, mm, nm, nt):
+        scores, dockey = sum_ranks_sorted(
+            gi, gt, gw, gidf,
+            post_doc, post_field, post_tf, post_minpos, doc_words,
+            field_boost, field_bm25_boost, field_bm25_weight,
+            field_pos_boost, field_pos_weight,
+            tb, tlb, mm, nm,
+            k1, b, avg_len, t_count, cap, bm25_type,
+            dist_w, dist_b, use_proximity,
+            field_words, nt, fm_boost, use_fullmatch)
+        return _topk_sorted(scores, dockey, merge_k)
+
+    if n_terms is None:
+        n_terms = jnp.zeros(gather_idx.shape[0], jnp.int32)
+    return jax.vmap(one)(gather_idx, g_term, g_weight, g_idf,
+                         term_boost, term_lenboost, must_mask, not_mask,
+                         n_terms)
+
+
 def idf_host(total_docs: int, matched_docs: np.ndarray, bm25_type: str,
              ) -> np.ndarray:
     """Per-word IDF on host (reference: bm25.h IDF formulas)."""

@@ -15,6 +15,7 @@ clamped to prefixMin/suffixMin.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -236,7 +237,14 @@ class FtSelector:
                 field_words=dev["field_words"], n_terms=n_pos_terms,
                 fm_boost=cfg.full_match_boost, use_fullmatch=use_fm)
         else:
-            scores, docs = score_and_merge(
+            # sorted/segmented-scan path by default (no [T, cap] dense
+            # accumulator, no serial TPU scatter); RX_TPU_FT_DENSE=1 keeps
+            # the legacy dense formulation available for comparison
+            if os.environ.get("RX_TPU_FT_DENSE", "") in ("1", "true"):
+                fn = score_and_merge
+            else:
+                from .scorer import score_and_merge_sorted as fn
+            scores, docs = fn(
                 jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
                 jnp.asarray(g_idf),
                 dev["post_doc"], dev["post_field"], dev["post_tf"],
@@ -293,6 +301,94 @@ class FtSelector:
 
         t_count = _pad_pow2(max(len(preps[i]["terms"]) for i in live), 2)
         n_q = _pad_pow2(len(queries), 2)
+        fb, bb, bw, pb, pw = self._field_params(queries[live[0]])
+        dev = h.device_arrays()
+        import jax.numpy as jnp
+        cap = dev["cap"]
+        merge_k = min(cfg.merge_limit, cap)
+        use_prox = (cfg.distance_weight > 0.0
+                    and any(len(preps[i]["terms"]) > 1 for i in live))
+        if os.environ.get("RX_TPU_FT_DENSE", "") in ("1", "true"):
+            scores, docs = self._batch_dense(
+                preps, live, n_q, t_count, cap, merge_k, fb, bb, bw, pb, pw,
+                dev, use_prox)
+        else:
+            scores, docs = self._batch_sorted(
+                preps, live, n_q, t_count, cap, merge_k, fb, bb, bw, pb, pw,
+                dev, use_prox)
+        scores = np.asarray(scores)
+        docs = np.asarray(docs)
+
+        out: list[FtSelectResult] = []
+        for i, q in enumerate(queries):
+            p = preps[i]
+            if p is None:
+                out.append(empty)
+                continue
+            s, d = scores[i], docs[i]
+            keep = d >= 0
+            s, d = s[keep], d[keep]
+            if q.phrase_distance and len(d):
+                pm = self._verify_phrases(q, p["terms"], p["variants"], d)
+                s, d = s[pm], d[pm]
+            d2, ranks = normalize_ranks(d, s, cfg.min_rank)
+            out.append(FtSelectResult(d2, ranks, p["matched_words"], h))
+        return out
+
+    def _batch_sorted(self, preps, live, n_q, t_count, cap, merge_k,
+                      fb, bb, bw, pb, pw, dev, use_prox):
+        """Stacked [n_q, G] build for the sorted/segmented batch scorer —
+        O(n_q*G) memory, no dense [n_q*t_count, cap] accumulator."""
+        import jax.numpy as jnp
+        cfg = self.cfg
+        h = self.holder
+        G = _pad_pow2(max(len(preps[i]["g_idx"]) for i in live))
+        g_idx = np.zeros((n_q, G), np.int32)
+        g_term = np.zeros((n_q, G), np.int32)
+        g_w = np.zeros((n_q, G), np.float32)
+        g_idf = np.zeros((n_q, G), np.float32)
+        term_boost = np.ones((n_q, t_count), np.float32)
+        term_lenb = np.ones((n_q, t_count), np.float32)
+        must = np.zeros((n_q, t_count), np.bool_)
+        notm = np.zeros((n_q, t_count), np.bool_)
+        n_pos = np.full(n_q, -1, np.int32)     # -1: never full-matches
+        for i in live:
+            p = preps[i]
+            n_pos[i] = int((~p["notm"]).sum()) or -1
+            g = len(p["g_idx"])
+            g_idx[i, :g] = p["g_idx"]
+            g_term[i, :g] = p["g_term"]
+            g_w[i, :g] = p["g_w"]
+            g_idf[i, :g] = p["g_idf"]
+            nt = len(p["terms"])
+            term_boost[i, :nt] = p["term_boost"]
+            term_lenb[i, :nt] = p["term_lenb"]
+            must[i, :nt] = p["must"]
+            notm[i, :nt] = p["notm"]
+        from .scorer import score_and_merge_batch_sorted
+        return score_and_merge_batch_sorted(
+            jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
+            jnp.asarray(g_idf),
+            dev["post_doc"], dev["post_field"], dev["post_tf"],
+            dev["post_minpos"], dev["doc_words"],
+            jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(bw),
+            jnp.asarray(pb), jnp.asarray(pw),
+            jnp.asarray(term_boost), jnp.asarray(term_lenb),
+            jnp.asarray(must), jnp.asarray(notm),
+            cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
+            t_count, cap, merge_k, cfg.bm25.bm25_type,
+            dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
+            use_proximity=use_prox,
+            field_words=dev["field_words"], n_terms=jnp.asarray(n_pos),
+            fm_boost=cfg.full_match_boost,
+            use_fullmatch=cfg.full_match_boost != 1.0)
+
+    def _batch_dense(self, preps, live, n_q, t_count, cap, merge_k,
+                     fb, bb, bw, pb, pw, dev, use_prox):
+        """Legacy dense-accumulator batch (RX_TPU_FT_DENSE=1)."""
+        import jax.numpy as jnp
+        cfg = self.cfg
+        h = self.holder
         parts_idx, parts_term, parts_w, parts_idf = [], [], [], []
         term_boost = np.ones(n_q * t_count, dtype=np.float32)
         term_lenb = np.ones(n_q * t_count, dtype=np.float32)
@@ -301,7 +397,7 @@ class FtSelector:
         n_pos = np.full(n_q, -1, dtype=np.int32)   # -1: never full-matches
         for i in live:
             p = preps[i]
-            n_pos[i] = int((~p["notm"]).sum()) or -1   # 0 would match empty fields
+            n_pos[i] = int((~p["notm"]).sum()) or -1
             off = i * t_count
             parts_idx.append(p["g_idx"])
             parts_term.append(p["g_term"] + off)
@@ -323,14 +419,8 @@ class FtSelector:
             g_term = np.concatenate([g_term, np.zeros(pad, np.int32)])
             g_w = np.concatenate([g_w, np.zeros(pad, np.float32)])
             g_idf = np.concatenate([g_idf, np.zeros(pad, np.float32)])
-
-        fb, bb, bw, pb, pw = self._field_params(queries[live[0]])
-        dev = h.device_arrays()
-        import jax.numpy as jnp
-        cap = dev["cap"]
-        merge_k = min(cfg.merge_limit, cap)
         from .scorer import score_and_merge_batch
-        scores, docs = score_and_merge_batch(
+        return score_and_merge_batch(
             jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
             jnp.asarray(g_idf),
             dev["post_doc"], dev["post_field"], dev["post_tf"],
@@ -342,31 +432,11 @@ class FtSelector:
             cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len,
             n_q, t_count, cap, merge_k, cfg.bm25.bm25_type,
             dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
-            use_proximity=(cfg.distance_weight > 0.0
-                           and any(len(preps[i]["terms"]) > 1
-                                   for i in live)),
+            use_proximity=use_prox,
             field_words=dev["field_words"],
             n_terms=jnp.asarray(n_pos),
             fm_boost=cfg.full_match_boost,
             use_fullmatch=cfg.full_match_boost != 1.0)
-        scores = np.asarray(scores)
-        docs = np.asarray(docs)
-
-        out: list[FtSelectResult] = []
-        for i, q in enumerate(queries):
-            p = preps[i]
-            if p is None:
-                out.append(empty)
-                continue
-            s, d = scores[i], docs[i]
-            keep = d >= 0
-            s, d = s[keep], d[keep]
-            if q.phrase_distance and len(d):
-                pm = self._verify_phrases(q, p["terms"], p["variants"], d)
-                s, d = s[pm], d[pm]
-            d2, ranks = normalize_ranks(d, s, cfg.min_rank)
-            out.append(FtSelectResult(d2, ranks, p["matched_words"], h))
-        return out
 
     # ------------------------------------------------------------------
     def _cjk_expand(self, q: FtDslQuery) -> FtDslQuery:

@@ -431,3 +431,48 @@ def test_min_relevancy_alias():
     assert FtFastConfig.from_dict({"min_relevancy": 0.4}).min_rank == 40
     assert FtFastConfig.from_dict(
         {"min_relevancy": 0.4, "min_rank": 7}).min_rank == 7
+
+
+def test_sorted_scorer_matches_dense():
+    """The sorted/segmented-scan scorer (scorer.sum_ranks_sorted) must agree
+    with the legacy dense accumulator on random corpora, across proximity /
+    fullmatch / must / not configurations."""
+    import os
+    import numpy as np
+    from reindexer_tpu.ft.config import FtFastConfig
+    from reindexer_tpu.ft.dataholder import FtDataHolder
+    from reindexer_tpu.ft.selector import FtSelector
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    n_docs = 500
+    docs = [(i, [" ".join(rng.choice(vocab, size=rng.integers(3, 20)))])
+            for i in range(n_docs)]
+    for dist_w, fm_boost in ((0.0, 1.0), (0.5, 1.0), (0.0, 1.3), (0.5, 1.3)):
+        cfg = FtFastConfig()
+        cfg.distance_weight = dist_w
+        cfg.full_match_boost = fm_boost
+        holder = FtDataHolder(cfg, ["text"])
+        holder.build(docs, n_docs)
+        sel = FtSelector(holder, cfg)
+        queries = ["w0 w1", "w3 -w4", "+w5 +w6", "w7 w8 w9", "=w10",
+                   "w0 w0", "w1* ~w2"]
+        os.environ["RX_TPU_FT_DENSE"] = "1"
+        try:
+            dense = [sel.process(q) for q in queries]
+            dense_b = sel.process_batch(queries)
+        finally:
+            os.environ.pop("RX_TPU_FT_DENSE", None)
+        sortd = [sel.process(q) for q in queries]
+        sortd_b = sel.process_batch(queries)
+        for q, a, b in zip(queries, dense, sortd):
+            assert sorted(a.ids.tolist()) == sorted(b.ids.tolist()), \
+                f"ids diverge for {q!r} (dist_w={dist_w}, fm={fm_boost})"
+            ra = dict(zip(a.ids.tolist(), a.ranks.tolist()))
+            rb = dict(zip(b.ids.tolist(), b.ranks.tolist()))
+            for d in ra:
+                assert abs(ra[d] - rb[d]) <= 1, \
+                    f"rank diverges for {q!r} doc {d}: {ra[d]} vs {rb[d]}"
+        for q, a, b in zip(queries, dense_b, sortd_b):
+            assert sorted(a.ids.tolist()) == sorted(b.ids.tolist()), \
+                f"batch ids diverge for {q!r}"
