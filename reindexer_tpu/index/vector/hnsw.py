@@ -34,7 +34,7 @@ from ...core.payload import IndexDef
 from ...core.type_consts import RankOrdering, VectorMetric
 from ...ops.distance import normalize_rows, scores_to_ranks
 from ...ops.hnsw_kernels import DataPack, beam_search_layer, \
-    greedy_descend, insert_layer
+    greedy_descend, insert_all_layers
 from ..base import SelectKeyResult
 from .base import FloatVectorIndexBase
 from .params import HnswSearchParams, KnnSearchParams
@@ -280,76 +280,45 @@ class HnswIndex(FloatVectorIndexBase):
         q[:B] = vecs
         qd = jnp.asarray(q)
         pack = self._pack(for_search=False)
-
-        ents = np.full(qpad, self._entry, dtype=np.int32)
         efc = _pow2(self.ef_construction)
 
-        # chunk-internal KNN so batch members interconnect (they are not in
-        # the link tables yet, so beams cannot see them; without this, early
-        # batches form a star around the entry and reverse pruning orphans
-        # nodes — the sequential reference never has this problem because
-        # every insert sees all previous ones, hnswalg.h:1402)
-        row_arr = np.asarray(rows, dtype=np.int32)
-        if self.metric == VectorMetric.L2:
-            d2 = (np.sum(vecs ** 2, axis=1)[:, None]
-                  + np.sum(vecs ** 2, axis=1)[None, :]
-                  - 2.0 * vecs @ vecs.T)
-            chunk_sc = -d2
-        else:
-            chunk_sc = vecs @ vecs.T
-        np.fill_diagonal(chunk_sc, -np.inf)
-        kc = min(B - 1, self.m0)
-        if kc > 0:
-            nn = np.argsort(-chunk_sc, axis=1)[:, :kc]
-            chunk_ids = row_arr[nn]
-            chunk_scores = np.take_along_axis(chunk_sc, nn, axis=1)
-        else:
-            chunk_ids = np.empty((B, 0), dtype=np.int32)
-            chunk_scores = np.empty((B, 0), dtype=np.float32)
+        # the chunk-internal KNN (batch members interconnect — they are not
+        # in the link tables yet, so beams cannot see them; the sequential
+        # reference never has this problem because every insert sees all
+        # previous ones, hnswalg.h:1402) is computed INSIDE the fused
+        # program, along with the whole top-to-0 layer walk: ONE device
+        # dispatch per chunk (round-1 dispatched one insert_layer per
+        # chunk x layer — the dominant build cost through the tunnel).
+        row_arr = np.full(qpad, -1, dtype=np.int32)
+        row_arr[:B] = rows
+        lvl_pad = np.full(qpad, -1, dtype=np.int32)
+        lvl_pad[:B] = levels
+        kc = _pow2(min(B - 1, self.m0), 8) if B > 1 else 0
 
-        # padded chunk-internal candidate arrays for the fused program
-        kcp = _pow2(max(kc, 1), 8)
-        cm_ids_pad = np.full((qpad, kcp), -1, dtype=np.int32)
-        cm_sc_pad = np.full((qpad, kcp), -np.inf, dtype=np.float32)
-        if kc > 0:
-            cm_ids_pad[:B, :kc] = chunk_ids
-            cm_sc_pad[:B, :kc] = chunk_scores
-        lvl_arr = np.full(self._links0.shape[0], -1, dtype=np.int32)
-        lvl_arr[row_arr] = levels
+        ents = jnp.asarray(np.full(qpad, self._entry, dtype=np.int32))
+        # expand=8 pops 8 frontier nodes per beam iteration: ~4x fewer
+        # serial while_loop steps than expand=2 for the same ef, with
+        # measured-identical recall — the extra per-step gather width is
+        # nearly free on the MXU
+        sel_upper, sel0 = insert_all_layers(
+            qd, pack, self._d_links0, self._d_upper, ents,
+            jnp.asarray(row_arr), jnp.asarray(lvl_pad),
+            ef=efc, expand=8, max_iters=2 * efc, m=self.m, kc=kc,
+            metric=self.metric)
 
-        # walk down from the top; connect at layers <= point level.
-        # each connecting layer is ONE fused device program (beam + batch
-        # candidate merge + heuristic — ops/hnsw_kernels.insert_layer)
-        ents = jnp.asarray(ents)   # stays device-resident across layers
-        for lc in range(self._max_level, -1, -1):
-            links_l = self._device_layer(lc)
-            connect_here = np.flatnonzero(levels >= lc) if lc > 0 else \
-                np.arange(B)
-            if len(connect_here) == 0:
-                # pure descent on this layer
-                ents = greedy_descend(qd, pack, links_l[None], ents,
-                                      self.metric)
-                continue
-            if lc > 0 and kc > 0:
-                # only chunk members that reach this layer are candidates
-                ids = cm_ids_pad[:B]
-                ok = (ids >= 0) & (lvl_arr[np.maximum(ids, 0)] >= lc)
-                cm_sc = np.where(ok, cm_sc_pad[:B], -np.inf)
-                layer_sc = np.full((qpad, kcp), -np.inf, dtype=np.float32)
-                layer_sc[:B] = cm_sc
-            else:
-                layer_sc = cm_sc_pad
-            # expand=8 pops 8 frontier nodes per beam iteration: ~4x fewer
-            # serial while_loop steps than expand=2 for the same ef, with
-            # measured-identical recall (0.997@2k, 0.933@20k) — the extra
-            # per-step gather width is nearly free on the MXU
-            sel_d, ents = insert_layer(
-                qd, pack, links_l, ents,
-                jnp.asarray(cm_ids_pad), jnp.asarray(layer_sc),
-                ef=efc, expand=8, max_iters=2 * efc, m=self.m,
-                metric=self.metric)
-            sel = np.asarray(sel_d)[:B][connect_here]
-            self._connect_selected(lc, [rows[j] for j in connect_here], sel)
+        # apply the per-layer selections on host (native C++ link loop)
+        if sel_upper is not None:
+            sel_upper = np.asarray(sel_upper)   # [Lu, qpad, m]
+            Lu = sel_upper.shape[0]
+            for li in range(Lu):
+                lc = Lu - li
+                connect_here = np.flatnonzero(levels >= lc)
+                if len(connect_here) == 0:
+                    continue
+                self._connect_selected(
+                    lc, [rows[j] for j in connect_here],
+                    sel_upper[li][:B][connect_here])
+        self._connect_selected(0, rows, np.asarray(sel0)[:B])
 
         # register levels / entry updates
         for j, r in enumerate(rows):
