@@ -264,38 +264,49 @@ class ClusterNode:
         self._send_heartbeats()
 
     # --- public API (proxied like the reference ClusterProxy) -----------
-    def _leader(self) -> "ClusterNode":
-        if self.role == Role.LEADER:
-            return self
-        deadline = time.monotonic() + 2.0
+    def client_write(self, ns: str, op: str, payload: dict) -> None:
+        """RPC-facing write entry on the leader (reference: clusterproxy.cc
+        proxies follower writes to the leader over cproto)."""
+        self._replicate(ns, op, payload)
+
+    def _proxy_write(self, ns: str, op: str, payload: dict) -> None:
+        """Route a write to the current leader — locally when this node
+        leads, else through the peer channel (in-process or TCP)."""
+        # generous deadline: elections under GIL contention on a 1-core test
+        # host can take seconds (reference proxies block similarly while a
+        # leader is being elected)
+        deadline = time.monotonic() + 10.0
+        last_err: Optional[Exception] = None
         while time.monotonic() < deadline:
-            lid = self.leader_id
-            if lid is not None:
-                peer = self.peers.get(lid)
-                if peer is not None and peer.alive \
-                        and peer.role == Role.LEADER:
-                    return peer
-            if self.role == Role.LEADER:
-                return self
+            try:
+                if self.role == Role.LEADER:
+                    return self._replicate(ns, op, payload)
+                lid = self.leader_id
+                peer = self.peers.get(lid) if lid is not None else None
+                if peer is not None:
+                    return peer.client_write(ns, op, payload)
+            except (ConnectionError, ReindexerError) as e:
+                if "quorum" in str(e):
+                    raise ReindexerError(str(e))
+                last_err = e
             time.sleep(0.02)
-        raise ReindexerError("no cluster leader elected")
+        raise ReindexerError(f"no cluster leader elected ({last_err})")
 
     def open_namespace(self, name: str, indexes=()) -> None:
-        self._leader()._replicate(
-            name, "open_namespace",
-            {"indexes": [d.to_dict() for d in indexes]})
+        self._proxy_write(name, "open_namespace",
+                          {"indexes": [d.to_dict() for d in indexes]})
 
     def upsert(self, ns: str, doc: dict) -> None:
-        self._leader()._replicate(ns, "upsert", {"doc": doc})
+        self._proxy_write(ns, "upsert", {"doc": doc})
 
     def delete(self, ns: str, doc: dict) -> None:
-        self._leader()._replicate(ns, "delete", {"doc": doc})
+        self._proxy_write(ns, "delete", {"doc": doc})
 
     def truncate_namespace(self, ns: str) -> None:
-        self._leader()._replicate(ns, "truncate", {})
+        self._proxy_write(ns, "truncate", {})
 
     def put_meta(self, ns: str, key: str, value: str) -> None:
-        self._leader()._replicate(ns, "put_meta", {"key": key, "value": value})
+        self._proxy_write(ns, "put_meta", {"key": key, "value": value})
 
     def select(self, q) -> QueryResults:
         # reads serve locally (reference: followers serve reads)
@@ -305,7 +316,8 @@ class ClusterNode:
         """(reference: GetRaftInfo verb)"""
         return {"server_id": self.server_id, "role": self.role,
                 "term": self.term, "leader_id": self.leader_id,
-                "log_len": len(self.log)}
+                "log_len": len(self.log), "commit_index": self.commit_index,
+                "alive": self.alive}
 
 
 def make_cluster(n: int) -> list[ClusterNode]:

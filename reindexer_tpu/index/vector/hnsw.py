@@ -34,7 +34,7 @@ from ...core.payload import IndexDef
 from ...core.type_consts import RankOrdering, VectorMetric
 from ...ops.distance import normalize_rows, scores_to_ranks
 from ...ops.hnsw_kernels import DataPack, beam_search_layer, \
-    greedy_descend, insert_all_layers
+    exact_build_layer, greedy_descend
 from ..base import SelectKeyResult
 from .base import FloatVectorIndexBase
 from .params import HnswSearchParams, KnnSearchParams
@@ -273,52 +273,45 @@ class HnswIndex(FloatVectorIndexBase):
                             dtype=np.int32)
         B = len(rows)
         vecs = self._host_vecs[rows]
-        self._sync_device()
+        # NOTE: no _sync_device() here — the exact-scan build never reads
+        # the device link tables; they sync lazily on the next search.
 
         qpad = _pow2(B)
         q = np.zeros((qpad, self.dims), dtype=np.float32)
         q[:B] = vecs
         qd = jnp.asarray(q)
         pack = self._pack(for_search=False)
-        efc = _pow2(self.ef_construction)
 
-        # the chunk-internal KNN (batch members interconnect — they are not
-        # in the link tables yet, so beams cannot see them; the sequential
-        # reference never has this problem because every insert sees all
-        # previous ones, hnswalg.h:1402) is computed INSIDE the fused
-        # program, along with the whole top-to-0 layer walk: ONE device
-        # dispatch per chunk (round-1 dispatched one insert_layer per
-        # chunk x layer — the dominant build cost through the tunnel).
+        # TPU-native build: instead of walking the graph per point
+        # (reference addPoint beam, hnswalg.h:1402 — scatter-gather-heavy
+        # on TPU: each beam iteration gathers expand*M neighbor vectors per
+        # query), the efConstruction candidates come from an EXACT fused
+        # top-k scan of the current layer population on the MXU. Candidate
+        # quality is >= the reference's approximate beam; the heuristic
+        # prune and reverse linking stay reference-faithful.
+        efc_k = _pow2(min(self.ef_construction,
+                          max(self.keeper.capacity // 2, 8)), 8)
         row_arr = np.full(qpad, -1, dtype=np.int32)
         row_arr[:B] = rows
-        lvl_pad = np.full(qpad, -1, dtype=np.int32)
-        lvl_pad[:B] = levels
         kc = _pow2(min(B - 1, self.m0), 8) if B > 1 else 0
+        row_d = jnp.asarray(row_arr)
 
-        ents = jnp.asarray(np.full(qpad, self._entry, dtype=np.int32))
-        # expand=8 pops 8 frontier nodes per beam iteration: ~4x fewer
-        # serial while_loop steps than expand=2 for the same ef, with
-        # measured-identical recall — the extra per-step gather width is
-        # nearly free on the MXU
-        sel_upper, sel0 = insert_all_layers(
-            qd, pack, self._d_links0, self._d_upper, ents,
-            jnp.asarray(row_arr), jnp.asarray(lvl_pad),
-            ef=efc, expand=8, max_iters=2 * efc, m=self.m, kc=kc,
-            metric=self.metric)
-
-        # apply the per-layer selections on host (native C++ link loop)
-        if sel_upper is not None:
-            sel_upper = np.asarray(sel_upper)   # [Lu, qpad, m]
-            Lu = sel_upper.shape[0]
-            for li in range(Lu):
-                lc = Lu - li
-                connect_here = np.flatnonzero(levels >= lc)
-                if len(connect_here) == 0:
-                    continue
-                self._connect_selected(
-                    lc, [rows[j] for j in connect_here],
-                    sel_upper[li][:B][connect_here])
-        self._connect_selected(0, rows, np.asarray(sel0)[:B])
+        in_graph = (self._levels >= 0) & ~self._deleted
+        top_batch = int(levels.max())
+        for lc in range(min(top_batch, self._max_level), -1, -1):
+            connect_here = np.flatnonzero(levels >= lc) if lc > 0 else \
+                np.arange(B)
+            if len(connect_here) == 0:
+                continue
+            valid_l = in_graph if lc == 0 else \
+                in_graph & (self._levels >= lc)
+            lvl_ok = np.zeros(qpad, dtype=np.bool_)
+            lvl_ok[:B] = levels >= lc
+            sel = exact_build_layer(
+                qd, pack, jnp.asarray(valid_l), row_d, jnp.asarray(lvl_ok),
+                k=efc_k, kc=kc, m=self.m, metric=self.metric)
+            sel = np.asarray(sel)[:B][connect_here]
+            self._connect_selected(lc, [rows[j] for j in connect_here], sel)
 
         # register levels / entry updates
         for j, r in enumerate(rows):

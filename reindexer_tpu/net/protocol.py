@@ -48,6 +48,17 @@ class Cmd(enum.IntEnum):
 
     GET_SNAPSHOT = 96          # replication verbs (rpcserver.cc:1382-1384)
     GET_UPDATES = 97
+    GET_SNAPSHOT_META = 98     # chunked force-sync (namespace/snapshot/):
+    GET_SNAPSHOT_CHUNK = 99    # meta first, then (ns, offset, limit) pages
+
+    # RAFT cluster verbs over the wire (reference: rpcserver.cc:1387-1389
+    # SuggestLeader/LeadersPing/GetRaftInfo + cluster append stream)
+    RAFT_VOTE = 112            # (term, candidate_id, log_len) -> granted
+    RAFT_HEARTBEAT = 113       # (term, leader_id, log_len, commit_index)
+    RAFT_APPEND = 114          # (record_json, leader_commit) -> accepted
+    RAFT_RECORDS_SINCE = 115   # (index) -> records_json
+    RAFT_INFO = 116            # () -> info_json
+    RAFT_CLIENT_WRITE = 117    # (ns, op, payload_json) proxied write
 
 
 class Status(enum.IntEnum):

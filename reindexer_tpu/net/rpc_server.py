@@ -69,6 +69,8 @@ _VERB_NEED = {
     Cmd.ENUM_META: "data_read",
     Cmd.GET_SNAPSHOT: "data_read",
     Cmd.GET_UPDATES: "data_read",
+    Cmd.GET_SNAPSHOT_META: "data_read",
+    Cmd.GET_SNAPSHOT_CHUNK: "data_read",
 }
 
 _SQL_NEED = {"UPDATE": "data_write", "DELETE": "data_write",
@@ -306,9 +308,21 @@ class RpcServer:
                 state = ReplicationState(db)
             return [json.dumps(state.snapshot(), default=str)]
         if cmd == Cmd.GET_UPDATES:
-            state = getattr(db, "_replication_state", None)
-            if state is None:
-                from ..replication import ReplicationState
-                state = ReplicationState(db)
+            state = self._repl_state(db)
             return [json.dumps(state.updates(int(args[0])), default=str)]
+        if cmd == Cmd.GET_SNAPSHOT_META:
+            return [json.dumps(self._repl_state(db).snapshot_meta(),
+                               default=str)]
+        if cmd == Cmd.GET_SNAPSHOT_CHUNK:
+            chunk = self._repl_state(db).snapshot_chunk(
+                args[0], int(args[1]), int(args[2]))
+            return [json.dumps(chunk, default=str)]
         raise QueryError(f"unknown RPC command {cmd}")
+
+    @staticmethod
+    def _repl_state(db):
+        state = getattr(db, "_replication_state", None)
+        if state is None:
+            from ..replication import ReplicationState
+            state = ReplicationState(db)
+        return state

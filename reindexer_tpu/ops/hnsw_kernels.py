@@ -308,105 +308,6 @@ def insert_layer(
     return sel, next_ents
 
 
-def _insert_layer_core(queries, pack, links, entry_ids, cand_ids, cand_scores,
-                       ef, expand, max_iters, m, metric):
-    """Traceable body of insert_layer (shared with the fused all-layers
-    program below)."""
-    bs, bi = beam_search_layer(queries, pack, links,
-                               entry_ids[:, None], ef, expand, max_iters,
-                               metric)
-    next_ents = jnp.where(bi[:, 0] >= 0, bi[:, 0], entry_ids)
-    all_s = jnp.concatenate([bs, cand_scores], axis=1)
-    all_i = jnp.concatenate([bi, cand_ids], axis=1)
-    all_s = jnp.where(all_i >= 0, all_s, NEG_INF)
-    srt_s, pos = jax.lax.top_k(all_s, all_s.shape[1])
-    srt_i = jnp.take_along_axis(all_i, pos, axis=1)
-    srt_i = jnp.where(srt_s > NEG_INF, srt_i, -1)
-    safe = jnp.where(srt_i >= 0, srt_i, 0)
-    if pack.quantized:
-        cand_vecs = (pack.lo[None, None, :]
-                     + pack.alpha[None, None, :]
-                     * pack.data[safe].astype(jnp.float32))
-    else:
-        cand_vecs = pack.data[safe]
-    sel = heuristic_select(srt_i, srt_s, cand_vecs, m, metric)
-    return sel, next_ents
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("ef", "expand", "max_iters", "m", "kc", "metric"))
-def insert_all_layers(
-    queries: jnp.ndarray,        # f32[Q, D] new points (zero rows = pad)
-    pack: DataPack,              # vector storage (fp32 during build)
-    links0: jnp.ndarray,         # int32[N, M0] layer 0
-    upper_stack: Optional[jnp.ndarray],  # int32[Lu, N, m] TOP first, or None
-    entries: jnp.ndarray,        # int32[Q] search entry per query
-    row_arr: jnp.ndarray,        # int32[Q] row id of each chunk member (-1 pad)
-    q_levels: jnp.ndarray,       # int32[Q] sampled level per member (-1 pad)
-    ef: int, expand: int, max_iters: int, m: int, kc: int,
-    metric: VectorMetric,
-):
-    """Fused batched insertion for a WHOLE chunk across ALL layers in ONE
-    device program (round-2 of the per-layer insert_layer dispatches: a
-    lax.scan walks the stacked upper layers, then layer 0 — the device
-    analog of the reference's addPoint layer loop, hnswalg.h:1402, batched
-    like its tx inserter tx_concurrent_inserter.h:160).
-
-    Also folds the chunk-internal KNN on device (batch members cannot see
-    each other through the link tables yet, so each member considers its kc
-    nearest chunk-mates as extra candidates).
-
-    Returns (sel_upper f32[Lu, Q, m] or None, sel0 int32[Q, m]).
-    """
-    Q, D = queries.shape
-    pad = row_arr < 0
-
-    # ---- chunk-internal KNN on device (replaces the host B^2 matmul) ----
-    if kc > 0:
-        dots = jnp.dot(queries, queries.T, preferred_element_type=jnp.float32)
-        if metric == VectorMetric.L2:
-            sq = jnp.sum(queries * queries, axis=1)
-            cs = 2.0 * dots - sq[None, :] - sq[:, None]
-        else:
-            cs = dots
-        eye = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0) == \
-            jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
-        cs = jnp.where(eye | pad[None, :] | pad[:, None], NEG_INF, cs)
-        cm_sc, nn = jax.lax.top_k(cs, kc)              # [Q, kc]
-        cm_ids = jnp.where(cm_sc > NEG_INF, row_arr[nn], -1)
-        cm_lvl = jnp.where(cm_sc > NEG_INF, q_levels[nn], -1)
-    else:
-        cm_ids = jnp.full((Q, 8), -1, jnp.int32)
-        cm_sc = jnp.full((Q, 8), NEG_INF, jnp.float32)
-        cm_lvl = jnp.full((Q, 8), -1, jnp.int32)
-
-    # ---- upper layers: scan top-first, connecting + descending fused ----
-    if upper_stack is not None:
-        Lu = upper_stack.shape[0]
-        layer_nos = Lu - jnp.arange(Lu, dtype=jnp.int32)
-
-        def step(ents, xs):
-            links_l, layer_no = xs
-            c_sc = jnp.where(cm_lvl >= layer_no, cm_sc, NEG_INF)
-            sel, next_ents = _insert_layer_core(
-                queries, pack, links_l, ents, cm_ids, c_sc,
-                ef, expand, max_iters, m, metric)
-            return next_ents, sel
-
-        entries, sel_upper = jax.lax.scan(
-            step, entries, (upper_stack, layer_nos))
-    else:
-        sel_upper = None
-
-    # ---- layer 0 ----
-    c_sc0 = jnp.where(cm_lvl >= 0, cm_sc, NEG_INF)
-    sel0, _ = _insert_layer_core(queries, pack, links0, entries,
-                                 cm_ids, c_sc0, ef, expand, max_iters, m,
-                                 metric)
-    return sel_upper, sel0
-
-
 @functools.partial(jax.jit, static_argnames=("m", "metric"))
 def heuristic_select(
     cand_ids: jnp.ndarray,     # int32[B, C] sorted best-first (-1 pad)
@@ -450,3 +351,57 @@ def heuristic_select(
     sel = jnp.take_along_axis(cand_ids, order, axis=1)
     selk = jnp.take_along_axis(kept, order, axis=1)
     return jnp.where(selk, sel, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "kc", "m", "metric"))
+def exact_build_layer(
+    queries: jnp.ndarray,      # f32[Q, D] new points (zero rows = pad)
+    pack: DataPack,            # fp32 vector storage
+    valid_l: jnp.ndarray,      # bool[N] in-graph AND level >= this layer
+    row_arr: jnp.ndarray,      # int32[Q] row id per chunk member (-1 pad)
+    q_lvl_ok: jnp.ndarray,     # bool[Q] member eligible at this layer
+    k: int, kc: int, m: int, metric: VectorMetric,
+):
+    """Exact-candidate batched insertion for one layer: the TPU-native build
+    replaces the reference's per-point graph-walk candidate search
+    (addPoint's searchBaseLayer, hnswalg.h:1402) with an EXACT top-k scan of
+    the current layer population on the MXU — candidate quality is strictly
+    >= the reference's approximate beam, and the cost is one fused matmul
+    scan per chunk instead of ef serial graph hops per point (each hop
+    gathers expand*M neighbor vectors per query from HBM — the measured
+    build bottleneck). The neighbor heuristic (getNeighborsByHeuristic2
+    semantics) then prunes to m as in the reference; chunk-internal KNN is
+    folded in (batch members cannot see each other in the scan base yet).
+
+    Returns sel int32[Q, m] (-1 pad), best-first.
+    """
+    from .distance import knn_scan
+
+    qf = queries.astype(jnp.float32)
+    Q = qf.shape[0]
+    bs, bi = knn_scan(qf, pack.data, valid_l, pack.data_sq, k, metric)
+
+    if kc > 0:
+        dots = jnp.dot(qf, qf.T, preferred_element_type=jnp.float32)
+        if metric == VectorMetric.L2:
+            sq = jnp.sum(qf * qf, axis=1)
+            cs = 2.0 * dots - sq[None, :] - sq[:, None]
+        else:
+            cs = dots
+        eye = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0) == \
+            jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
+        bad = eye | ~q_lvl_ok[None, :] | (row_arr < 0)[None, :]
+        cs = jnp.where(bad, NEG_INF, cs)
+        cm_sc, nn = jax.lax.top_k(cs, kc)
+        cm_ids = jnp.where(cm_sc > NEG_INF, row_arr[nn], -1)
+        all_s = jnp.concatenate([bs, cm_sc], axis=1)
+        all_i = jnp.concatenate([bi, cm_ids], axis=1)
+    else:
+        all_s, all_i = bs, bi
+    all_s = jnp.where(all_i >= 0, all_s, NEG_INF)
+    srt_s, pos = jax.lax.top_k(all_s, all_s.shape[1])
+    srt_i = jnp.take_along_axis(all_i, pos, axis=1)
+    srt_i = jnp.where(srt_s > NEG_INF, srt_i, -1)
+    safe = jnp.where(srt_i >= 0, srt_i, 0)
+    cand_vecs = pack.data[safe]
+    return heuristic_select(srt_i, srt_s, cand_vecs, m, metric)

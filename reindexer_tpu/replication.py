@@ -147,6 +147,33 @@ class ReplicationState:
                 })
         return out
 
+    # --- chunked force sync (reference: namespace/snapshot/snapshot.h —
+    # snapshots stream in chunks and apply via tx, bounding memory) --------
+    def snapshot_meta(self) -> dict:
+        """Schema + counts only; items stream via snapshot_chunk."""
+        out = {"lsn": self.wal.last_lsn, "namespaces": []}
+        for name in self.db.namespace_names():
+            ns = self.db.get_namespace(name)
+            with ns.lock:
+                out["namespaces"].append({
+                    "name": name,
+                    "indexes": [d.to_dict() for d in ns.index_defs()],
+                    "meta": dict(ns.meta),
+                    "row_count": len(ns.items),
+                })
+        return out
+
+    def snapshot_chunk(self, ns_name: str, offset: int, limit: int) -> dict:
+        """One page of documents from the row-id range [offset, offset+limit).
+        `next_offset` is -1 when the namespace is exhausted."""
+        ns = self.db.get_namespace(ns_name)
+        with ns.lock:
+            total = len(ns.items)
+            hi = min(offset + limit, total)
+            items = [doc for doc in ns.items[offset:hi] if doc is not None]
+            return {"items": items,
+                    "next_offset": hi if hi < total else -1}
+
 
 class LeaderChannel:
     """In-process transport (the ServerControl-style test topology,
@@ -160,6 +187,12 @@ class LeaderChannel:
 
     def snapshot(self) -> dict:
         return self.state.snapshot()
+
+    def snapshot_meta(self) -> dict:
+        return self.state.snapshot_meta()
+
+    def snapshot_chunk(self, ns: str, offset: int, limit: int) -> dict:
+        return self.state.snapshot_chunk(ns, offset, limit)
 
 
 class HttpLeaderChannel:
@@ -180,6 +213,15 @@ class HttpLeaderChannel:
     def snapshot(self) -> dict:
         return self._get(f"/api/v1/db/{self.db_name}/replication/snapshot")
 
+    def snapshot_meta(self) -> dict:
+        return self._get(
+            f"/api/v1/db/{self.db_name}/replication/snapshot_meta")
+
+    def snapshot_chunk(self, ns: str, offset: int, limit: int) -> dict:
+        return self._get(
+            f"/api/v1/db/{self.db_name}/replication/snapshot_chunk"
+            f"?ns={ns}&offset={offset}&limit={limit}")
+
 
 class RpcLeaderChannel:
     """Binary-RPC transport (reference: replication rides cproto verbs,
@@ -198,10 +240,21 @@ class RpcLeaderChannel:
         from .net.protocol import Cmd
         return json.loads(self._client._call(Cmd.GET_SNAPSHOT, [])[0])
 
+    def snapshot_meta(self) -> dict:
+        from .net.protocol import Cmd
+        return json.loads(self._client._call(Cmd.GET_SNAPSHOT_META, [])[0])
+
+    def snapshot_chunk(self, ns: str, offset: int, limit: int) -> dict:
+        from .net.protocol import Cmd
+        return json.loads(self._client._call(
+            Cmd.GET_SNAPSHOT_CHUNK, [ns, offset, limit])[0])
+
 
 class AsyncReplicator:
     """Follower-side replication thread (reference: ReplThread,
     cluster/replication/replicationthread.cc)."""
+
+    SNAPSHOT_CHUNK = 1000    # docs per force-sync page (bounded memory)
 
     def __init__(self, follower: Reindexer, channel, poll_interval: float = 0.05):
         self.db = follower
@@ -209,6 +262,7 @@ class AsyncReplicator:
         self.poll_interval = poll_interval
         self.last_lsn = 0
         self.force_syncs = 0
+        self.force_sync_chunks = 0
         self.applied = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -258,8 +312,39 @@ class AsyncReplicator:
             self._stop.wait(self.poll_interval)
 
     def _force_sync(self) -> None:
-        snap = self.channel.snapshot()
+        """Chunked force sync (reference: snapshots stream in chunks applied
+        via tx, namespace/snapshot/snapshot.h) — memory stays bounded by
+        SNAPSHOT_CHUNK docs regardless of namespace size. Falls back to the
+        monolithic snapshot verb for channels that lack the chunk verbs."""
         self.force_syncs += 1
+        if not hasattr(self.channel, "snapshot_meta"):
+            self._force_sync_monolithic()
+            return
+        meta = self.channel.snapshot_meta()
+        for ns_meta in meta.get("namespaces", []):
+            name = ns_meta["name"]
+            try:
+                self.db.drop_namespace(name)
+            except NotFoundError:
+                pass
+            ns = self.db.open_namespace(
+                name, [IndexDef.from_dict(d) for d in ns_meta["indexes"]])
+            for k, v in ns_meta.get("meta", {}).items():
+                ns.put_meta(k, v)
+            offset = 0
+            while offset >= 0:
+                chunk = self.channel.snapshot_chunk(
+                    name, offset, self.SNAPSHOT_CHUNK)
+                self.force_sync_chunks += 1
+                tx = self.db.new_transaction(name)
+                for doc in chunk["items"]:
+                    tx.upsert(doc)
+                tx.commit()
+                offset = chunk["next_offset"]
+        self.last_lsn = meta["lsn"]
+
+    def _force_sync_monolithic(self) -> None:
+        snap = self.channel.snapshot()
         for ns_snap in snap.get("namespaces", []):
             name = ns_snap["name"]
             try:

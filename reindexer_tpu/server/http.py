@@ -408,6 +408,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(200, state.updates(from_lsn))
             if len(rest) > 1 and rest[1] == "snapshot" and method == "GET":
                 return self._send(200, state.snapshot())
+            if len(rest) > 1 and rest[1] == "snapshot_meta" \
+                    and method == "GET":
+                return self._send(200, state.snapshot_meta())
+            if len(rest) > 1 and rest[1] == "snapshot_chunk" \
+                    and method == "GET":
+                return self._send(200, state.snapshot_chunk(
+                    qs.get("ns", [""])[0],
+                    int(qs.get("offset", ["0"])[0]),
+                    int(qs.get("limit", ["1000"])[0])))
         raise NotFoundError(f"no route for {method} /{'/'.join(p)}")
 
     # --- namespaces -----------------------------------------------------

@@ -187,3 +187,49 @@ def test_replicationstats_system_ns():
     rows = db.select(Query("#replicationstats")).docs()
     assert rows and rows[0]["server_id"] == 5
     assert rows[0]["last_lsn"] >= 4 and "r" in rows[0]["namespaces"]
+
+
+def test_chunked_force_sync_over_http_and_rpc():
+    """Chunked snapshot verbs over both wire transports (reference:
+    GetSnapshot/FetchSnapshot RPC, rpcserver.cc:1382-1384; chunks applied
+    via tx, namespace/snapshot/snapshot.h)."""
+    from reindexer_tpu.net.rpc_server import RpcServer
+    from reindexer_tpu.replication import RpcLeaderChannel
+    from reindexer_tpu.server.http import ReindexerServer
+
+    srv = ReindexerServer(port=0)
+    srv.start()
+    rpc = RpcServer(mgr=srv.mgr)
+    rpc.start()
+    try:
+        db = srv.mgr.create("repldb")
+        db.open_namespace("t", [
+            IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+        for i in range(2500):
+            db.upsert("t", {"id": i})
+
+        f1 = Reindexer()
+        r1 = AsyncReplicator(f1, HttpLeaderChannel(
+            f"http://127.0.0.1:{srv.port}", "repldb"))
+        r1.SNAPSHOT_CHUNK = 400
+        r1.sync_once()
+        assert r1.force_syncs == 1 and r1.force_sync_chunks == 7
+        assert len(f1.select(Query("t")).docs()) == 2500
+
+        f2 = Reindexer()
+        r2 = AsyncReplicator(f2, RpcLeaderChannel(
+            "127.0.0.1", rpc.port, "repldb"))
+        r2.SNAPSHOT_CHUNK = 1000
+        r2.sync_once()
+        assert r2.force_sync_chunks == 3
+        assert len(f2.select(Query("t")).docs()) == 2500
+        # online replay continues after the chunked force sync
+        db.upsert("t", {"id": 9999})
+        r1.sync_once()
+        r2.sync_once()
+        assert len(f1.select(Query("t")).docs()) == 2501
+        assert len(f2.select(Query("t")).docs()) == 2501
+        assert r1.force_syncs == 1 and r2.force_syncs == 1
+    finally:
+        rpc.stop()
+        srv.stop()
