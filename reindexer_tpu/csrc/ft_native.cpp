@@ -21,9 +21,11 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <string>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -192,10 +194,162 @@ PyObject* build_tokens(PyObject* /*self*/, PyObject* args) {
     return out;
 }
 
+// ---------------------------------------------------------------------------
+// Batched phrase verification over the postings CSR (native equivalent of
+// the reference PhraseMerger walk, cpp_src/core/ft/ft_fast/phrasemerger*.h).
+// For each candidate doc: per phrase slot, merge the slot's word-variant
+// position lists per field; a doc passes when some field has a position
+// chain p1 < p2 < ... with 1 <= p(i+1) - p(i) <= dist.
+// ---------------------------------------------------------------------------
+
+struct PhraseBuf {
+    Py_buffer view{};
+    bool ok = false;
+    ~PhraseBuf() {
+        if (ok) PyBuffer_Release(&view);
+    }
+    bool get(PyObject* obj) {
+        if (PyObject_GetBuffer(obj, &view, PyBUF_CONTIG_RO) != 0) return false;
+        ok = true;
+        return true;
+    }
+};
+
+PyObject* verify_phrases(PyObject* /*self*/, PyObject* args) {
+    PyObject *post_doc_o, *post_field_o, *pos_start_o, *pos_flat_o, *docs_o,
+        *slots_o;
+    long dist = 1;
+    if (!PyArg_ParseTuple(args, "OOOOOOl", &post_doc_o, &post_field_o,
+                          &pos_start_o, &pos_flat_o, &docs_o, &slots_o,
+                          &dist)) {
+        return nullptr;
+    }
+    PhraseBuf post_doc_b, post_field_b, pos_start_b, pos_flat_b, docs_b;
+    if (!post_doc_b.get(post_doc_o) || !post_field_b.get(post_field_o) ||
+        !pos_start_b.get(pos_start_o) || !pos_flat_b.get(pos_flat_o) ||
+        !docs_b.get(docs_o)) {
+        return nullptr;
+    }
+    const int32_t* post_doc = (const int32_t*)post_doc_b.view.buf;
+    const int32_t* post_field = (const int32_t*)post_field_b.view.buf;
+    const int64_t* pos_start = (const int64_t*)pos_start_b.view.buf;
+    const int32_t* pos_flat = (const int32_t*)pos_flat_b.view.buf;
+    const int32_t* docs = (const int32_t*)docs_b.view.buf;
+    Py_ssize_t n_docs = docs_b.view.len / 4;
+
+    // slots: list (per phrase slot) of int64 [n_var, 2] posting ranges
+    Py_ssize_t n_slots = PySequence_Size(slots_o);
+    std::vector<std::vector<std::pair<int64_t, int64_t>>> slots(n_slots);
+    for (Py_ssize_t i = 0; i < n_slots; i++) {
+        PyObject* arr = PySequence_GetItem(slots_o, i);
+        PhraseBuf b;
+        bool got = arr && b.get(arr);
+        if (got) {
+            const int64_t* r = (const int64_t*)b.view.buf;
+            Py_ssize_t nv = b.view.len / 16;
+            for (Py_ssize_t v = 0; v < nv; v++) {
+                slots[i].emplace_back(r[2 * v], r[2 * v + 1]);
+            }
+        }
+        Py_XDECREF(arr);
+        if (!got) return nullptr;
+    }
+
+    std::vector<uint8_t> out(n_docs, 0);
+    // scratch: per slot, field -> sorted positions
+    std::vector<std::vector<std::pair<int32_t, std::vector<int32_t>>>> per_slot(
+        n_slots);
+    std::vector<int32_t> cur, nxt_keep;
+    for (Py_ssize_t di = 0; di < n_docs; di++) {
+        int32_t d = docs[di];
+        bool all_slots = true;
+        for (Py_ssize_t si = 0; si < n_slots && all_slots; si++) {
+            auto& fields = per_slot[si];
+            fields.clear();
+            for (auto& rg : slots[si]) {
+                // binary search the doc inside this word's doc-sorted range
+                const int32_t* lo_p = std::lower_bound(
+                    post_doc + rg.first, post_doc + rg.second, d);
+                const int32_t* hi_p = std::upper_bound(
+                    lo_p, post_doc + rg.second, d);
+                for (const int32_t* p = lo_p; p < hi_p; p++) {
+                    int64_t pi = p - post_doc;
+                    int32_t f = post_field[pi];
+                    std::vector<int32_t>* vec = nullptr;
+                    for (auto& kv : fields) {
+                        if (kv.first == f) {
+                            vec = &kv.second;
+                            break;
+                        }
+                    }
+                    if (!vec) {
+                        fields.emplace_back(f, std::vector<int32_t>());
+                        vec = &fields.back().second;
+                    }
+                    for (int64_t z = pos_start[pi]; z < pos_start[pi + 1];
+                         z++) {
+                        vec->push_back(pos_flat[z]);
+                    }
+                }
+            }
+            if (fields.empty()) all_slots = false;
+            for (auto& kv : fields) {
+                std::sort(kv.second.begin(), kv.second.end());
+                kv.second.erase(
+                    std::unique(kv.second.begin(), kv.second.end()),
+                    kv.second.end());
+            }
+        }
+        if (!all_slots) continue;
+        // chain per field present in slot 0
+        bool doc_ok = false;
+        for (auto& kv0 : per_slot[0]) {
+            int32_t f = kv0.first;
+            cur = kv0.second;
+            bool ok = true;
+            for (Py_ssize_t si = 1; si < n_slots && ok; si++) {
+                const std::vector<int32_t>* nxt = nullptr;
+                for (auto& kv : per_slot[si]) {
+                    if (kv.first == f) {
+                        nxt = &kv.second;
+                        break;
+                    }
+                }
+                if (!nxt) {
+                    ok = false;
+                    break;
+                }
+                // keep x in nxt with some c in cur, 1 <= x - c <= dist
+                nxt_keep.clear();
+                size_t ci = 0;
+                for (int32_t x : *nxt) {
+                    while (ci < cur.size() && cur[ci] < x - (int32_t)dist) {
+                        ci++;
+                    }
+                    if (ci < cur.size() && cur[ci] <= x - 1) {
+                        nxt_keep.push_back(x);
+                    }
+                }
+                cur = nxt_keep;
+                ok = !cur.empty();
+            }
+            if (ok) {
+                doc_ok = true;
+                break;
+            }
+        }
+        out[di] = doc_ok ? 1 : 0;
+    }
+    return PyBytes_FromStringAndSize((const char*)out.data(), n_docs);
+}
+
 PyMethodDef methods[] = {
     {"build_tokens", build_tokens, METH_VARARGS,
      "build_tokens(docs, extra_symbols) -> (vocab, token_ids, doc_ids, "
      "field_ids, positions)"},
+    {"verify_phrases", verify_phrases, METH_VARARGS,
+     "verify_phrases(post_doc, post_field, pos_start, pos_flat, docs, "
+     "slot_ranges, dist) -> bytes mask"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -308,6 +308,10 @@ class FtDataHolder:
     # ------------------------------------------------------------------
     # postings access
     # ------------------------------------------------------------------
+    def native_module(self):
+        """C++ FT helpers (csrc/ft_native.cpp) or None (pure-Python path)."""
+        return _native_module()
+
     def posting_range(self, wid: int) -> tuple[int, int]:
         return int(self.word_start[wid]), int(self.word_start[wid + 1])
 

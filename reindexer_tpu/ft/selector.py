@@ -592,10 +592,32 @@ class FtSelector:
             if t.phrase_group >= 0:
                 groups.setdefault(t.phrase_group, []).append(i)
         mask = np.ones(len(docs), dtype=np.bool_)
+        native = h.native_module()
+        use_native = (native is not None
+                      and hasattr(native, "verify_phrases"))
         for gid, tidx in groups.items():
             tidx.sort(key=lambda i: terms[i].phrase_pos)
             dist = q.phrase_distance.get(gid, 1)
-            # positions per (doc, field) per phrase slot
+            if use_native:
+                # batched C++ walk over the positions CSR (reference:
+                # PhraseMerger, ft_fast/phrasemerger*.h) — one call per
+                # phrase group for ALL candidate docs
+                slot_ranges = [
+                    np.ascontiguousarray(
+                        np.asarray([h.posting_range(w)
+                                    for w in variants[ti]],
+                                   dtype=np.int64).reshape(-1, 2))
+                    for ti in tidx]
+                raw = native.verify_phrases(
+                    np.ascontiguousarray(h.post_doc, dtype=np.int32),
+                    np.ascontiguousarray(h.post_field, dtype=np.int32),
+                    np.ascontiguousarray(h.pos_start, dtype=np.int64),
+                    np.ascontiguousarray(h.pos_flat, dtype=np.int32),
+                    np.ascontiguousarray(docs, dtype=np.int32),
+                    slot_ranges, int(dist))
+                mask &= np.frombuffer(raw, dtype=np.uint8).astype(bool)
+                continue
+            # pure-Python fallback (semantically identical; tests enforce)
             for di, doc in enumerate(docs):
                 if not mask[di]:
                     continue

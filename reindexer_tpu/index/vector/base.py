@@ -24,6 +24,10 @@ from .params import KnnSearchParams
 
 
 class FloatVectorIndexBase(Index):
+    # True for indexes riding the Pallas fused scan (needs removed rows
+    # zeroed); graph indexes keep stale data for mark-delete traversal
+    KEEPER_ZERO_ON_REMOVE = False
+
     def __init__(self, definition: IndexDef):
         super().__init__(definition)
         vo = definition.vector_opts
@@ -31,7 +35,8 @@ class FloatVectorIndexBase(Index):
         self.dims = vo.dims
         self.metric = vo.metric
         self.ordering = metric_ordering(self.metric)
-        self.keeper = VectorKeeper(vo.dims, vo.metric, vo.start_size)
+        self.keeper = VectorKeeper(vo.dims, vo.metric, vo.start_size,
+                                   zero_on_remove=self.KEEPER_ZERO_ON_REMOVE)
 
     # --- Index interface ------------------------------------------------
     def upsert(self, row_id: int, values: Any) -> None:

@@ -20,6 +20,8 @@ from .params import KnnSearchParams
 
 
 class BruteForceIndex(FloatVectorIndexBase):
+    KEEPER_ZERO_ON_REMOVE = True    # fused-scan validity contract
+
     def __init__(self, definition):
         super().__init__(definition)
         qc = definition.vector_opts.quantization
@@ -62,8 +64,13 @@ class BruteForceIndex(FloatVectorIndexBase):
                 jnp.asarray(q), self._quant.codes, self._quant.lo,
                 self._quant.alpha, kp.valid, kp.sq, k, self.metric)
         else:
-            scores, idx = knn_scan(jnp.asarray(q), kp.data, kp.valid, kp.sq,
-                                   k, self.metric)
+            from ...ops.pallas_scan import fused_available, knn_scan_fused
+            if fused_available(kp.capacity, kp.dims, k):
+                scores, idx = knn_scan_fused(jnp.asarray(q), kp.data,
+                                             kp.sq_eff(), k, self.metric)
+            else:
+                scores, idx = knn_scan(jnp.asarray(q), kp.data, kp.valid,
+                                       kp.sq, k, self.metric)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         out = []
@@ -95,8 +102,8 @@ class BruteForceIndex(FloatVectorIndexBase):
             else:
                 from ...ops.pallas_scan import fused_available, knn_scan_fused
                 if fused_available(kp.capacity, kp.dims, k):
-                    scores, idx = knn_scan_fused(q, kp.data, kp.valid, kp.sq,
-                                                 k, self.metric)
+                    scores, idx = knn_scan_fused(q, kp.data, kp.sq_eff(), k,
+                                                 self.metric)
                 else:
                     scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k,
                                            self.metric)

@@ -168,6 +168,23 @@ class HnswIndex(FloatVectorIndexBase):
                     links[s, :] = -1
                     links[s, : len(kept)] = kept
                     dirty.add(int(s))
+            # repair: bridge the ex-neighbors pairwise so removing the node
+            # cannot disconnect the graph (diversity-pruned graphs keep no
+            # redundant long edges; the reference repairs the neighborhood
+            # on updates the same way, hnswalg.h updatePoint ->
+            # repairConnectionsForUpdate)
+            for a in nbrs:
+                arow = links[a]
+                have = set(int(x) for x in arow[arow >= 0])
+                for b in nbrs:
+                    if a == b or int(b) in have:
+                        continue
+                    free = np.flatnonzero(arow < 0)
+                    if not len(free):
+                        break
+                    links[a, free[0]] = b
+                    have.add(int(b))
+                    dirty.add(int(a))
         self._levels[row] = -1
 
     def _reassign_entry(self) -> None:

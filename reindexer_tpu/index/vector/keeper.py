@@ -41,6 +41,12 @@ def _scatter_invalidate(valid, rows):
     return valid.at[rows].set(False, mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("l2", "big"))
+def _sq_eff_jit(valid, sq, l2, big):
+    base = sq if l2 else jnp.zeros_like(sq)
+    return jnp.where(valid, base, jnp.float32(big))
+
+
 def _bucket(n: int) -> int:
     b = 8
     while b < n:
@@ -50,11 +56,18 @@ def _bucket(n: int) -> int:
 
 class VectorKeeper:
     def __init__(self, dims: int, metric: VectorMetric,
-                 start_size: int = _MIN_CAPACITY):
+                 start_size: int = _MIN_CAPACITY,
+                 zero_on_remove: bool = False):
+        """zero_on_remove=True additionally ZEROES removed rows' data+sq —
+        the invariant the Pallas fused scan requires (ops/pallas_scan.py
+        treats sumsq==0 rows as invalid). Graph indexes keep stale data
+        instead (mark-deleted nodes stay traversable, hnswalg.h markDelete).
+        """
         if dims <= 0:
             raise ParamsError("vector dims must be > 0")
         self.dims = dims
         self.metric = metric
+        self.zero_on_remove = zero_on_remove
         cap = _MIN_CAPACITY
         while cap < start_size:
             cap *= 2
@@ -65,6 +78,7 @@ class VectorKeeper:
         self.count = 0  # number of valid vectors (maintained incrementally)
         self._pending: dict[int, Optional[np.ndarray]] = {}
         self._max_row = -1
+        self._sq_eff = None   # (key, array) cache for sq_eff()
 
     # --- mutation -------------------------------------------------------
     def set(self, row_id: int, vec: Optional[np.ndarray]) -> None:
@@ -76,6 +90,12 @@ class VectorKeeper:
                     f"vector dims mismatch: got {vec.shape[0]}, index has {self.dims}")
             if self.metric == VectorMetric.COSINE:
                 vec = normalize_rows(vec[None, :])[0]
+            if self.zero_on_remove and not vec.any():
+                # an exactly-zero vector would read as "removed" to the
+                # fused scan; nudge one component by a denormal-scale value
+                # (score impact ~1e-30, far below fp32 rounding)
+                vec = vec.copy()
+                vec[0] = 1e-30
         self._pending[row_id] = vec
         self._max_row = max(self._max_row, row_id)
 
@@ -144,7 +164,16 @@ class VectorKeeper:
             if bucket > len(del_rows):
                 del_rows = np.concatenate(
                     [del_rows, np.repeat(del_rows[:1], bucket - len(del_rows))])
-            self.valid = _scatter_invalidate(self.valid, jnp.asarray(del_rows))
+            if self.zero_on_remove:
+                z = np.zeros((len(del_rows), self.dims), dtype=np.float32)
+                self.data, self.valid, self.sq = _scatter(
+                    self.data, self.valid, self.sq, jnp.asarray(del_rows),
+                    jnp.asarray(z),
+                    jnp.zeros(len(del_rows), dtype=jnp.bool_),
+                    jnp.zeros(len(del_rows), dtype=jnp.float32))
+            else:
+                self.valid = _scatter_invalidate(self.valid,
+                                                 jnp.asarray(del_rows))
         if set_items:
             rows = np.fromiter((r for r, _ in set_items), dtype=np.int32,
                                count=len(set_items))
@@ -211,6 +240,18 @@ class VectorKeeper:
         self.count += n - prev_valid
         self._max_row = max(self._max_row, start_row + n - 1)
 
+    def sq_eff(self) -> jnp.ndarray:
+        """f32[capacity]: |b|^2 (L2) or 0 (IP/cosine) for valid rows,
+        +SQ_EFF_BIG for invalid — the score-correction input of the fused
+        scan (ops/pallas_scan.py). Cached per device-array identity."""
+        from ...ops.pallas_scan import SQ_EFF_BIG
+        key = (id(self.valid), id(self.sq))
+        if self._sq_eff is None or self._sq_eff[0] != key:
+            self._sq_eff = (key, _sq_eff_jit(self.valid, self.sq,
+                                             self.metric == VectorMetric.L2,
+                                             SQ_EFF_BIG))
+        return self._sq_eff[1]
+
     # --- access ---------------------------------------------------------
     def prepare_query(self, vec: np.ndarray) -> np.ndarray:
         vec = np.asarray(vec, dtype=np.float32).reshape(-1)
@@ -257,6 +298,8 @@ class VectorKeeper:
             vfull = np.zeros((self.capacity,), dtype=np.bool_)
             full[:n] = data
             vfull[:n] = valid
+            if self.zero_on_remove:
+                full[:n][~valid] = 0.0
             self.data = jnp.asarray(full)
             self.valid = jnp.asarray(vfull)
             self.sq = jnp.asarray(

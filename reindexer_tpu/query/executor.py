@@ -35,6 +35,20 @@ from .results import (AggregationResult, FacetResult, QueryResults, ResultItem)
 from .sortexpr import (DEFAULT_RRF_RANK_CONST, RankSource, SortExprEvaluator)
 
 
+def _coerce_numeric(vals: list):
+    """Python values -> float64 array (None -> NaN), or None when any value
+    is non-numeric (strings, lists); enables vectorized comparator paths."""
+    try:
+        return np.asarray(vals, dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+
+
+_NUM_JOIN_OPS = {CondType.EQ: np.equal, CondType.LT: np.less,
+                 CondType.LE: np.less_equal, CondType.GT: np.greater,
+                 CondType.GE: np.greater_equal}
+
+
 class Selecter:
     """Executes select/update/delete queries against the database facade."""
 
@@ -458,16 +472,13 @@ class Selecter:
         cap = len(exists)
         if isinstance(entry, Bracket):
             m, srcs = self._eval_entries(ns, entry.entries, q, exists, explain_sel)
+            # a single ranked source propagates through the return value; a
+            # multi-source bracket (hybrid pair inside brackets) stashes the
+            # extras on the query for the sort stage to pick up
             src = next(iter(srcs.values())) if len(srcs) == 1 else None
-            # propagate all bracket-level sources upward
-            for s in srcs.values():
-                pass
-            if srcs:
-                # merge handled by caller via returned single src; for multi,
-                # stash directly (rare: brackets around hybrid pair)
-                if len(srcs) > 1:
-                    for name, s in srcs.items():
-                        q.__dict__.setdefault("_extra_sources", {})[name] = s
+            if len(srcs) > 1:
+                for name, s in srcs.items():
+                    q.__dict__.setdefault("_extra_sources", {})[name] = s
             return m, src
         if isinstance(entry, AlwaysTrue):
             return exists.copy(), None
@@ -551,7 +562,9 @@ class Selecter:
 
     def _eval_between_fields(self, ns: Namespace, entry: BetweenFieldsEntry,
                              cap: int) -> np.ndarray:
-        # vectorized two-column compare (reference: BetweenFieldsQueryEntry)
+        # vectorized two-column compare (reference: BetweenFieldsQueryEntry;
+        # the reference comparators walk payloads row-wise but in tight C++ —
+        # here the numeric/string common cases run as one numpy expression)
         def vals_of(field: str) -> list:
             col = ns.column_values(field)
             if col is not None and not col.is_array:
@@ -562,7 +575,7 @@ class Selecter:
 
         left = vals_of(entry.first_field)
         right = vals_of(entry.second_field)
-        n = min(len(left), len(right))
+        n = min(len(left), len(right), cap)
         out = np.zeros(cap, dtype=np.bool_)
         ops = {CondType.EQ: lambda a, b: a == b, CondType.LT: lambda a, b: a < b,
                CondType.LE: lambda a, b: a <= b, CondType.GT: lambda a, b: a > b,
@@ -571,7 +584,14 @@ class Selecter:
         if fn is None:
             raise QueryError(
                 f"unsupported between-fields condition: {entry.condition}")
-        for i in range(min(n, cap)):
+        la = _coerce_numeric(left[:n])
+        ra = _coerce_numeric(right[:n])
+        if la is not None and ra is not None:
+            with np.errstate(invalid="ignore"):
+                m = fn(la, ra)                  # NaN (missing) compares False
+            out[:n] = m & ~np.isnan(la) & ~np.isnan(ra)
+            return out
+        for i in range(n):
             a, b = left[i], right[i]
             if a is None or b is None:
                 continue
@@ -640,38 +660,48 @@ class Selecter:
     # ==================================================================
     def _equal_position_filter(self, ns: Namespace, q: Query,
                                rows: np.ndarray) -> np.ndarray:
+        """equal_positions: some array position j must satisfy every field's
+        condition simultaneously. Evaluated position-major — one vectorized
+        comparator call per (field, position) over ALL rows, instead of a
+        Python loop per row (reference: comparators run row-wise but in C++,
+        selectiteratorcontainer.cc)."""
         from .comparators import raw_values_mask
         conds: dict[str, QueryEntry] = {}
         for op, e in q.entries:
             if isinstance(e, QueryEntry) and op == OpType.AND:
                 conds[e.field] = e
-        keep = np.ones(len(rows), dtype=bool)
+        R = len(rows)
+        docs = [ns.get_item(int(r)) for r in rows]
+        keep = np.asarray([d is not None for d in docs], dtype=bool)
         for group in q.equal_positions:
             missing = [f for f in group if f not in conds]
             if missing:
                 raise QueryError(
                     f"equal_position fields must have AND conditions: "
                     f"{missing}")
-            for i, row in enumerate(rows):
-                if not keep[i]:
-                    continue
-                doc = ns.get_item(int(row))
-                if doc is None:
-                    keep[i] = False
-                    continue
-                arrays = []
-                for f in group:
-                    v = get_json_path(doc, f)
-                    arrays.append(v if isinstance(v, list) else [v])
-                n = min(len(a) for a in arrays)
-                ok = False
-                for j in range(n):
-                    if all(raw_values_mask([a[j]], conds[f].condition,
-                                           list(conds[f].values))[0]
-                           for a, f in zip(arrays, group)):
-                        ok = True
-                        break
-                keep[i] = ok
+            per_field = []
+            for f in group:
+                vals = [None if d is None else get_json_path(d, f)
+                        for d in docs]
+                per_field.append([v if isinstance(v, list) else [v]
+                                  for v in vals])
+            n_pos = np.fromiter(
+                (min(len(per_field[fi][i]) for fi in range(len(group)))
+                 if keep[i] else 0 for i in range(R)),
+                dtype=np.int64, count=R)
+            ok = np.zeros(R, dtype=bool)
+            for j in range(int(n_pos.max()) if R else 0):
+                act = n_pos > j
+                if not act.any():
+                    break
+                pos_ok = act.copy()
+                for fi, f in enumerate(group):
+                    colv = [per_field[fi][i][j] if act[i] else None
+                            for i in range(R)]
+                    pos_ok &= raw_values_mask(colv, conds[f].condition,
+                                              list(conds[f].values))
+                ok |= pos_ok
+            keep &= ok
         return rows[keep]
 
     # ==================================================================
@@ -745,7 +775,47 @@ class Selecter:
                             matches[int(row)] = hit
                 return mask, matches
 
-            # general path: per-row scan over preselected joined rows
+            # general path — numeric ON-conditions evaluate as chunked
+            # [rows, j_rows] numpy broadcasts (the vectorized equivalent of
+            # the reference's joined-row comparator scan,
+            # selectiteratorcontainer.cc); non-numeric values fall back to
+            # the per-pair loop
+            docs = [ns.get_item(int(r)) for r in main_rows]
+            jdocs = [joined_ns.get_item(int(r)) for r in j_rows]
+            if all(c.condition in _NUM_JOIN_OPS for c in jq.on):
+                lcols = [_coerce_numeric(
+                    [None if d is None else get_json_path(d, c.left_field)
+                     for d in docs]) for c in jq.on]
+                rcols = [_coerce_numeric(
+                    [None if d is None else get_json_path(d, c.right_field)
+                     for d in jdocs]) for c in jq.on]
+                if all(a is not None for a in lcols + rcols):
+                    CH = 256
+                    for s0 in range(0, len(main_rows), CH):
+                        sl = slice(s0, s0 + CH)
+                        verdict = None
+                        for ci, c in enumerate(jq.on):
+                            a = lcols[ci][sl][:, None]
+                            b = rcols[ci][None, :]
+                            with np.errstate(invalid="ignore"):
+                                m = _NUM_JOIN_OPS[c.condition](a, b)
+                            m &= ~np.isnan(a) & ~np.isnan(rcols[ci])[None, :]
+                            if verdict is None:
+                                verdict = m
+                            elif c.op == OpType.OR:
+                                verdict |= m
+                            else:
+                                verdict &= m
+                        hit_any = verdict.any(axis=1)
+                        for k_i in np.flatnonzero(hit_any):
+                            row = int(main_rows[s0 + k_i])
+                            mask[row] = True
+                            if need_matches:
+                                matches[row] = [
+                                    int(j_rows[j])
+                                    for j in np.flatnonzero(verdict[k_i])]
+                    return mask, matches
+
             ops = {CondType.EQ: lambda a, b: a == b,
                    CondType.LT: lambda a, b: a < b,
                    CondType.LE: lambda a, b: a <= b,
@@ -753,13 +823,13 @@ class Selecter:
                    CondType.GE: lambda a, b: a >= b,
                    CondType.SET: lambda a, b: a in b
                    if isinstance(b, (list, tuple)) else a == b}
-            for row in main_rows:
-                doc = ns.get_item(int(row))
+            for mi, row in enumerate(main_rows):
+                doc = docs[mi]
                 if doc is None:
                     continue
                 hit_rows = []
-                for jrow in j_rows:
-                    jdoc = joined_ns.get_item(int(jrow))
+                for ji, jrow in enumerate(j_rows):
+                    jdoc = jdocs[ji]
                     if jdoc is None:
                         continue
                     verdict: Optional[bool] = None

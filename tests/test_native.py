@@ -119,3 +119,39 @@ def test_hnsw_connect_native_matches_python(rng):
     for ua, ub in zip(a._upper, b._upper):
         np.testing.assert_array_equal(ua, ub)
     assert a._entry == b._entry and a._max_level == b._max_level
+
+
+def test_native_phrase_parity(rng):
+    """C++ verify_phrases must agree with the pure-Python phrase walk."""
+    import os
+    import numpy as np
+    from reindexer_tpu.ft.config import FtFastConfig
+    from reindexer_tpu.ft.dataholder import FtDataHolder
+    from reindexer_tpu.ft.selector import FtSelector
+
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [(i, [" ".join(rng.choice(words, size=rng.integers(4, 12)))])
+            for i in range(300)]
+    cfg = FtFastConfig()
+    holder = FtDataHolder(cfg, ["text"])
+    holder.build(docs, 300)
+    if holder.native_module() is None or \
+            not hasattr(holder.native_module(), "verify_phrases"):
+        import pytest
+        pytest.skip("no compiler for the native module")
+    sel = FtSelector(holder, cfg)
+    queries = ['"aa bb"', '"bb cc"~2', '"aa bb cc"', '"cc dd"~3']
+    native = [sel.process(q) for q in queries]
+    os.environ["RX_TPU_DISABLE_NATIVE"] = "1"
+    try:
+        import reindexer_tpu.ft.dataholder as dh
+        # force the pure-Python fallback inside _verify_phrases
+        saved = dh._NATIVE, dh._NATIVE_TRIED
+        dh._NATIVE, dh._NATIVE_TRIED = None, True
+        pure = [sel.process(q) for q in queries]
+        dh._NATIVE, dh._NATIVE_TRIED = saved
+    finally:
+        os.environ.pop("RX_TPU_DISABLE_NATIVE", None)
+    for q, a, b in zip(queries, native, pure):
+        assert sorted(a.ids.tolist()) == sorted(b.ids.tolist()), \
+            f"phrase parity broke for {q!r}"
