@@ -136,11 +136,14 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
 def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
                        smoke=False):
     """SQ8 scan: same workload through uint8 codes (reference: ~75% memory
-    saving, float_vector.md:291 — HBM-bound scan speeds up accordingly)."""
+    saving, float_vector.md:291 — HBM-bound scan speeds up accordingly).
+    Uses the Pallas fused SQ8 kernel when available."""
     import jax
     import jax.numpy as jnp
     from reindexer_tpu.core.type_consts import VectorMetric
     from reindexer_tpu.index.vector.quantization import knn_scan_quantized
+    from reindexer_tpu.ops.pallas_scan import (SQ_EFF_BIG, fused_available,
+                                               knn_scan_fused_sq8)
 
     if smoke:
         n, iters = 10_000, 3
@@ -156,23 +159,43 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     valid = np.zeros(cap, dtype=bool)
     valid[:n] = True
     sq = np.sum(base * base, axis=1).astype(np.float32)
+    sq_eff = np.where(valid, sq, np.float32(SQ_EFF_BIG))
     codes_d, lo_d, alpha_d = jnp.asarray(codes), jnp.asarray(lo), jnp.asarray(alpha)
     valid_d, sq_d = jnp.asarray(valid), jnp.asarray(sq)
+    sqe_d = jnp.asarray(sq_eff)
     q_all = jnp.asarray(rng.normal(size=(iters, batch, dims)).astype(np.float32))
+    fused = fused_available(cap, dims, k)
 
     @jax.jit
-    def run_all(qs, c, lo, al, v, s):
-        return jax.lax.map(lambda q: knn_scan_quantized(
-            q, c, lo, al, v, s, k, VectorMetric.L2), qs)
+    def run_all(qs, c, lo, al, v, s, se):
+        if fused:
+            one = lambda q: knn_scan_fused_sq8(q, c, lo, al, se, k,
+                                               VectorMetric.L2)
+        else:
+            one = lambda q: knn_scan_quantized(q, c, lo, al, v, s, k,
+                                               VectorMetric.L2)
+        outs = jax.lax.map(one, qs)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.sum(jnp.where(jnp.isfinite(x.astype(jnp.float32)),
+                                        x.astype(jnp.float32), 0.0)), outs)
 
-    args = (q_all, codes_d, lo_d, alpha_d, valid_d, sq_d)
-    jax.block_until_ready(run_all(*args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_all(*args))
-    dt = (time.perf_counter() - t0) / iters
+    small = max(iters // 16, 1)
+    args = (codes_d, lo_d, alpha_d, valid_d, sq_d, sqe_d)
+    np.asarray(jax.tree_util.tree_leaves(run_all(q_all[:small], *args))[0])
+    np.asarray(jax.tree_util.tree_leaves(run_all(q_all, *args))[0])
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(run_all(q_all[:small], *args))[0])
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(run_all(q_all, *args))[0])
+        t_b = time.perf_counter() - t0
+        dt = min(dt, max(t_b - t_s, 1e-9) / (iters - small))
     sol = roofline_latency_s(cap, dims, batch, 1, V5E_FP32_FLOPS)
     print(f"# sq8_bf qps={batch/dt:.1f} lat={dt*1e3:.3f}ms "
-          f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f}", file=sys.stderr)
+          f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f} fused={fused}",
+          file=sys.stderr)
 
 
 def bench_hnsw(n=20_000, dims=96, k=10, ef=64, batch=64, smoke=False):

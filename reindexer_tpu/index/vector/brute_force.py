@@ -46,6 +46,21 @@ class BruteForceIndex(FloatVectorIndexBase):
             st.update(self._quant.memstat())
         return st
 
+    def _scan_quantized(self, q: jnp.ndarray, k: int):
+        """SQ8 scan: Pallas fused kernel when the geometry allows (codes
+        stream at 1/4 HBM cost, ops/pallas_scan.knn_scan_fused_sq8), XLA
+        chunked scan otherwise."""
+        kp = self.keeper
+        from ...ops.pallas_scan import fused_available, knn_scan_fused_sq8
+        if fused_available(kp.capacity, kp.dims, k):
+            return knn_scan_fused_sq8(
+                q, self._quant.codes, self._quant.lo, self._quant.alpha,
+                kp.sq_eff(), k, self.metric)
+        from .quantization import knn_scan_quantized
+        return knn_scan_quantized(
+            q, self._quant.codes, self._quant.lo, self._quant.alpha,
+            kp.valid, kp.sq, k, self.metric)
+
     def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
                      ) -> list[SelectKeyResult]:
         """One fused scan for the whole query batch (queries ride the MXU as
@@ -59,10 +74,7 @@ class BruteForceIndex(FloatVectorIndexBase):
         q = np.stack([kp.prepare_query(v) for v in queries])
         k = min(params.k, kp.capacity)
         if self._quant is not None and self._quant.active:
-            from .quantization import knn_scan_quantized
-            scores, idx = knn_scan_quantized(
-                jnp.asarray(q), self._quant.codes, self._quant.lo,
-                self._quant.alpha, kp.valid, kp.sq, k, self.metric)
+            scores, idx = self._scan_quantized(jnp.asarray(q), k)
         else:
             from ...ops.pallas_scan import fused_available, knn_scan_fused
             if fused_available(kp.capacity, kp.dims, k):
@@ -95,10 +107,7 @@ class BruteForceIndex(FloatVectorIndexBase):
         if params.k is not None:
             k = min(params.k, kp.capacity)
             if self._quant is not None and self._quant.active:
-                from .quantization import knn_scan_quantized
-                scores, idx = knn_scan_quantized(
-                    q, self._quant.codes, self._quant.lo, self._quant.alpha,
-                    kp.valid, kp.sq, k, self.metric)
+                scores, idx = self._scan_quantized(q, k)
             else:
                 from ...ops.pallas_scan import fused_available, knn_scan_fused
                 if fused_available(kp.capacity, kp.dims, k):

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from ...core.payload import IndexDef
 from ...core.type_consts import VectorMetric
 from ...ops.distance import scores_to_ranks
-from ...ops.ivf_kernels import (assign_lists, kmeans_l2, probe_centroids,
-                                scan_lists)
+from ...ops.ivf_kernels import (assign_lists, expand_probes, kmeans_l2,
+                                probe_centroids, scan_lists_batch)
 from ..base import SelectKeyResult
 from .base import FloatVectorIndexBase
 from .params import IvfSearchParams, KnnSearchParams
@@ -158,7 +158,30 @@ class IvfIndex(FloatVectorIndexBase):
         self._list_rows = rows[order].astype(np.int32)
         self._list_start = np.searchsorted(
             a[order], np.arange(nlist + 1)).astype(np.int64)
+        # device mirror (ops/ivf_kernels.expand_probes): rows pow2-padded so
+        # jit shapes stay bucketed across incremental rebuilds
+        rpad = _pow2(max(len(self._list_rows), 1))
+        rows_p = np.zeros(rpad, dtype=np.int32)
+        rows_p[: len(self._list_rows)] = self._list_rows
+        self._d_list_rows = jnp.asarray(rows_p)
+        self._d_list_start = jnp.asarray(self._list_start.astype(np.int32))
         self._csr_dirty = False
+
+    def _device_cands(self, qd, nprobe: int):
+        """Probe + inverted-list expansion fully on device; only the tiny
+        [B, nprobe] probe matrix round-trips to host (to size the static
+        candidate width)."""
+        probes = probe_centroids(qd, self.centroids, nprobe, self.metric)
+        p_np = np.asarray(probes)
+        lens = (self._list_start[p_np + 1]
+                - self._list_start[p_np])          # [B, P] host, tiny
+        totals = lens.sum(axis=1)
+        if totals.max() == 0:
+            return None, None, totals
+        cmax = _pow2(int(totals.max()))
+        cand, ok = expand_probes(probes, self._d_list_start,
+                                 self._d_list_rows, cmax)
+        return cand, ok, totals
 
     # ------------------------------------------------------------------
     def select(self, query: np.ndarray, params: KnnSearchParams,
@@ -170,26 +193,14 @@ class IvfIndex(FloatVectorIndexBase):
         nprobe = getattr(params, "nprobe", 1) or 1
         q = self.keeper.prepare_query(query)[None, :]
         qd = jnp.asarray(q)
-        probes = np.asarray(probe_centroids(qd, self.centroids, nprobe,
-                                            self.metric))[0]
-        cand_parts = [
-            self._list_rows[self._list_start[c]: self._list_start[c + 1]]
-            for c in probes]
-        cand = (np.concatenate(cand_parts) if cand_parts
-                else np.empty(0, dtype=np.int32))
-        if len(cand) == 0:
+        cand, ok, totals = self._device_cands(qd, nprobe)
+        if cand is None:
             return SelectKeyResult.empty()
-        cpad = _pow2(len(cand))
-        ok = np.zeros(cpad, dtype=np.bool_)
-        ok[: len(cand)] = True
-        cand_p = np.zeros(cpad, dtype=np.int32)
-        cand_p[: len(cand)] = cand
-
-        k = params.k if params.k is not None else len(cand)
-        kk = _pow2(min(k, cpad), 16)
-        scores, ids = scan_lists(
+        k = params.k if params.k is not None else int(totals[0])
+        kk = _pow2(min(k, cand.shape[1]), 16)
+        scores, ids = scan_lists_batch(
             qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
-            jnp.asarray(cand_p), jnp.asarray(ok), kk, self.metric)
+            cand, ok, kk, self.metric)
         scores = np.asarray(scores)[0]
         ids = np.asarray(ids)[0]
         keep = ids >= 0
@@ -203,8 +214,8 @@ class IvfIndex(FloatVectorIndexBase):
 
     def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
                      ) -> list[SelectKeyResult]:
-        """Batched IVF: one probe matmul + one candidate scan for all
-        queries (per-query padded candidate matrices)."""
+        """Batched IVF: one probe matmul + one device list expansion + one
+        chunked candidate scan for all queries."""
         self._commit()
         queries = np.asarray(queries, dtype=np.float32)
         if self.centroids is None or self.keeper.count == 0 \
@@ -214,27 +225,14 @@ class IvfIndex(FloatVectorIndexBase):
         nprobe = getattr(params, "nprobe", 1) or 1
         q = np.stack([self.keeper.prepare_query(v) for v in queries])
         qd = jnp.asarray(q)
-        probes = np.asarray(probe_centroids(qd, self.centroids, nprobe,
-                                            self.metric))
+        cand, ok, totals = self._device_cands(qd, nprobe)
         B = len(queries)
-        cand_rows = []
-        for b in range(B):
-            parts = [self._list_rows[self._list_start[c]:
-                                     self._list_start[c + 1]]
-                     for c in probes[b]]
-            cand_rows.append(np.concatenate(parts) if parts
-                             else np.empty(0, dtype=np.int32))
-        cmax = _pow2(max((len(c) for c in cand_rows), default=1))
-        cand = np.zeros((B, cmax), dtype=np.int32)
-        ok = np.zeros((B, cmax), dtype=np.bool_)
-        for b, c in enumerate(cand_rows):
-            cand[b, : len(c)] = c
-            ok[b, : len(c)] = True
-        from ...ops.ivf_kernels import scan_lists_batch
-        kk = _pow2(min(params.k, cmax), 16)
+        if cand is None:
+            return [SelectKeyResult.empty() for _ in range(B)]
+        kk = _pow2(min(params.k, cand.shape[1]), 16)
         scores, ids = scan_lists_batch(
             qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
-            jnp.asarray(cand), jnp.asarray(ok), kk, self.metric)
+            cand, ok, kk, self.metric)
         scores, ids = np.asarray(scores), np.asarray(ids)
         out = []
         for b in range(B):

@@ -8,10 +8,14 @@ knn_streaming_index_iterator.h:16; hnswalg.h BeginStreamingSearch
 neither k nor radius (nsselecter.cc:483-490); batches stream until
 offset+limit survivors pass the scalar post-filters.
 
-The TPU variant re-runs the batched beam with a widened ef per continuation
-and returns only not-yet-seen ids in rank order — the device does all the
-distance work per batch; the host only tracks the seen-set (SURVEY.md §7
-"keep the survivor-count filter on device" is the later optimization).
+The TPU variant persists the beam state DEVICE-SIDE across continuations —
+frontier queue C, visited bitset, and the scored-but-unreturned seed — so
+each `next_batch` resumes the graph traversal exactly where the previous
+one stopped (ops/hnsw_kernels.beam_search_resume). Batches are disjoint by
+construction: W refills only from freshly-visited nodes, so there is no
+host seen-set and no re-search (the round-1 re-run-with-doubled-ef design
+cost O(ef^2) rework; this is the reference's ContinueStreamingSearch
+semantics, hnswalg.h:1945).
 """
 from __future__ import annotations
 
@@ -21,6 +25,13 @@ import numpy as np
 
 MIN_EF_BATCH = 100   # reference kMinEfBatch
 MAX_EF_BATCH = 800   # reference kMaxEfBatch
+
+
+def _pow2(n: int, floor: int = 16) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
 
 
 def _clamp(v: float) -> int:
@@ -48,15 +59,50 @@ class StreamingKnnEstimator:
 
 class KnnStreamingSession:
     """Streams successive next-nearest batches from an HNSW index
-    (reference: KnnStreamingSession facade, float_vector_index.h:95-99)."""
+    (reference: KnnStreamingSession facade, float_vector_index.h:95-99;
+    Begin/ContinueStreamingSearch, hnswalg.h:1865,1945).
+
+    Device state (frontier, visited bitset) persists across batches; the
+    session snapshots the index's device arrays at construction, so
+    concurrent index mutations do not corrupt a running stream (jnp arrays
+    are immutable)."""
 
     def __init__(self, index, query: np.ndarray, initial_ef: int):
+        import jax.numpy as jnp
+        from ...ops.hnsw_kernels import beam_begin_stream, greedy_descend
+
+        index._commit()
+        index._sync_device()
         self.index = index
-        self.query = np.asarray(query, dtype=np.float32)
+        self.metric = index.metric
         self.ef = max(initial_ef, MIN_EF_BATCH)
-        self._seen: set[int] = set()
         self._exhausted = False
-        self._total_ef = self.ef
+        self._returned = 0
+        self.iters_total = 0      # device beam iterations (tests/stats)
+
+        self._pack = index._pack(for_search=True)
+        self._links = index._d_links0
+        self._deleted = index._deleted.copy()
+
+        q = index.keeper.prepare_query(np.asarray(query, dtype=np.float32))
+        qp = np.zeros((8, index.dims), dtype=np.float32)   # Q bucket
+        qp[0] = q
+        self._q = jnp.asarray(qp)
+
+        if index._entry < 0:
+            self._exhausted = True
+            self._seed = None
+            return
+        ents = np.full(8, index._entry, dtype=np.int32)
+        if index._max_level > 0 and index._d_upper is not None:
+            ents = np.asarray(greedy_descend(
+                self._q, self._pack, index._d_upper, jnp.asarray(ents),
+                self.metric))
+        seed_s, seed_i, self._c_s, self._c_ids, self._visited = \
+            beam_begin_stream(self._q, self._pack, jnp.asarray(ents)[:, None],
+                              n_rows=self._links.shape[0],
+                              fcap=_pow2(self.ef), metric=self.metric)
+        self._seed = (seed_s, seed_i)
 
     @property
     def exhausted(self) -> bool:
@@ -64,29 +110,39 @@ class KnnStreamingSession:
 
     def next_batch(self, batch_size: Optional[int] = None,
                    ) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (ids, scores higher-better) of the next ranked batch of
-        previously-unseen candidates; empty arrays when the graph is
-        exhausted."""
+        """Returns (ids, scores higher-better) of the next ranked batch —
+        one incremental beam continuation per call, disjoint from all
+        previous batches by the visited-bitset construction."""
+        import jax.numpy as jnp
+        from ...ops.hnsw_kernels import NEG_INF, beam_search_resume
+
         if self._exhausted:
             return (np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.float32))
-        if batch_size is not None:
-            self._total_ef = min(self._total_ef + _clamp(batch_size),
-                                 max(self.index.keeper.count, 1))
-        q = self.index.keeper.prepare_query(self.query)[None, :]
-        scores, ids = self.index._search_batch(q, self._total_ef)
-        scores, ids = scores[0], ids[0]
+        ef_b = _pow2(_clamp(batch_size) if batch_size is not None
+                     else self.ef)
+        if self._seed is None:
+            seed_s = jnp.full((8, 1), NEG_INF, jnp.float32)
+            seed_i = jnp.full((8, 1), -1, jnp.int32)
+        else:
+            seed_s, seed_i = self._seed
+            self._seed = None
+        w_s, w_ids, self._c_s, self._c_ids, self._visited, iters = \
+            beam_search_resume(self._q, self._pack, self._links,
+                               seed_s, seed_i, self._c_s, self._c_ids,
+                               self._visited, ef=ef_b, expand=2,
+                               max_iters=2 * ef_b, metric=self.metric)
+        self.iters_total += int(iters)
+        scores = np.asarray(w_s[0])
+        ids = np.asarray(w_ids[0])
         keep = ids >= 0
         scores, ids = scores[keep], ids[keep]
-        fresh = np.asarray([int(i) not in self._seen for i in ids],
-                           dtype=bool)
-        new_ids = ids[fresh]
-        new_scores = scores[fresh]
-        self._seen.update(int(i) for i in new_ids)
-        if len(self._seen) >= self.index.keeper.count or len(new_ids) == 0:
+        if len(ids):
+            keep = ~self._deleted[ids]
+            scores, ids = scores[keep], ids[keep]
+        frontier_dead = bool(np.asarray(self._c_s[0, 0]) == -np.inf)
+        self._returned += len(ids)
+        if (len(ids) == 0 or frontier_dead
+                or self._returned >= self.index.keeper.count):
             self._exhausted = True
-        # widen next continuation (doubling like the reference's growing
-        # ef/batch interplay)
-        self._total_ef = min(self._total_ef * 2,
-                             max(self.index.keeper.count, MIN_EF_BATCH))
-        return new_ids.astype(np.int64), new_scores.astype(np.float32)
+        return ids.astype(np.int64), scores.astype(np.float32)

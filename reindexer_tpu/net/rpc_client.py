@@ -13,6 +13,7 @@ import socket
 import threading
 from typing import Any, Iterator, Optional, Sequence, Union
 
+from ..core import cjson
 from ..core.errors import (ConflictError, NotFoundError, ParamsError,
                            QueryError, ReindexerError)
 from ..core.payload import IndexDef
@@ -26,25 +27,32 @@ _ERR_OF = {Status.QUERY_ERROR: QueryError, Status.PARAMS_ERROR: ParamsError,
            Status.NOT_FOUND: NotFoundError, Status.CONFLICT: ConflictError}
 
 
+def _page_docs(page) -> list:
+    """Result page: CJSON blob (one shared tag table) or legacy JSON list."""
+    if isinstance(page, (bytes, bytearray)):
+        return cjson.decode_docs(bytes(page))
+    return [json.loads(p) for p in page]
+
+
 class RpcTransaction:
     def __init__(self, client: "RpcReindexer", tx_id: int):
         self._c = client
         self._id = tx_id
 
     def upsert(self, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY, [self._id, 0, json.dumps(doc)])
+        self._c._call(Cmd.TX_MODIFY, [self._id, 0, cjson.encode_doc(doc)])
         return self
 
     def insert(self, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY, [self._id, 1, json.dumps(doc)])
+        self._c._call(Cmd.TX_MODIFY, [self._id, 1, cjson.encode_doc(doc)])
         return self
 
     def update(self, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY, [self._id, 2, json.dumps(doc)])
+        self._c._call(Cmd.TX_MODIFY, [self._id, 2, cjson.encode_doc(doc)])
         return self
 
     def delete(self, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY, [self._id, 3, json.dumps(doc)])
+        self._c._call(Cmd.TX_MODIFY, [self._id, 3, cjson.encode_doc(doc)])
         return self
 
     def commit(self) -> int:
@@ -121,42 +129,44 @@ class RpcReindexer:
         self._call(Cmd.DROP_INDEX, [ns, name])
 
     def upsert(self, ns: str, doc: dict) -> None:
-        self._call(Cmd.MODIFY_ITEM, [ns, 0, json.dumps(doc, default=str)])
+        self._call(Cmd.MODIFY_ITEM, [ns, 0, cjson.encode_doc(doc)])
 
     def insert(self, ns: str, doc: dict) -> None:
-        self._call(Cmd.MODIFY_ITEM, [ns, 1, json.dumps(doc, default=str)])
+        self._call(Cmd.MODIFY_ITEM, [ns, 1, cjson.encode_doc(doc)])
 
     def update(self, ns: str, doc: dict) -> None:
-        self._call(Cmd.MODIFY_ITEM, [ns, 2, json.dumps(doc, default=str)])
+        self._call(Cmd.MODIFY_ITEM, [ns, 2, cjson.encode_doc(doc)])
 
     def delete(self, ns: str, doc: dict) -> None:
-        self._call(Cmd.MODIFY_ITEM, [ns, 3, json.dumps(doc, default=str)])
+        self._call(Cmd.MODIFY_ITEM, [ns, 3, cjson.encode_doc(doc)])
 
     def select(self, q: Union[Query, str]) -> QueryResults:
         if isinstance(q, str):
-            out = self._call(Cmd.SELECT_SQL, [q, self.fetch_limit])
+            out = self._call(Cmd.SELECT_SQL, [q, self.fetch_limit, 1])
             ns = ""
         else:
             out = self._call(Cmd.SELECT_DSL,
                              [json.dumps(to_dsl(q), default=str),
-                              self.fetch_limit])
+                              self.fetch_limit, 1])
             ns = q.namespace
         req_id, total, count, page, ranks, aggs_json = out
-        items = [ResultItem(doc=json.loads(p), row_id=i, ns_name=ns,
+        docs = _page_docs(page)
+        items = [ResultItem(doc=d, row_id=i, ns_name=ns,
                             rank=(ranks[i] if ranks[i] else None))
-                 for i, p in enumerate(page)]
+                 for i, d in enumerate(docs)]
         # cursor-paged fetch of the remainder (reference: kCmdFetchResults)
         offset = len(items)
         while offset < count:
             fpage, franks = self._call(
-                Cmd.FETCH_RESULTS, [req_id, offset, self.fetch_limit])
-            for j, p in enumerate(fpage):
+                Cmd.FETCH_RESULTS, [req_id, offset, self.fetch_limit, 1])
+            fdocs = _page_docs(fpage)
+            for j, d in enumerate(fdocs):
                 items.append(ResultItem(
-                    doc=json.loads(p), row_id=offset + j, ns_name=ns,
+                    doc=d, row_id=offset + j, ns_name=ns,
                     rank=(franks[j] if franks[j] else None)))
-            if not fpage:
+            if not fdocs:
                 break
-            offset += len(fpage)
+            offset += len(fdocs)
         self._call(Cmd.CLOSE_RESULTS, [req_id])
         aggs = []
         for a in json.loads(aggs_json):

@@ -22,12 +22,30 @@ from ..core.errors import (ConflictError, NotFoundError, ParamsError,
 from ..core.payload import IndexDef
 from ..server.auth import ROLE_ORDER
 from ..query.dsl import parse_dsl
+from ..core import cjson
 from .protocol import (Cmd, HEADER_SIZE, MODIFY_MODES, Status, pack_frame,
                        unpack_header)
 from .serializer import decode_args, encode_args
 
 _STATUS_OF = {QueryError: Status.QUERY_ERROR, ParamsError: Status.PARAMS_ERROR,
               NotFoundError: Status.NOT_FOUND, ConflictError: Status.CONFLICT}
+
+
+def _load_doc(payload) -> Any:
+    """Item payload: CJSON binary (bytes) or JSON text — the wire accepts
+    both, like the reference's per-item format flag (FormatCJson/FormatJson,
+    rpcserver.cc modifyItem)."""
+    if isinstance(payload, (bytes, bytearray)):
+        return cjson.decode_doc(bytes(payload))
+    return json.loads(payload)
+
+
+def _dump_page(items, binary: bool):
+    """Result page: one shared-tag-table CJSON blob (binary clients) or a
+    JSON string list (legacy)."""
+    if binary:
+        return cjson.encode_docs([it.doc for it in items])
+    return [json.dumps(it.doc, default=str) for it in items]
 
 
 class _Conn:
@@ -237,7 +255,7 @@ class RpcServer:
             db.drop_index(args[0], args[1])
             return []
         if cmd == Cmd.MODIFY_ITEM:
-            ns, mode, doc = args[0], MODIFY_MODES[args[1]], json.loads(args[2])
+            ns, mode, doc = args[0], MODIFY_MODES[args[1]], _load_doc(args[2])
             if mode == "delete":
                 db.delete(ns, doc)
             else:
@@ -245,6 +263,7 @@ class RpcServer:
             return []
         if cmd in (Cmd.SELECT_SQL, Cmd.SELECT_DSL):
             fetch_limit = int(args[1]) if len(args) > 1 else 100
+            binary = len(args) > 2 and int(args[2]) == 1
             if cmd == Cmd.SELECT_SQL:
                 res = db.select(args[0])
             else:
@@ -253,18 +272,18 @@ class RpcServer:
             conn.cursors[req_id] = res
             total = (res.total_count if res.total_count is not None
                      else len(res))
-            page = [json.dumps(it.doc, default=str) for it in res[:fetch_limit]]
+            page = _dump_page(res[:fetch_limit], binary)
             ranks = [float(it.rank) if it.rank is not None else 0.0
                      for it in res[:fetch_limit]]
             aggs = json.dumps(res.agg_results())
             return [req_id, int(total), len(res), page, ranks, aggs]
         if cmd == Cmd.FETCH_RESULTS:
             req_id, offset, limit = int(args[0]), int(args[1]), int(args[2])
+            binary = len(args) > 3 and int(args[3]) == 1
             res = conn.cursors.get(req_id)
             if res is None:
                 raise NotFoundError(f"results cursor {req_id} not found")
-            page = [json.dumps(it.doc, default=str)
-                    for it in res[offset: offset + limit]]
+            page = _dump_page(res[offset: offset + limit], binary)
             ranks = [float(it.rank) if it.rank is not None else 0.0
                      for it in res[offset: offset + limit]]
             return [page, ranks]
@@ -280,7 +299,7 @@ class RpcServer:
             tx = conn.txs.get(int(args[0]))
             if tx is None:
                 raise NotFoundError("transaction not found")
-            mode, doc = MODIFY_MODES[args[1]], json.loads(args[2])
+            mode, doc = MODIFY_MODES[args[1]], _load_doc(args[2])
             getattr(tx, mode)(doc)
             return []
         if cmd == Cmd.COMMIT_TX:

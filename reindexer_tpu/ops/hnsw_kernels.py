@@ -92,35 +92,12 @@ def _score_ids(q: jnp.ndarray, pack: DataPack, ids: jnp.ndarray,
     return dots
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ef", "expand", "max_iters", "metric"))
-def beam_search_layer(
-    queries: jnp.ndarray,      # f32[Q, D]
-    pack: DataPack,            # fp32 rows or SQ8 codes
-    links: jnp.ndarray,        # int32[N, M]  (-1 = empty slot)
-    entry_ids: jnp.ndarray,    # int32[Q, E0] starting beam (-1 pad)
-    ef: int, expand: int, max_iters: int, metric: VectorMetric,
-):
-    """Batched best-first beam search on one graph layer.
-
-    Faithful batched form of the reference's ef-search (searchBaseLayerST,
-    hnswalg.h:967): a RESULT set W of size ef and a separate unexpanded
-    FRONTIER queue C — keeping them separate matters, because a frontier
-    node that ranks below the current top-ef results must still be
-    expandable (the classic algorithm pops candidates until the best
-    candidate is worse than the worst result). Each iteration expands the
-    `expand` best frontier nodes of every query at once.
-
-    Returns (w_scores f32[Q, ef], w_ids int32[Q, ef]) best-first; empty
-    slots are (-inf, -1).
-    """
-    Q, D = queries.shape
-    N, M = links.shape
-    n_words = (N + 31) // 32
-    K = expand * M  # gathered candidates per iteration
-    fcap = ef       # frontier capacity (candidate queue)
-
+def _beam_init(queries, pack, n_rows: int, entry_ids, ef: int, fcap: int,
+               metric: VectorMetric):
+    """Initial beam state from entry points: result set W, frontier C
+    (sorted best-first), visited bitset with entry bits set."""
+    Q = queries.shape[0]
+    n_words = (n_rows + 31) // 32
     e0 = entry_ids.shape[1]
     entry_valid = entry_ids >= 0
     safe_entry = jnp.where(entry_valid, entry_ids, 0)
@@ -146,6 +123,18 @@ def beam_search_layer(
         jnp.where(entry_valid,
                   (jnp.uint32(1) << (safe_entry & 31).astype(jnp.uint32)),
                   jnp.uint32(0)), mode="drop")
+    return w_s, w_ids, c_s, c_ids, visited
+
+
+def _beam_loop(queries, pack, links, w_s, w_ids, c_s, c_ids, visited,
+               ef: int, expand: int, max_iters: int, metric: VectorMetric):
+    """The best-first expansion loop shared by one-shot and streaming
+    searches. Returns the final full state + iteration count."""
+    Q, D = queries.shape
+    N, M = links.shape
+    K = expand * M  # gathered candidates per iteration
+    fcap = c_s.shape[1]
+    qrows = jnp.arange(Q, dtype=jnp.int32)[:, None]
 
     def cond(state):
         w_s, w_ids, c_s, c_ids, visited, it = state
@@ -210,9 +199,97 @@ def beam_search_layer(
         c_i2 = jnp.where(c_s2 > NEG_INF, c_i2, -1)
         return w_s2, w_i2, c_s2, c_i2, visited, it + 1
 
-    w_s, w_ids, c_s, c_ids, visited, _ = jax.lax.while_loop(
+    return jax.lax.while_loop(
         cond, body, (w_s, w_ids, c_s, c_ids, visited, jnp.int32(0)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "expand", "max_iters", "metric"))
+def beam_search_layer(
+    queries: jnp.ndarray,      # f32[Q, D]
+    pack: DataPack,            # fp32 rows or SQ8 codes
+    links: jnp.ndarray,        # int32[N, M]  (-1 = empty slot)
+    entry_ids: jnp.ndarray,    # int32[Q, E0] starting beam (-1 pad)
+    ef: int, expand: int, max_iters: int, metric: VectorMetric,
+):
+    """Batched best-first beam search on one graph layer.
+
+    Faithful batched form of the reference's ef-search (searchBaseLayerST,
+    hnswalg.h:967): a RESULT set W of size ef and a separate unexpanded
+    FRONTIER queue C — keeping them separate matters, because a frontier
+    node that ranks below the current top-ef results must still be
+    expandable (the classic algorithm pops candidates until the best
+    candidate is worse than the worst result). Each iteration expands the
+    `expand` best frontier nodes of every query at once.
+
+    Returns (w_scores f32[Q, ef], w_ids int32[Q, ef]) best-first; empty
+    slots are (-inf, -1).
+    """
+    w_s, w_ids, c_s, c_ids, visited = _beam_init(
+        queries, pack, links.shape[0], entry_ids, ef, ef, metric)
+    w_s, w_ids, _, _, _, _ = _beam_loop(
+        queries, pack, links, w_s, w_ids, c_s, c_ids, visited,
+        ef, expand, max_iters, metric)
     return w_s, w_ids
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "fcap", "metric"))
+def beam_begin_stream(
+    queries: jnp.ndarray,      # f32[Q, D]
+    pack: DataPack,
+    entry_ids: jnp.ndarray,    # int32[Q, E0] layer-0 entries (-1 pad)
+    n_rows: int, fcap: int, metric: VectorMetric,
+):
+    """BeginStreamingSearch analog (reference hnswalg.h:1865): score the
+    entry points and build the initial frontier + visited bitset. The
+    entry scores come back as the first batch's W seed (they are visited
+    already, so no later batch can re-emit them).
+
+    Returns (seed_s, seed_i, c_s, c_ids, visited)."""
+    e0 = entry_ids.shape[1]
+    w_s, w_ids, c_s, c_ids, visited = _beam_init(
+        queries, pack, n_rows, entry_ids, e0, fcap, metric)
+    return w_s, w_ids, c_s, c_ids, visited
+
+
+def _fit_width(s, i, width: int):
+    """Pad or best-first-truncate a (scores, ids) pair to `width` columns."""
+    if s.shape[1] < width:
+        pad = width - s.shape[1]
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+    elif s.shape[1] > width:
+        s, pos = jax.lax.top_k(s, width)
+        i = jnp.take_along_axis(i, pos, axis=1)
+    return s, i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "expand", "max_iters", "metric"))
+def beam_search_resume(
+    queries: jnp.ndarray,      # f32[Q, D]
+    pack: DataPack,
+    links: jnp.ndarray,        # int32[N, M]
+    w_seed_s: jnp.ndarray,     # f32[Q, S] scored-but-unreturned seeds
+    w_seed_i: jnp.ndarray,     # int32[Q, S] (entry points on the 1st batch)
+    c_s: jnp.ndarray,          # f32[Q, F] saved frontier (sorted best-first)
+    c_ids: jnp.ndarray,        # int32[Q, F]
+    visited: jnp.ndarray,      # uint32[Q, n_words] saved visited bitset
+    ef: int, expand: int, max_iters: int, metric: VectorMetric,
+):
+    """Continue a streaming beam search (reference ContinueStreamingSearch,
+    hnswalg.h:1945): resume from a saved frontier + visited bitset and
+    collect the next `ef` nearest not-yet-visited nodes. Because W refills
+    only from freshly-visited nodes, successive batches are disjoint by
+    construction — no host-side seen-set, no re-search.
+
+    Returns (w_s, w_ids, c_s, c_ids, visited, iters)."""
+    w_s, w_ids = _fit_width(w_seed_s, w_seed_i, ef)
+    c_s, c_ids = _fit_width(c_s, c_ids, ef)
+    return _beam_loop(queries, pack, links, w_s, w_ids, c_s, c_ids, visited,
+                      ef, expand, max_iters, metric)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "max_hops"))

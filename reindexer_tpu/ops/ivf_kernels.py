@@ -69,58 +69,92 @@ def probe_centroids(queries: jnp.ndarray, centroids: jnp.ndarray,
     return idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
+@functools.partial(jax.jit, static_argnames=("cmax",))
+def expand_probes(probes: jnp.ndarray, list_start: jnp.ndarray,
+                  list_rows: jnp.ndarray, cmax: int):
+    """Concatenate the probed inverted-list CSR ranges on DEVICE.
+
+    The reference's FAISS scan walks each probed list's ids on the CPU
+    (ivf_index.cc / faiss InvertedLists); the round-1 port did the same
+    per-query list concatenation in host Python — a multi-ms step at
+    nprobe=128 x 1M rows. Here every output slot finds its owning probe
+    via searchsorted over the per-probe cumulative lengths.
+
+    probes int32[B, P] centroid ids; list_start int32[nlist+1];
+    list_rows int32[Ptot]. Returns (cand int32[B, cmax], ok bool[B, cmax]).
+    """
+    starts = list_start[probes]                           # [B, P]
+    ends = list_start[probes + 1]
+    lens = (ends - starts).astype(jnp.int32)
+    cum = jnp.cumsum(lens, axis=1)                        # inclusive [B, P]
+    total = cum[:, -1:]
+    prev = jnp.concatenate(
+        [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=1)
+    B, P = probes.shape
+    pos = jnp.broadcast_to(jnp.arange(cmax, dtype=jnp.int32)[None, :],
+                           (B, cmax))
+    j = jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="right"))(cum, pos)
+    j = jnp.minimum(j, P - 1).astype(jnp.int32)
+    src = (jnp.take_along_axis(starts, j, axis=1).astype(jnp.int32)
+           + pos - jnp.take_along_axis(prev, j, axis=1))
+    ok = pos < total
+    src = jnp.where(ok, src, 0)
+    return list_rows[src], ok
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
 def scan_lists_batch(queries: jnp.ndarray, data: jnp.ndarray,
                      data_sq: jnp.ndarray, valid: jnp.ndarray,
                      cand: jnp.ndarray, cand_ok: jnp.ndarray,
-                     k: int, metric: VectorMetric):
+                     k: int, metric: VectorMetric, chunk: int = 65536):
     """Batched stage 2: per-query candidate row matrices.
 
     queries [B, D]; cand int32[B, C]; cand_ok bool[B, C].
-    Returns (scores [B, k], ids [B, k])."""
-    vecs = data[cand]                                  # [B, C, D]
-    dots = jnp.einsum("bd,bcd->bc", queries, vecs,
-                      preferred_element_type=jnp.float32)
-    if metric == VectorMetric.L2:
-        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-        scores = 2.0 * dots - data_sq[cand] - q_sq
-    else:
-        scores = dots
-    ok = cand_ok & valid[cand]
-    scores = jnp.where(ok, scores, NEG_INF)
-    kk = min(k, cand.shape[1])
-    top_s, top_pos = jax.lax.top_k(scores, kk)
-    safe = jnp.where(top_pos >= 0, top_pos, 0)
-    top_i = jnp.where(top_s > NEG_INF,
-                      jnp.take_along_axis(cand, safe, axis=1), -1)
-    return top_s, top_i
+    Returns (scores [B, k], ids [B, k]). Candidate axes wider than `chunk`
+    scan in chunks with a running top-k so the [B, C, D] vector gather
+    never materializes more than [B, chunk, D] at once (1M-row x 768-dim
+    configs would otherwise OOM the HBM)."""
+    B, C = cand.shape
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
 
+    def score_block(cnd, okm):
+        vecs = data[cnd]                               # [B, c, D]
+        dots = jnp.einsum("bd,bcd->bc", queries, vecs,
+                          preferred_element_type=jnp.float32)
+        if metric == VectorMetric.L2:
+            scores = 2.0 * dots - data_sq[cnd] - q_sq
+        else:
+            scores = dots
+        return jnp.where(okm & valid[cnd], scores, NEG_INF)
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
-def scan_lists(queries: jnp.ndarray, data: jnp.ndarray, data_sq: jnp.ndarray,
-               valid: jnp.ndarray, cand: jnp.ndarray, cand_ok: jnp.ndarray,
-               k: int, metric: VectorMetric):
-    """Stage 2: exact scan over gathered candidate rows.
-
-    queries [Q, D]; cand int32[C] row ids (pad -> 0 with cand_ok False);
-    returns (scores [Q, k], ids [Q, k]) higher-better, -1 padded."""
-    vecs = data[cand]                       # [C, D]
-    dots = jnp.dot(queries, vecs.T, preferred_element_type=jnp.float32)
-    if metric == VectorMetric.L2:
-        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-        scores = 2.0 * dots - data_sq[cand][None, :] - q_sq
-    else:
-        scores = dots
-    ok = cand_ok & valid[cand]
-    scores = jnp.where(ok[None, :], scores, NEG_INF)
-    kk = min(k, cand.shape[0])
-    C = cand.shape[0]
-    if C >= 1024 and kk * 64 * 2 < C:
-        from .distance import exact_topk_blocks
-        top_s, top_pos = exact_topk_blocks(scores, kk)
-        safe = jnp.where(top_pos >= 0, top_pos, 0)
-        top_i = jnp.where(top_pos >= 0, cand[safe], -1)
-    else:
+    if C <= chunk:
+        scores = score_block(cand, cand_ok)
+        kk = min(k, C)
         top_s, top_pos = jax.lax.top_k(scores, kk)
-        top_i = jnp.where(top_s > NEG_INF, cand[top_pos], -1)
-    return top_s, top_i
+        top_i = jnp.where(top_s > NEG_INF,
+                          jnp.take_along_axis(cand, top_pos, axis=1), -1)
+        return top_s, top_i
+
+    nc = C // chunk
+    cand_r = cand.reshape(B, nc, chunk).transpose(1, 0, 2)
+    ok_r = cand_ok.reshape(B, nc, chunk).transpose(1, 0, 2)
+    kk = min(k, chunk)
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        cnd, okm = xs
+        scores = score_block(cnd, okm)
+        loc_s, loc_pos = jax.lax.top_k(scores, kk)
+        loc_i = jnp.where(loc_s > NEG_INF,
+                          jnp.take_along_axis(cnd, loc_pos, axis=1), -1)
+        m_s = jnp.concatenate([best_s, loc_s], axis=1)
+        m_i = jnp.concatenate([best_i, loc_i], axis=1)
+        new_s, sel = jax.lax.top_k(m_s, kk)
+        return (new_s, jnp.take_along_axis(m_i, sel, axis=1)), None
+
+    init = (jnp.full((B, kk), NEG_INF, jnp.float32),
+            jnp.full((B, kk), -1, jnp.int32))
+    (best_s, best_i), _ = jax.lax.scan(step, init, (cand_r, ok_r))
+    return best_s, best_i
+
+

@@ -67,6 +67,64 @@ def test_streaming_offset(db, rng):
         [d["id"] for d in full.docs()][5:10]
 
 
+def test_continuation_is_incremental(db, rng):
+    """True streaming continuation (reference ContinueStreamingSearch,
+    hnswalg.h:1945): batches are disjoint, collectively match the exact
+    top-N, and a continuation resumes the traversal instead of re-running
+    it — two streamed batches cost no more device iterations than one
+    fresh double-size search (+1 batch of slack), where the round-1
+    re-search design cost ~2x."""
+    from reindexer_tpu.index.vector.streaming import KnnStreamingSession
+
+    q_vec = rng.normal(size=8).astype(np.float32)
+    ns = db.get_namespace("v")
+    index = ns.get_index("vec")
+
+    s1 = KnnStreamingSession(index, q_vec, 64)
+    ids_a, sc_a = s1.next_batch(64)
+    it_a = s1.iters_total
+    ids_b, sc_b = s1.next_batch(64)
+    it_b = s1.iters_total - it_a
+
+    # disjoint by the visited-bitset construction
+    assert not set(ids_a.tolist()) & set(ids_b.tolist())
+    # each batch ranked best-first; batch 2 strictly after batch 1
+    assert list(sc_a) == sorted(sc_a, reverse=True)
+    assert list(sc_b) == sorted(sc_b, reverse=True)
+    assert sc_a[-1] >= sc_b[0]
+    # union ~ exact top-(|a|+|b|) (small graph, beam covers it)
+    base = db._base
+    d2 = np.sum((base - q_vec) ** 2, axis=1)
+    n = len(ids_a) + len(ids_b)
+    want = set(np.argsort(d2)[:n].tolist())
+    got = set(ids_a.tolist()) | set(ids_b.tolist())
+    # at this depth the stream has consumed >half the 300-node graph —
+    # beam quality degrades at the tail, as in any bounded-frontier ANN
+    assert len(got & want) >= int(0.75 * n)
+
+    s2 = KnnStreamingSession(index, q_vec, 64)
+    s2.next_batch(128)
+    it_fresh = s2.iters_total
+    assert it_a + it_b <= it_fresh + max(it_a, it_b)
+
+
+def test_session_survives_index_mutation(db, rng):
+    """The session snapshots device arrays: concurrent upserts must not
+    corrupt a running stream (ids stay valid for the snapshot)."""
+    from reindexer_tpu.index.vector.streaming import KnnStreamingSession
+
+    q_vec = rng.normal(size=8).astype(np.float32)
+    ns = db.get_namespace("v")
+    index = ns.get_index("vec")
+    s = KnnStreamingSession(index, q_vec, 64)
+    ids_a, _ = s.next_batch(64)
+    db.upsert("v", {"id": 500, "grp": 0,
+                    "vec": rng.normal(size=8).astype(np.float32).tolist()})
+    ids_b, _ = s.next_batch(64)
+    assert not set(ids_a.tolist()) & set(ids_b.tolist())
+    assert all(0 <= i < 500 for i in ids_b.tolist())
+
+
 def test_streaming_requires_hnsw(rng):
     d = Reindexer()
     d.open_namespace("b", [
