@@ -73,6 +73,10 @@ class FtFastConfig:
     synonyms: list[Synonym] = dataclasses.field(default_factory=list)
     log_level: int = 0
     extra_word_symbols: str = "-/+_`'"   # reference kDefaultExtraWordsSymbols
+    # "fast" (default) or "mmseg_cn" (reference ftconfig.h splitter;
+    # frisosplitter.cc) — mmseg_cn segments CJK runs by dictionary
+    splitter: str = "fast"
+    splitter_dict_path: str = ""         # lexicon file (word[\tfreq] lines)
     distance_boost: float = 1.0
     distance_weight: float = 0.5
     full_match_boost: float = 1.1
@@ -121,6 +125,9 @@ class FtFastConfig:
                 tokens=[t.lower() for t in syn.get("tokens", [])],
                 alternatives=[a.lower() for a in syn.get("alternatives", [])]))
         cfg.extra_word_symbols = d.get("extra_word_symbols", cfg.extra_word_symbols)
+        cfg.splitter = str(d.get("splitter", cfg.splitter))
+        cfg.splitter_dict_path = str(
+            d.get("splitter_dict_path", cfg.splitter_dict_path))
         cfg.partial_match_decrease = int(
             d.get("partial_match_decrease", cfg.partial_match_decrease))
         cfg.min_relevancy = float(d.get("min_relevancy", cfg.min_relevancy))

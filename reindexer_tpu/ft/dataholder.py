@@ -104,7 +104,12 @@ class FtDataHolder:
         self.total_docs = len(docs)
         cap = max(rows_capacity, max_row + 1, 1)
 
-        collected = self._collect_native(docs)
+        # mmseg_cn segmentation lives in Python (ft/mmseg.py); the C++
+        # tokenizer implements the fast splitter only
+        from .mmseg import segmenter_for_config
+        self._segmenter = segmenter_for_config(self.cfg)
+        collected = None if self._segmenter is not None else \
+            self._collect_native(docs)
         if collected is None:
             collected = self._collect_python(docs)
         if collected is None:
@@ -183,7 +188,8 @@ class FtDataHolder:
             for f_idx, text in enumerate(field_texts):
                 if not text:
                     continue
-                toks = tokenize(text, extra)
+                toks = tokenize(text, extra,
+                                getattr(self, "_segmenter", None))
                 if stop:
                     toks = [t for t in toks if t not in stop]
                 if not toks:

@@ -25,6 +25,7 @@ from .dataholder import FtDataHolder
 from .dsl import FtDslQuery, FtTerm, parse_ft_dsl
 from .scorer import idf_host, score_and_merge
 from .stemmer import get_stemmer
+from .mmseg import segmenter_for_config
 from .tokenizer import tokenize
 from .variants import SynonymsMap, kblayout_variants, translit_variants
 
@@ -88,7 +89,8 @@ class FtSelector:
         patterns = [t.pattern for t in terms]
         for start, end, alts in self.synonyms.multi_matches(patterns):
             for alt in alts:
-                for tok in tokenize(alt, cfg.extra_word_symbols):
+                for tok in tokenize(alt, cfg.extra_word_symbols,
+                    segmenter_for_config(cfg)):
                     terms.append(dataclasses.replace(
                         terms[start], pattern=tok, phrase_group=-1,
                         op="or" if terms[start].op != "not" else "not"))
@@ -441,16 +443,16 @@ class FtSelector:
     # ------------------------------------------------------------------
     def _cjk_expand(self, q: FtDslQuery) -> FtDslQuery:
         from .tokenizer import _split_cjk
-        needs = any(len(_split_cjk(t.pattern,
-                                   self.cfg.extra_word_symbols)) > 1
-                    for t in q.terms)
+        seg = segmenter_for_config(self.cfg)
+        split = lambda pat: _split_cjk(pat, self.cfg.extra_word_symbols, seg)
+        needs = any(len(split(t.pattern)) > 1 for t in q.terms)
         if not needs:
             return q
         out = FtDslQuery(fields=q.fields,
                          phrase_distance=dict(q.phrase_distance))
         next_gid = max(out.phrase_distance, default=-1) + 1
         for t in q.terms:
-            parts = _split_cjk(t.pattern, self.cfg.extra_word_symbols)
+            parts = split(t.pattern)
             if len(parts) == 1:
                 if t.phrase_group >= 0:
                     # keep ordering consistent with spliced CJK positions
@@ -576,7 +578,8 @@ class FtSelector:
             for v in kblayout_variants(pat):
                 add(h.word_id(v), float(procs.kblayout))
         for alt in self.synonyms.for_term(pat):
-            for tok in tokenize(alt, cfg.extra_word_symbols):
+            for tok in tokenize(alt, cfg.extra_word_symbols,
+                    segmenter_for_config(cfg)):
                 add(h.word_id(tok), float(procs.synonyms))
         return out
 

@@ -28,38 +28,53 @@ _CJK_RE = re.compile(
     "([぀-ヿ㐀-䶿一-鿿豈-﫿])")
 
 
-def _split_cjk(tok: str, extra_symbols: str = "-/+_`'") -> list[str]:
-    """CJK-aware post-split: ideographs/kana index as single-character
-    tokens (the unigram analog of the reference's MMSeg Chinese splitter,
-    ft_fast/frisosplitter.cc — segmentation quality differs, searchability
-    matches: every character is findable and phrases use positions).
+def _split_cjk(tok: str, extra_symbols: str = "-/+_`'",
+               segmenter=None) -> list[str]:
+    """CJK-aware post-split. By default ideographs/kana index as
+    single-character tokens (the unigram analog of the reference's MMSeg
+    Chinese splitter, ft_fast/frisosplitter.cc — segmentation quality
+    differs, searchability matches: every character is findable and
+    phrases use positions). With a `segmenter` (ft/mmseg.py, ftconfig
+    'splitter': 'mmseg_cn') CJK runs segment into dictionary words.
     Non-CJK residue re-applies the word rule (trims dangling delimiters)."""
     if not _CJK_RE.search(tok):
         return [tok]
     out = []
     word_re = _word_re(extra_symbols)
+    run: list[str] = []
+
+    def flush_run():
+        if run:
+            out.extend(segmenter.segment("".join(run)) if segmenter
+                       else run)
+            run.clear()
+
     for part in _CJK_RE.split(tok):
         if not part:
             continue
         if _CJK_RE.fullmatch(part):
-            out.append(part)
+            run.append(part)
         else:
+            flush_run()
             out.extend(word_re.findall(part))
+    flush_run()
     return out
 
 
-def tokenize(text: str, extra_symbols: str = "-/+_`'") -> list[str]:
+def tokenize(text: str, extra_symbols: str = "-/+_`'",
+             segmenter=None) -> list[str]:
     """Split text into lower-cased word tokens (CJK runs split into
-    single-character tokens)."""
+    single-character tokens, or dictionary words with a segmenter)."""
     if not text:
         return []
     out: list[str] = []
     for tok in _word_re(extra_symbols).findall(text.lower()):
-        out.extend(_split_cjk(tok, extra_symbols))
+        out.extend(_split_cjk(tok, extra_symbols, segmenter))
     return out
 
 
 def tokenize_with_offsets(text: str, extra_symbols: str = "-/+_`'",
+                          segmenter=None,
                           ) -> Iterator[tuple[str, int, int]]:
     """Yield (token, char_start, char_end) — used by highlight/snippet
     (reference: areas in ft/areaholder.h)."""
@@ -67,8 +82,8 @@ def tokenize_with_offsets(text: str, extra_symbols: str = "-/+_`'",
         return
     for m in _word_re(extra_symbols).finditer(text.lower()):
         tok = m.group(0)
-        parts = _split_cjk(tok, extra_symbols)
-        if len(parts) == 1:
+        parts = _split_cjk(tok, extra_symbols, segmenter)
+        if len(parts) == 1 and parts[0] == tok:
             yield tok, m.start(), m.end()
         else:
             pos = m.start()

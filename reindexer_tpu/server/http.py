@@ -18,6 +18,7 @@ import json
 import os
 import re
 import threading
+import time
 import urllib.parse
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -97,6 +98,7 @@ class DBManager:
         self.storage_root = storage_root
         self.dbs: dict[str, Reindexer] = {}
         self.auth = None
+        self.started_at = time.time()
         self._lock = threading.Lock()
         # rediscover persisted databases (reference: dbmanager scans the
         # storage root on startup)
@@ -327,6 +329,8 @@ class _Handler(BaseHTTPRequestHandler):
                                     "version": "reindexer_tpu"})
         if p == ["metrics"] and method == "GET":
             return self._metrics()
+        if p[:2] == ["debug", "pprof"] and method == "GET":
+            return self._pprof(p[2:], qs)
         if p[:3] == ["api", "v1", "db"]:
             rest = p[3:]
             if not rest:
@@ -631,8 +635,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _metrics(self) -> None:
         """Prometheus exposition (reference:
-        server/statscollect/prometheus.cc)."""
-        lines = []
+        server/statscollect/prometheus.cc — reindexer_qps_total,
+        reindexer_avg_latency, reindexer_memstats_* families)."""
+        lines = [
+            "# TYPE reindexer_items_count gauge",
+            "# TYPE reindexer_memstats_data_size_bytes gauge",
+            "# TYPE reindexer_queries_total counter",
+            "# TYPE reindexer_avg_latency_seconds gauge",
+        ]
         for db_name in self.mgr.names():
             db = self.mgr.dbs[db_name]
             for ns_name in db.namespace_names():
@@ -640,12 +650,67 @@ class _Handler(BaseHTTPRequestHandler):
                 labels = f'{{db="{db_name}",ns="{ns_name}"}}'
                 lines.append(
                     f"reindexer_items_count{labels} {ns.item_count()}")
+                data_size = sum(int(m.get("data_size", 0))
+                                for m in (ix.memstat()
+                                          for ix in ns.indexes))
+                lines.append(
+                    f"reindexer_memstats_data_size_bytes{labels} {data_size}")
                 for op, st in ns.perf.stats().items():
+                    op_labels = (f'{{db="{db_name}",ns="{ns_name}",'
+                                 f'op="{op}"}}')
                     lines.append(
-                        f'reindexer_{op}_total{{db="{db_name}",'
-                        f'ns="{ns_name}"}} {st["total_queries_count"]}')
+                        f"reindexer_queries_total{op_labels} "
+                        f"{st['total_queries_count']}")
+                    lines.append(
+                        f"reindexer_avg_latency_seconds{op_labels} "
+                        f"{st['total_avg_latency_us'] / 1e6:.6g}")
+        lines.append("# TYPE reindexer_uptime_seconds gauge")
+        lines.append(f"reindexer_uptime_seconds "
+                     f"{time.time() - self.mgr.started_at:.1f}")
         self._send_text(200, "\n".join(lines) + "\n",
                         "text/plain; version=0.0.4")
+
+    def _pprof(self, p: list[str], qs: dict) -> None:
+        """pprof-analog debug surface (reference: optional gperftools
+        /debug/pprof routes, server/pprof/pprof.cc): `threads` dumps every
+        thread's stack (goroutine-profile analog); `profile?seconds=N`
+        samples all thread stacks at ~10ms and returns collapsed
+        flamegraph-format stacks."""
+        import sys
+        import traceback
+
+        if p == ["threads"]:
+            frames = sys._current_frames()
+            out = []
+            for t in threading.enumerate():
+                f = frames.get(t.ident)
+                out.append(f"--- thread {t.name} ({t.ident}) ---")
+                if f is not None:
+                    out.extend(s.rstrip()
+                               for s in traceback.format_stack(f))
+            return self._send_text(200, "\n".join(out) + "\n")
+        if p == ["profile"]:
+            seconds = min(float(qs.get("seconds", ["2"])[0]), 30.0)
+            me = threading.get_ident()
+            counts: dict[str, int] = {}
+            deadline = time.time() + seconds
+            while time.time() < deadline:
+                for tid, f in sys._current_frames().items():
+                    if tid == me:
+                        continue
+                    stack = []
+                    while f is not None:
+                        stack.append(f"{f.f_code.co_name} "
+                                     f"({f.f_code.co_filename.rsplit('/', 1)[-1]}"
+                                     f":{f.f_lineno})")
+                        f = f.f_back
+                    key = ";".join(reversed(stack))
+                    counts[key] = counts.get(key, 0) + 1
+                time.sleep(0.01)
+            body = "\n".join(f"{k} {v}" for k, v in
+                             sorted(counts.items(), key=lambda kv: -kv[1]))
+            return self._send_text(200, body + "\n")
+        raise NotFoundError("no pprof route")
 
 
 # tx begin lives under the namespace path in the reference route table

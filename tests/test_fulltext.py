@@ -354,6 +354,38 @@ def test_cjk_search():
     assert got_ids(db.select(Query("docs").match("ft", '"搜索中文"'))) == []
 
 
+def test_mmseg_algorithm_rules():
+    """MMSEG disambiguation (reference frisosplitter.cc): '研究生命起源'
+    must segment as 研究/生命/起源 (rule 2: largest average word length
+    beats the greedy 研究生 + ...), and unknown chars degrade to
+    unigrams."""
+    from reindexer_tpu.ft.mmseg import MmsegSplitter
+    sp = MmsegSplitter()
+    assert sp.segment("研究生命起源") == ["研究", "生命", "起源"]
+    assert sp.segment("人工智能") == ["人工智能"]
+    assert sp.segment("搜索引擎") == ["搜索引擎"]
+    # characters without dictionary coverage fall back to unigrams
+    assert sp.segment("魑魅魍魉") == ["魑", "魅", "魍", "魉"]
+
+
+def test_mmseg_search(tmp_path):
+    """splitter: mmseg_cn segments index AND query by dictionary
+    (reference ftconfig splitter field + frisosplitter.cc)."""
+    lex = tmp_path / "lex.txt"
+    lex.write_text("魑魅\t50\n", encoding="utf-8")
+    db = make_db(ft_config={"splitter": "mmseg_cn",
+                            "splitter_dict_path": str(lex)})
+    db.upsert("docs", {"id": 1, "title": "全文搜索引擎", "body": "研究生命起源"})
+    db.upsert("docs", {"id": 2, "title": "机器学习模型", "body": "魑魅魍魉"})
+    assert got_ids(db.select(Query("docs").match("ft", "生命"))) == [1]
+    assert got_ids(db.select(Query("docs").match("ft", "搜索引擎"))) == [1]
+    assert got_ids(db.select(Query("docs").match("ft", "机器学习"))) == [2]
+    # 魑魅 exists only via the loaded lexicon: index + query segment it
+    # as one word (built-in dict alone would unigram it)
+    assert got_ids(db.select(Query("docs").match("ft", "魑魅"))) == [2]
+    assert got_ids(db.select(Query("docs").match("ft", "起源"))) == [1]
+
+
 def test_merge_limit_caps_results():
     """mergeLimit caps the merged doc count (reference default 20000,
     ftconfig.h:155)."""

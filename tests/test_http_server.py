@@ -121,6 +121,22 @@ def test_metrics(server):
     with urllib.request.urlopen(url) as resp:
         text = resp.read().decode()
     assert "reindexer_items_count" in text
+    assert "reindexer_queries_total" in text
+    assert "reindexer_avg_latency_seconds" in text
+    assert "reindexer_memstats_data_size_bytes" in text
+    assert "reindexer_uptime_seconds" in text
+    assert "# TYPE reindexer_queries_total counter" in text
+
+
+def test_pprof_debug_routes(server):
+    """pprof analogs (reference: server/pprof routes): thread dump +
+    sampled collapsed stacks."""
+    base = f"http://127.0.0.1:{server.port}/debug/pprof"
+    with urllib.request.urlopen(f"{base}/threads") as resp:
+        text = resp.read().decode()
+    assert "--- thread" in text
+    with urllib.request.urlopen(f"{base}/profile?seconds=0.2") as resp:
+        resp.read()          # sampling completes without error
 
 
 def test_sql_convert(server):
