@@ -88,6 +88,7 @@ class ShardedReindexer:
         self.shards = list(shards)
         self.this_shard = this_shard
         self._locators = {c.namespace: Locator(c) for c in configs}
+        self._reshard_lock = threading.Lock()   # blocks routed writes
         self._pool = ThreadPoolExecutor(
             max_workers=max(len(shards), 1),
             thread_name_prefix="shard-exec")
@@ -111,6 +112,11 @@ class ShardedReindexer:
 
     # --- routed writes ---------------------------------------------------
     def _route_doc(self, ns: str, doc: dict) -> Reindexer:
+        # a reshard in progress would route against a swapping config
+        with self._reshard_lock:
+            return self._route_doc_locked(ns, doc)
+
+    def _route_doc_locked(self, ns: str, doc: dict) -> Reindexer:
         loc = self._locators.get(ns)
         if loc is None:
             return self.shards[self.this_shard]
@@ -232,6 +238,65 @@ class ShardedReindexer:
             if idef is not None and idef.vector_opts is not None:
                 return idef.vector_opts.metric != VectorMetric.L2
         return True
+
+    # --- runtime resharding ----------------------------------------------
+    def sharding_config(self) -> list[NamespaceShardingConfig]:
+        return [loc.cfg for loc in self._locators.values()]
+
+    def apply_sharding_config(
+            self, configs: Sequence[NamespaceShardingConfig]) -> dict:
+        """Runtime resharding (reference: the `apply_sharding_config`
+        control request, sharding.md:17-60 + shardingproxy.cc
+        handleNewShardingConfig): validate the new config, block writes,
+        migrate every row whose key now routes to a different shard
+        (upsert at the new owner, delete at the old — the reference moves
+        rows the same way via internal proxied writes), then swap the
+        locators. Returns per-namespace moved-row counts."""
+        new_locators: dict[str, Locator] = {}
+        for cfg in configs:
+            if not cfg.shards:
+                raise ParamsError(
+                    f"sharding config for '{cfg.namespace}' has no shards")
+            seen_vals: set = set()
+            for spec in cfg.shards:
+                if not (0 <= spec.shard_id < len(self.shards)):
+                    raise ParamsError(
+                        f"shard id {spec.shard_id} out of range "
+                        f"(have {len(self.shards)} shards)")
+                for v in spec.values:
+                    if v in seen_vals:
+                        raise ParamsError(
+                            f"shard key value {v!r} mapped to multiple "
+                            f"shards in '{cfg.namespace}'")
+                    seen_vals.add(v)
+            if not (0 <= cfg.default_shard < len(self.shards)):
+                raise ParamsError("default shard out of range")
+            new_locators[cfg.namespace] = Locator(cfg)
+
+        moved: dict[str, int] = {}
+        with self._reshard_lock:
+            for ns, loc in new_locators.items():
+                count = 0
+                for sid, sh in enumerate(self.shards):
+                    try:
+                        res = sh.select(Query(ns))
+                    except Exception:
+                        continue            # ns absent on this shard
+                    to_move = []
+                    for doc in res.docs():
+                        key = get_json_path(doc, loc.cfg.index)
+                        if key is None:
+                            continue
+                        target = loc.shard_of(key)
+                        if target != sid:
+                            to_move.append((target, doc))
+                    for target, doc in to_move:
+                        self.shards[target].upsert(ns, doc)
+                        sh.delete(ns, doc)
+                        count += 1
+                moved[ns] = count
+                self._locators[ns] = loc
+        return moved
 
     def delete_query(self, q: Query) -> int:
         return sum(sh.delete_query(_clone_for_shard(q))

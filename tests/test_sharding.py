@@ -107,3 +107,47 @@ def test_sql_through_proxy(cluster):
     sr, _ = cluster
     res = sr.select("SELECT * FROM items WHERE location = 'msk' ORDER BY id")
     assert len(res) == 10
+
+
+def test_runtime_resharding(cluster):
+    """apply_sharding_config control request (reference: sharding.md:17-60
+    runtime resharding): rows migrate to their new owners, routing follows
+    the new config, and selects stay correct throughout."""
+    sr, shards = cluster
+    new_cfg = NamespaceShardingConfig(
+        namespace="items", index="location",
+        shards=(
+            ShardSpec(0, values=("spb",)),          # msk and spb SWAP
+            ShardSpec(1, values=("msk",)),
+            ShardSpec(2, ranges=(ShardKeyRange("a", "l"),)),
+        ),
+        default_shard=2)
+    moved = sr.apply_sharding_config([new_cfg])
+    assert moved == {"items": 20}     # 10 msk + 10 spb rows moved
+    assert all(d["location"] == "spb"
+               for d in shards[0].select(Query("items")).docs())
+    assert all(d["location"] == "msk"
+               for d in shards[1].select(Query("items")).docs())
+    assert len(shards[1].select(Query("items"))) == 10
+    # new writes route by the new config
+    sr.upsert("items", {"id": 100, "location": "msk", "score": 1,
+                        "vec": [0.0, 0, 0, 0]})
+    assert 100 in [d["id"] for d in shards[1].select(Query("items")).docs()]
+    # pinned + distributed selects see one consistent world
+    res = sr.select(Query("items").where("location", "=", "msk"))
+    assert len(res) == 11
+    assert len(sr.select(Query("items"))) == 31
+
+
+def test_resharding_validation(cluster):
+    sr, _ = cluster
+    from reindexer_tpu.core.errors import ParamsError
+    with pytest.raises(ParamsError):
+        sr.apply_sharding_config([NamespaceShardingConfig(
+            namespace="items", index="location",
+            shards=(ShardSpec(7, values=("x",)),))])
+    with pytest.raises(ParamsError):
+        sr.apply_sharding_config([NamespaceShardingConfig(
+            namespace="items", index="location",
+            shards=(ShardSpec(0, values=("x",)),
+                    ShardSpec(1, values=("x",))))])
