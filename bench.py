@@ -105,17 +105,27 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     np.asarray(jax.tree_util.tree_leaves(run_all(*args_small))[0])
     np.asarray(jax.tree_util.tree_leaves(run_all(*args))[0])  # warm/compile
 
-    # best-of-3: the device tunnel's latency varies 2-10x run to run; the
-    # minimum reflects device capability rather than transient link load
-    dt = float("inf")
-    for _ in range(3):
+    # The device is time-sliced with other tenants (whole rounds slow
+    # uniformly ~3x when a co-tenant runs), so each timing is sampled 10x
+    # spread over ~20s and floored SEPARATELY before differencing —
+    # min(big_i - small_i) of noisy pairs biases below the true marginal
+    # cost (it once produced vs_baseline > 1), min(big) - min(small) is
+    # a difference of clean-window floors.
+    tb = ts = float("inf")
+    budget_end = time.time() + 75.0
+    r = 0
+    while True:
         t0 = time.perf_counter()
         np.asarray(jax.tree_util.tree_leaves(run_all(*args_small))[0])
-        t_small = time.perf_counter() - t0
+        ts = min(ts, time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(jax.tree_util.tree_leaves(run_all(*args))[0])
-        t_big = time.perf_counter() - t0
-        dt = min(dt, max(t_big - t_small, 1e-9) / (iters - small))
+        tb = min(tb, time.perf_counter() - t0)
+        r += 1
+        if r >= 5 and time.time() > budget_end:
+            break
+        time.sleep(3.0)
+    dt = max(tb - ts, 1e-9) / (iters - small)
 
     qps = batch / dt
     sol = roofline_latency_s(cap, dims, batch, 4, V5E_FP32_FLOPS)
@@ -183,15 +193,18 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     args = (codes_d, lo_d, alpha_d, valid_d, sq_d, sqe_d)
     np.asarray(jax.tree_util.tree_leaves(run_all(q_all[:small], *args))[0])
     np.asarray(jax.tree_util.tree_leaves(run_all(q_all, *args))[0])
-    dt = float("inf")
-    for _ in range(3):
+    # floors differenced separately (see bench_bf estimator note)
+    tb = ts = float("inf")
+    for r in range(8):
         t0 = time.perf_counter()
         np.asarray(jax.tree_util.tree_leaves(run_all(q_all[:small], *args))[0])
-        t_s = time.perf_counter() - t0
+        ts = min(ts, time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(jax.tree_util.tree_leaves(run_all(q_all, *args))[0])
-        t_b = time.perf_counter() - t0
-        dt = min(dt, max(t_b - t_s, 1e-9) / (iters - small))
+        tb = min(tb, time.perf_counter() - t0)
+        if r < 7:
+            time.sleep(2.0)
+    dt = max(tb - ts, 1e-9) / (iters - small)
     sol = roofline_latency_s(cap, dims, batch, 1, V5E_FP32_FLOPS)
     print(f"# sq8_bf qps={batch/dt:.1f} lat={dt*1e3:.3f}ms "
           f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f} fused={fused}",
@@ -278,12 +291,170 @@ def bench_ft(n_docs=50_000, smoke=False):
           f"batch_qps={1.0/bdt:.1f}", file=sys.stderr)
 
 
+def bench_deep1m(n=1_000_000, dims=96, k=10, batch=64, smoke=False):
+    """BASELINE.md config #2: Deep1M-shaped HNSW (1M x 96 IP, M=16,
+    efC=200), build time + ef sweep -> recall@10 (synthetic normal data —
+    the real Deep1M is not fetchable in this environment)."""
+    import jax
+    from reindexer_tpu.core.payload import IndexDef as _ID, FloatVectorOpts
+    from reindexer_tpu.core.type_consts import IndexType, VectorMetric
+    from reindexer_tpu.index.vector.hnsw import HnswIndex
+
+    if smoke:
+        n = 50_000
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    idx = HnswIndex(_ID("vec", IndexType.HNSW, vector_opts=FloatVectorOpts(
+        dims=dims, metric=VectorMetric.INNER_PRODUCT, m=16,
+        ef_construction=200)))
+    t0 = time.perf_counter()
+    # bulk ingest: keeper rows in one upload, graph via the normal commit
+    # pipeline (the per-row upsert() path exists for the modify pipeline)
+    idx.keeper.bulk_load(base)
+    idx._grow(n)
+    idx._pending = dict(enumerate(base))
+    idx.commit()
+    build_s = time.perf_counter() - t0
+    queries = rng.normal(size=(batch, dims)).astype(np.float32)
+    sims = queries @ base.T
+    oracle = np.argsort(-sims, axis=1)[:, :k]
+    out = {}
+    for ef in (32, 64, 128, 256):
+        idx._search_batch(queries, ef)      # warm
+        t0 = time.perf_counter()
+        scores, ids = idx._search_batch(queries, ef)
+        dt = time.perf_counter() - t0
+        hits = sum(len(set(ids[i, :k].tolist()) & set(oracle[i].tolist()))
+                   for i in range(batch))
+        out[ef] = (hits / (batch * k), batch / dt)
+        print(f"# deep1m ef={ef} recall@{k}={out[ef][0]:.3f} "
+              f"qps={out[ef][1]:.0f}", file=sys.stderr)
+    print(f"# deep1m n={n} build={build_s:.1f}s "
+          f"({build_s/n*1e3:.2f} ms/vec)", file=sys.stderr)
+    best = max(out.items(), key=lambda kv: kv[1][0])
+    return {"metric": f"hnsw_deep1m_recall10_ef{best[0]}",
+            "value": round(best[1][0], 4), "unit": "recall",
+            "vs_baseline": round(best[1][0] / 0.95, 4)}
+
+
+def bench_ivf1m(n=1_000_000, dims=768, k=100, batch=16, smoke=False):
+    """BASELINE.md config #3: IVF 1M x 768 cosine, nlist=1024,
+    nprobe sweep 8 -> 128 (recall vs exact oracle + QPS)."""
+    import jax
+    import jax.numpy as jnp
+    from reindexer_tpu.core.payload import IndexDef as _ID, FloatVectorOpts
+    from reindexer_tpu.core.type_consts import IndexType, VectorMetric
+    from reindexer_tpu.index.vector.ivf import IvfIndex
+    from reindexer_tpu.index.vector.params import IvfSearchParams
+
+    if smoke:
+        n, dims = 100_000, 128
+    rng = np.random.default_rng(12)
+    # clustered data (IVF on isotropic noise is meaninglessly hard):
+    # 1024 gaussian centers, sigma 0.35
+    n_centers = 1024
+    centers = rng.normal(size=(n_centers, dims)).astype(np.float32)
+    assign = rng.integers(0, n_centers, size=n)
+    base = (centers[assign]
+            + 0.35 * rng.normal(size=(n, dims))).astype(np.float32)
+    idx = IvfIndex(_ID("vec", IndexType.IVF, vector_opts=FloatVectorOpts(
+        dims=dims, metric=VectorMetric.COSINE, centroids_count=1024)))
+    t0 = time.perf_counter()
+    idx.keeper.bulk_load(base)
+    idx._grow(n)
+    idx._train()
+    train_s = time.perf_counter() - t0
+    print(f"# ivf1m n={n} dims={dims} train+assign={train_s:.1f}s",
+          file=sys.stderr)
+    queries = rng.normal(size=(batch, dims)).astype(np.float32)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    # exact oracle on device (host 1M x 768 matmul is minutes on 1 core)
+    from reindexer_tpu.ops.distance import knn_scan
+    osc, oid = knn_scan(jnp.asarray(qn), idx.keeper.data, idx.keeper.valid,
+                        idx.keeper.sq, k, VectorMetric.INNER_PRODUCT)
+    oracle = np.asarray(oid)
+    result = None
+    for nprobe in (8, 16, 32, 64, 128):
+        params = IvfSearchParams(k=k, nprobe=nprobe)
+        idx.select_batch(queries, params)    # warm
+        t0 = time.perf_counter()
+        outs = idx.select_batch(queries, params)
+        dt = time.perf_counter() - t0
+        hits = sum(len(set(outs[i].ids.tolist())
+                       & set(oracle[i][oracle[i] >= 0].tolist()))
+                   for i in range(batch))
+        rec = hits / (batch * k)
+        print(f"# ivf1m nprobe={nprobe} recall@{k}={rec:.3f} "
+              f"qps={batch/dt:.0f}", file=sys.stderr)
+        result = {"metric": f"ivf1m_recall{k}_nprobe{nprobe}",
+                  "value": round(rec, 4), "unit": "recall",
+                  "vs_baseline": round(rec, 4)}
+    return result
+
+
+def bench_hybrid(n=100_000, dims=128, smoke=False):
+    """BASELINE.md config #5: hybrid KNN + ft_fast RRF fusion with a scalar
+    filter (the full executor path end-to-end)."""
+    import jax
+    from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts,
+                               IndexType, Query, Reindexer, VectorMetric)
+    from reindexer_tpu.index.vector.params import BruteForceSearchParams
+
+    if smoke:
+        n = 5_000
+    rng = np.random.default_rng(13)
+    db = Reindexer()
+    db.open_namespace("h", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("grp", "hash", "int"),
+        IndexDef("ft", "text", "string", json_paths=("title",)),
+        IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+            dims=dims, metric=VectorMetric.L2)),
+    ])
+    vocab = [f"w{i}" for i in range(5000)]
+    zipf = np.minimum(rng.zipf(1.3, size=(n, 8)) - 1, len(vocab) - 1)
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    t0 = time.perf_counter()
+    tx = db.new_transaction("h")
+    for i in range(n):
+        tx.upsert({"id": i, "grp": i % 10,
+                   "title": " ".join(vocab[j] for j in zipf[i]),
+                   "vec": base[i].tolist()})
+    tx.commit()
+    build_s = time.perf_counter() - t0
+    qv = rng.normal(size=(dims,)).astype(np.float32)
+    q = (Query("h").where("grp", "<", 5)
+         .match("ft", "w3 w7")
+         .where_knn("vec", qv, BruteForceSearchParams(k=100))
+         .sort("RRF()", desc=True).limit(20))
+    db.select(q)                             # warm
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = db.select(q)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"# hybrid n={n} build={build_s:.1f}s qps={1/dt:.1f} "
+          f"results={len(res)}", file=sys.stderr)
+    return {"metric": "hybrid_rrf_filtered_qps_100k",
+            "value": round(1 / dt, 1), "unit": "qps",
+            "vs_baseline": 0.0}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
     ap.add_argument("--extras", default=os.environ.get("RX_BENCH_EXTRAS", "1"),
                     help="1 = also run hnsw/ft/sq8 side benches (stderr)")
+    ap.add_argument("--config", default="",
+                    help="baseline config run: deep1m | ivf1m | hybrid "
+                         "(BASELINE.md #2/#3/#5); default = headline BF")
     args = ap.parse_args()
+    if args.config:
+        fn = {"deep1m": bench_deep1m, "ivf1m": bench_ivf1m,
+              "hybrid": bench_hybrid}[args.config]
+        print(json.dumps(fn(smoke=args.smoke)))
+        return
     t0 = time.perf_counter()
     result = bench_bf(smoke=args.smoke)
     headline_s = time.perf_counter() - t0

@@ -67,6 +67,36 @@ def _chunk_scores(q: jnp.ndarray, base_chunk: jnp.ndarray,
     return dots
 
 
+_DN_BATCHED = (((2,), (1,)), ((0,), (0,)))   # [Q,k,W] x [Q,W,B] -> [Q,k,B]
+
+
+def onehot_take(vals3: jnp.ndarray, idx: jnp.ndarray, width: int):
+    """Block gather as an MXU one-hot matmul: vals3 f32[Q, W, B] taken at
+    idx int32[Q, kb] -> f32[Q, kb, B].
+
+    TPU's gather unit moves small block slices at ~11 GB/s (measured:
+    0.17 ms for the fused scan's 1.7 MB candidate gather); the same
+    selection as a one-hot contraction rides the MXU (full fused scan
+    0.37 -> 0.14 ms). The f32 values split into three exact bf16 limbs
+    (hi/mid/lo): reconstruction error ~1e-10 relative — epsilon-level
+    ties that top_k resolves arbitrarily anyway; every limb product is
+    exact on the MXU (one-hot entries and limbs are bf16-representable)."""
+    oh = (idx[:, :, None] ==
+          jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
+          ).astype(jnp.bfloat16)
+    hi = vals3.astype(jnp.bfloat16)
+    r1 = vals3 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(oh, hi, dimension_numbers=_DN_BATCHED,
+                              preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(oh, mid, dimension_numbers=_DN_BATCHED,
+                               preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(oh, lo, dimension_numbers=_DN_BATCHED,
+                               preferred_element_type=jnp.float32)
+    return out
+
+
 def exact_topk_blocks(scores: jnp.ndarray, k: int, block: int = 64):
     """EXACT top-k designed for the TPU memory system: a huge single
     lax.top_k over row widths ~1e5+ sorts the whole row (slow to compile AND
@@ -77,25 +107,33 @@ def exact_topk_blocks(scores: jnp.ndarray, k: int, block: int = 64):
          max is >= the k-th largest block max, so those blocks form a
          superset of the exact top-k (each block max IS an element, making
          the k largest block maxima k distinct elements >= exact kth)
-      3. gather just those blocks [Q, k, block] and run the small exact
-         top-k over k*block candidates.
+      3. gather just those blocks [Q, k, block] (one-hot MXU contraction —
+         see onehot_take) and run the small exact top-k over k*block
+         candidates.
 
     No scatters, no approximation (ties at the k-th value resolve
-    arbitrarily, same as any top-k). Returns (top_s [Q, k], top_i [Q, k]).
+    arbitrarily, same as any top-k; the one-hot gather adds ~1e-10-relative
+    limb-reconstruction noise, below any rank-relevant gap).
+    Returns (top_s [Q, k], top_i [Q, k]).
     """
     Q, C = scores.shape
     G = C // block
-    sb = scores.reshape(Q, G, block)
+    # clamp -inf masks to a finite floor: the limb split would turn
+    # (-inf) - (-inf) into NaN and 0 * -inf poisons the one-hot matmul;
+    # restored to -inf on the way out (legit scores never reach -5e29)
+    sc = jnp.maximum(scores, jnp.float32(-1e30))
+    sb = sc.reshape(Q, G, block)
     m = jnp.max(sb, axis=2)
     kb = min(k, G)
     _, blk = jax.lax.top_k(m, kb)                        # [Q, kb]
-    cand = jnp.take_along_axis(sb, blk[:, :, None], axis=1)
+    cand = onehot_take(sb, blk, G)
     cand = cand.reshape(Q, kb * block)
     base_col = (blk * block)[:, :, None] + jax.lax.broadcasted_iota(
         jnp.int32, (1, 1, block), 2)
     cand_cols = jnp.broadcast_to(base_col, (Q, kb, block)).reshape(
         Q, kb * block)
     top_s, sel = jax.lax.top_k(cand, k)
+    top_s = jnp.where(top_s > -5e29, top_s, NEG_INF)
     top_i = jnp.take_along_axis(cand_cols, sel, axis=1)
     top_i = jnp.where(top_s > NEG_INF, top_i, -1)
     return top_s, top_i

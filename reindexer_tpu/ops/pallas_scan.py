@@ -134,6 +134,8 @@ def _pad_queries(queries: jnp.ndarray) -> jnp.ndarray:
 _LOG_FB = FB.bit_length() - 1
 _LOG_BLK = BLK.bit_length() - 1
 
+from .distance import onehot_take as _onehot_take  # noqa: E402
+
 
 def _take1(a, idx):
     """take_along_axis with in-bounds promise: skips XLA's negative-index
@@ -157,14 +159,14 @@ def _select_topk(ps: jnp.ndarray, bmax: jnp.ndarray, k: int):
     G = n // BLK
     kb = min(k + MARGIN, G)
     _, coarse = jax.lax.top_k(bmax, kb)                       # [Q, kb]
-    cand = _take1(ps.reshape(Qn, G, BLK),
-                  coarse[:, :, None]).reshape(Qn, kb * BLK)
+    cand = _onehot_take(ps.reshape(Qn, G, BLK), coarse, G
+                        ).reshape(Qn, kb * BLK)
 
     nf = kb * BLK // FB
     fine = jnp.max(cand.reshape(Qn, nf, FB), axis=2)
     kf = min(k + MARGIN, nf)
     _, fids = jax.lax.top_k(fine, kf)                         # [Q, kf]
-    c4 = _take1(cand.reshape(Qn, nf, FB), fids[:, :, None])
+    c4 = _onehot_take(cand.reshape(Qn, nf, FB), fids, nf)
     top_s, sel = jax.lax.top_k(c4.reshape(Qn, kf * FB), min(k, kf * FB))
 
     fpos = jnp.bitwise_and(sel, FB - 1)
