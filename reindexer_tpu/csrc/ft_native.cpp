@@ -343,10 +343,195 @@ PyObject* verify_phrases(PyObject* /*self*/, PyObject* args) {
     return PyBytes_FromStringAndSize((const char*)out.data(), n_docs);
 }
 
+// ---------------------------------------------------------------------------
+// Host BM25 scoring + merge for small/medium gathered posting sets.
+//
+// Native equivalent of the reference's Merger::Merge / mergeTerm hot loop
+// (cpp_src/core/ft/ft_fast/merger.h + mergerimpl.h:95-124), semantically
+// identical to ft/scorer.sum_ranks_sorted (the device formulation): per
+// gathered posting compute subTermRank, group by (doc, term) taking the max
+// over variants (min over positions), then fold per doc: term-proximity
+// attenuation, must/not masks, fullMatchBoost, docRank = sum of term maxes.
+//
+// The device sorted path pays a [n_q, Gmax] bitonic sort padded to the
+// batch's LARGEST gather (query skew: median G ~1e2, max ~1e4 on zipf
+// corpora) plus dispatch RTT; a one-core merge of <=1e5 postings runs in
+// ~1 ms, so small gathers score on host and the device handles 1M-doc
+// corpora (ft/selector.py chooses by gather size).
+// ---------------------------------------------------------------------------
+
+inline float pos2rank(float p) {
+    if (p <= 10.f) return 1.0f - p / 100.f;
+    if (p <= 100.f) return 0.9f - p / 1000.f;
+    if (p <= 1000.f) return 0.8f - p / 10000.f;
+    if (p <= 10000.f) return 0.7f - p / 100000.f;
+    if (p <= 100000.f) return 0.6f - p / 1000000.f;
+    return 0.5f;
+}
+
+struct ScoreEnt {
+    int32_t doc;
+    int32_t term;
+    float sr;
+    float mp;
+};
+
+PyObject* score_merge(PyObject* /*self*/, PyObject* args) {
+    PyObject *g_idx_o, *g_term_o, *g_w_o, *g_idf_o;
+    PyObject *post_doc_o, *post_field_o, *post_tf_o, *post_minpos_o;
+    PyObject *doc_words_o, *fb_o, *bb_o, *bw_o, *pb_o, *pw_o;
+    PyObject *term_boost_o, *term_lenb_o, *must_o, *notm_o, *field_words_o;
+    double k1, b, avg_len, dist_w, dist_b, fm_boost;
+    long bm25_type, use_prox, n_fields, cap, n_terms, use_fm;
+    if (!PyArg_ParseTuple(
+            args, "OOOOOOOOOOOOOOOOOOdddlddlOlllld",
+            &g_idx_o, &g_term_o, &g_w_o, &g_idf_o, &post_doc_o, &post_field_o,
+            &post_tf_o, &post_minpos_o, &doc_words_o, &fb_o, &bb_o, &bw_o,
+            &pb_o, &pw_o, &term_boost_o, &term_lenb_o, &must_o, &notm_o,
+            &k1, &b, &avg_len, &bm25_type, &dist_w, &dist_b, &use_prox,
+            &field_words_o, &n_fields, &cap, &n_terms, &use_fm, &fm_boost)) {
+        return nullptr;
+    }
+    PhraseBuf g_idx_b, g_term_b, g_w_b, g_idf_b, post_doc_b, post_field_b,
+        post_tf_b, post_minpos_b, doc_words_b, fb_b, bb_b, bw_b, pb_b, pw_b,
+        tb_b, tl_b, must_b, notm_b, fw_b;
+    if (!g_idx_b.get(g_idx_o) || !g_term_b.get(g_term_o) ||
+        !g_w_b.get(g_w_o) || !g_idf_b.get(g_idf_o) ||
+        !post_doc_b.get(post_doc_o) || !post_field_b.get(post_field_o) ||
+        !post_tf_b.get(post_tf_o) || !post_minpos_b.get(post_minpos_o) ||
+        !doc_words_b.get(doc_words_o) || !fb_b.get(fb_o) || !bb_b.get(bb_o) ||
+        !bw_b.get(bw_o) || !pb_b.get(pb_o) || !pw_b.get(pw_o) ||
+        !tb_b.get(term_boost_o) || !tl_b.get(term_lenb_o) ||
+        !must_b.get(must_o) || !notm_b.get(notm_o)) {
+        return nullptr;
+    }
+    bool have_fw = field_words_o != Py_None;
+    if (have_fw && !fw_b.get(field_words_o)) return nullptr;
+
+    const int32_t* g_idx = (const int32_t*)g_idx_b.view.buf;
+    const int32_t* g_term = (const int32_t*)g_term_b.view.buf;
+    const float* g_w = (const float*)g_w_b.view.buf;
+    const float* g_idf = (const float*)g_idf_b.view.buf;
+    const int32_t* post_doc = (const int32_t*)post_doc_b.view.buf;
+    const int32_t* post_field = (const int32_t*)post_field_b.view.buf;
+    const float* post_tf = (const float*)post_tf_b.view.buf;
+    const int32_t* post_minpos = (const int32_t*)post_minpos_b.view.buf;
+    const float* doc_words = (const float*)doc_words_b.view.buf;
+    const float* fb = (const float*)fb_b.view.buf;
+    const float* bb = (const float*)bb_b.view.buf;
+    const float* bw = (const float*)bw_b.view.buf;
+    const float* pb = (const float*)pb_b.view.buf;
+    const float* pw = (const float*)pw_b.view.buf;
+    const float* term_boost = (const float*)tb_b.view.buf;
+    const float* term_lenb = (const float*)tl_b.view.buf;
+    const uint8_t* must = (const uint8_t*)must_b.view.buf;
+    const uint8_t* notm = (const uint8_t*)notm_b.view.buf;
+    const int32_t* field_words =
+        have_fw ? (const int32_t*)fw_b.view.buf : nullptr;
+    Py_ssize_t G = g_idx_b.view.len / 4;
+    Py_ssize_t T = must_b.view.len;
+
+    int n_must = 0;
+    for (Py_ssize_t t = 0; t < T; t++) n_must += must[t] ? 1 : 0;
+
+    std::vector<ScoreEnt> ents;
+    ents.reserve(G);
+    for (Py_ssize_t i = 0; i < G; i++) {
+        if (g_w[i] <= 0.f) continue;              // padding
+        int64_t pi = g_idx[i];
+        int32_t fld = post_field[pi];
+        float tf = post_tf[pi];
+        float wdoc = doc_words[post_doc[pi]];
+        if (wdoc < 1.f) wdoc = 1.f;
+        float bm25;
+        if (bm25_type == 2) {                     // word_count
+            bm25 = tf;
+        } else {
+            float t_freq = (bm25_type == 1) ? tf / wdoc : tf;  // classic|rx
+            bm25 = g_idf[i] * t_freq * (float)(k1 + 1.0) /
+                   (t_freq + (float)k1 *
+                                 (1.f - (float)b +
+                                  (float)b * wdoc / (float)avg_len));
+        }
+        float bm25_norm = (1.f - bw[fld]) + bm25 * bb[fld] * bw[fld];
+        float posrank =
+            (1.f - pw[fld]) + pos2rank((float)post_minpos[pi]) * pb[fld] * pw[fld];
+        float sr = fb[fld] * g_w[i] * bm25_norm * term_boost[g_term[i]] *
+                   term_lenb[g_term[i]] * posrank;
+        ents.push_back(
+            {post_doc[pi], g_term[i], sr, (float)post_minpos[pi]});
+    }
+    std::sort(ents.begin(), ents.end(), [](const ScoreEnt& a,
+                                           const ScoreEnt& b2) {
+        return a.doc != b2.doc ? a.doc < b2.doc : a.term < b2.term;
+    });
+
+    std::vector<int32_t> out_docs;
+    std::vector<float> out_scores;
+    size_t i = 0, n = ents.size();
+    while (i < n) {
+        int32_t d = ents[i].doc;
+        double docsum = 0.0;
+        bool excl = false;
+        int must_cnt = 0, pos_cnt = 0;
+        float carry = 0.f;
+        bool hasp = false;
+        while (i < n && ents[i].doc == d) {
+            int32_t t = ents[i].term;
+            float smax = ents[i].sr, pmin = ents[i].mp;
+            for (; i < n && ents[i].doc == d && ents[i].term == t; i++) {
+                if (ents[i].sr > smax) smax = ents[i].sr;
+                if (ents[i].mp < pmin) pmin = ents[i].mp;
+            }
+            bool present = smax > 0.f;
+            if (!present) continue;
+            float att = smax;
+            if (use_prox && hasp) {
+                float dist = pmin > carry ? pmin - carry : carry - pmin;
+                if (dist < 1.f) dist = 1.f;
+                att = smax * ((float)(1.0 - dist_w) +
+                              (float)(dist_b * dist_w) / dist);
+            }
+            bool is_not = notm[t] != 0;
+            if (!is_not) {
+                docsum += att;
+                pos_cnt++;
+                carry = pmin;
+                hasp = true;
+            } else {
+                excl = true;
+            }
+            if (must[t]) must_cnt++;
+        }
+        if (excl || must_cnt != n_must || docsum <= 0.0) continue;
+        if (use_fm && have_fw && pos_cnt == (int)n_terms) {
+            for (long f = 0; f < n_fields; f++) {
+                if (fb[f] > 0.f && field_words[f * cap + d] == (int)n_terms) {
+                    docsum *= fm_boost;
+                    break;
+                }
+            }
+        }
+        out_docs.push_back(d);
+        out_scores.push_back((float)docsum);
+    }
+    PyObject* docs_b2 = PyBytes_FromStringAndSize(
+        (const char*)out_docs.data(), out_docs.size() * 4);
+    PyObject* scores_b2 = PyBytes_FromStringAndSize(
+        (const char*)out_scores.data(), out_scores.size() * 4);
+    PyObject* tup = PyTuple_Pack(2, docs_b2, scores_b2);
+    Py_XDECREF(docs_b2);
+    Py_XDECREF(scores_b2);
+    return tup;
+}
+
 PyMethodDef methods[] = {
     {"build_tokens", build_tokens, METH_VARARGS,
      "build_tokens(docs, extra_symbols) -> (vocab, token_ids, doc_ids, "
      "field_ids, positions)"},
+    {"score_merge", score_merge, METH_VARARGS,
+     "score_merge(...) -> (doc_ids bytes i32, scores bytes f32) — host "
+     "BM25 merge of gathered postings (mergerimpl.h:95-124 analog)"},
     {"verify_phrases", verify_phrases, METH_VARARGS,
      "verify_phrases(post_doc, post_field, pos_start, pos_flat, docs, "
      "slot_ranges, dist) -> bytes mask"},

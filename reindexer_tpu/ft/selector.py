@@ -158,14 +158,14 @@ class FtSelector:
             "must": must, "notm": notm,
         }
 
-    def process_query(self, q: FtDslQuery,
-                      normalize: bool = True) -> FtSelectResult:
+    def process_query(self, q: FtDslQuery, normalize: bool = True,
+                      _prep: Optional[dict] = None) -> FtSelectResult:
         h = self.holder
         cfg = self.cfg
         bm25_type = cfg.bm25.bm25_type
         empty = FtSelectResult(np.empty(0, dtype=np.int64),
                                np.empty(0, dtype=np.float32), set(), h)
-        prep = self._prepare(q)
+        prep = self._prepare(q) if _prep is None else _prep
         if prep is None:
             return empty
         terms = prep["terms"]
@@ -215,7 +215,14 @@ class FtSelector:
         n_pos_terms = int((~prep["notm"]).sum())
         use_fm = cfg.full_match_boost != 1.0 and n_pos_terms > 0
         sum_fields = [f.name for f in q.fields if f.sum_rank]
-        if cfg.sum_ranks_by_fields_ratio > 0 and sum_fields:
+        host = None
+        if not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields):
+            host = self._score_host(q, prep, merge_k=merge_k,
+                                    use_prox=use_prox, use_fm=use_fm,
+                                    n_pos_terms=n_pos_terms)
+        if host is not None:
+            scores, docs = host
+        elif cfg.sum_ranks_by_fields_ratio > 0 and sum_fields:
             # field-rank summation (fulltext.md:118-128 '+'-marked fields)
             sum_mask = np.zeros(len(fb), dtype=np.bool_)
             for i, name in enumerate(h.field_names):
@@ -285,6 +292,56 @@ class FtSelector:
         return FtSelectResult(docs, ranks, matched_words, h)
 
     # ------------------------------------------------------------------
+    # Host C++ merge for small/medium gathers (csrc/ft_native.cpp
+    # score_merge — the reference's CPU Merger analog, mergerimpl.h:95-124).
+    # The device sorted path pays a batch-max-padded bitonic sort + ~30ms
+    # dispatch RTT; a 1-core merge of <=~1e5 postings runs in ~1ms. Device
+    # handles the giant gathers (1M-doc corpora).
+    HOST_SCORE_MAX = int(os.environ.get("RX_FT_HOST_MAX", str(1 << 17)))
+
+    def _score_host(self, q, prep, merge_k: int, use_prox: bool,
+                    use_fm: bool, n_pos_terms: int):
+        from .dataholder import _native_module
+        native = _native_module()
+        if native is None or not hasattr(native, "score_merge"):
+            return None
+        g_idx = prep["g_idx"]
+        if len(g_idx) > self.HOST_SCORE_MAX:
+            return None
+        h, cfg = self.holder, self.cfg
+        fb, bb, bw, pb, pw = self._field_params(q)
+        bm25_code = {"rx": 0, "classic": 1, "word_count": 2}.get(
+            cfg.bm25.bm25_type, 0)
+        fw = np.ascontiguousarray(h.field_words, dtype=np.int32)
+        docs_raw, scores_raw = native.score_merge(
+            np.ascontiguousarray(g_idx, np.int32),
+            np.ascontiguousarray(prep["g_term"], np.int32),
+            np.ascontiguousarray(prep["g_w"], np.float32),
+            np.ascontiguousarray(prep["g_idf"], np.float32),
+            h.post_doc, h.post_field, h.post_tf, h.post_minpos,
+            h.doc_words,
+            np.ascontiguousarray(fb, np.float32),
+            np.ascontiguousarray(bb, np.float32),
+            np.ascontiguousarray(bw, np.float32),
+            np.ascontiguousarray(pb, np.float32),
+            np.ascontiguousarray(pw, np.float32),
+            np.ascontiguousarray(prep["term_boost"], np.float32),
+            np.ascontiguousarray(prep["term_lenb"], np.float32),
+            np.ascontiguousarray(prep["must"], np.uint8),
+            np.ascontiguousarray(prep["notm"], np.uint8),
+            float(cfg.bm25.k1), float(cfg.bm25.b), float(h.avg_doc_len),
+            bm25_code,
+            float(cfg.distance_weight), float(cfg.distance_boost),
+            1 if use_prox else 0,
+            fw, int(fw.shape[0]), int(fw.shape[1]),
+            int(n_pos_terms), 1 if use_fm else 0,
+            float(cfg.full_match_boost))
+        docs = np.frombuffer(docs_raw, dtype=np.int32)
+        scores = np.frombuffer(scores_raw, dtype=np.float32)
+        order = np.argsort(-scores, kind="stable")[:merge_k]
+        return scores[order], docs[order]
+
+    # ------------------------------------------------------------------
     def process_batch(self, dsls: list[str]) -> list[FtSelectResult]:
         """Batched serving path: N DSL queries share ONE device program by
         occupying disjoint term-id blocks (scorer.score_and_merge_batch).
@@ -300,6 +357,19 @@ class FtSelector:
         live = [i for i, p in enumerate(preps) if p is not None]
         if not live:
             return [empty for _ in queries]
+
+        # all-small batches merge on host (C++ score_merge, ~1ms/query) —
+        # the stacked device program pads every query's sort to the batch
+        # MAX gather (zipf skew: median G ~1e2, max ~1e4), so one frequent
+        # word taxes the whole batch
+        from .dataholder import _native_module
+        native = _native_module()
+        if (native is not None and hasattr(native, "score_merge")
+                and all(len(preps[i]["g_idx"]) <= self.HOST_SCORE_MAX
+                        for i in live)):
+            return [self.process_query(q, _prep=preps[i])
+                    if preps[i] is not None else empty
+                    for i, q in enumerate(queries)]
 
         t_count = _pad_pow2(max(len(preps[i]["terms"]) for i in live), 2)
         n_q = _pad_pow2(len(queries), 2)

@@ -155,3 +155,39 @@ def test_native_phrase_parity(rng):
     for q, a, b in zip(queries, native, pure):
         assert sorted(a.ids.tolist()) == sorted(b.ids.tolist()), \
             f"phrase parity broke for {q!r}"
+
+
+def test_native_score_merge_parity(rng):
+    """C++ score_merge (the host BM25 merge) must produce the same docs AND
+    ranks as the device sorted-scan scorer across must/not/proximity/
+    fullmatch/typo-variant query shapes."""
+    import numpy as np
+    from reindexer_tpu.ft.config import FtFastConfig
+    from reindexer_tpu.ft.dataholder import FtDataHolder
+    from reindexer_tpu.ft.selector import FtSelector
+
+    words = [f"w{i}" for i in range(60)] + ["exact"]
+    docs = [(i, [" ".join(rng.choice(words, size=rng.integers(3, 14)))])
+            for i in range(400)]
+    docs.append((400, ["exact"]))          # fullMatchBoost candidate
+    cfg = FtFastConfig()
+    holder = FtDataHolder(cfg, ["text"])
+    holder.build(docs, 401)
+    if holder.native_module() is None or \
+            not hasattr(holder.native_module(), "score_merge"):
+        import pytest
+        pytest.skip("no compiler for the native module")
+    sel = FtSelector(holder, cfg)
+    queries = ["w1", "w1 w2", "w3 -w4", "+w5 +w6", "w7 w8 w9",
+               "exact", "w1*", "w10~"]
+    host = [sel.process(q) for q in queries]
+    saved = sel.HOST_SCORE_MAX
+    try:
+        FtSelector.HOST_SCORE_MAX = 0     # force the device path
+        dev = [sel.process(q) for q in queries]
+    finally:
+        FtSelector.HOST_SCORE_MAX = saved
+    for q, a, b in zip(queries, host, dev):
+        assert a.ids.tolist() == b.ids.tolist(), f"doc parity broke: {q!r}"
+        np.testing.assert_allclose(a.ranks, b.ranks, rtol=1e-4,
+                                   err_msg=f"rank parity broke: {q!r}")
