@@ -233,21 +233,21 @@ def bench_hnsw(n=20_000, dims=96, k=10, ef=64, batch=64, smoke=False):
     build_s = time.perf_counter() - t0
 
     queries = rng.normal(size=(batch, dims)).astype(np.float32)
-    scores, ids = idx._search_batch(queries, ef)   # warm
-    t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        scores, ids = idx._search_batch(queries, ef)
-    dt = (time.perf_counter() - t0) / iters
-    # recall vs oracle
     sims = queries @ base.T
     oracle = np.argsort(-sims, axis=1)[:, :k]
-    hits = sum(len(set(ids[i, :k].tolist()) & set(oracle[i].tolist()))
-               for i in range(batch))
-    recall = hits / (batch * k)
-    print(f"# hnsw n={n} dims={dims} build={build_s:.1f}s "
-          f"qps={batch/dt:.1f} recall@{k}={recall:.3f} ef={ef}",
-          file=sys.stderr)
+    for ef_i in (ef, 2 * ef, 4 * ef):
+        scores, ids = idx._search_batch(queries, ef_i)   # warm
+        t0 = time.perf_counter()
+        iters = 3
+        for _ in range(iters):
+            scores, ids = idx._search_batch(queries, ef_i)
+        dt = (time.perf_counter() - t0) / iters
+        hits = sum(len(set(ids[i, :k].tolist()) & set(oracle[i].tolist()))
+                   for i in range(batch))
+        recall = hits / (batch * k)
+        print(f"# hnsw n={n} dims={dims} build={build_s:.1f}s "
+              f"qps={batch/dt:.1f} recall@{k}={recall:.3f} ef={ef_i}",
+              file=sys.stderr)
 
 
 def bench_ft(n_docs=50_000, smoke=False):

@@ -276,7 +276,16 @@ def coerce_scalar(value: Any, ftype: FieldType) -> Any:
         return float(value)
     if ftype == FieldType.BOOL:
         return bool(value)
-    if ftype in (FieldType.STRING, FieldType.UUID):
+    if ftype == FieldType.UUID:
+        # canonical lowercase dashed form; validates like the reference's
+        # dedicated UUID index (core/keyvalue/uuid.cc ParseUuid — accepts
+        # dashed or plain 32-hex, case-insensitive; bad input is an error)
+        import uuid as _uuid
+        try:
+            return str(_uuid.UUID(str(value)))
+        except (ValueError, AttributeError, TypeError) as e:
+            raise ParamsError(f"invalid UUID value {value!r}") from e
+    if ftype == FieldType.STRING:
         return str(value)
     return value
 

@@ -430,3 +430,32 @@ def test_embedding_strategies():
         res = db.select(Query("e").where_knn("vec", "abc",
                                              KnnSearchParams(k=1)))
         assert res.docs()[0]["id"] in (1, 2)
+
+
+def test_uuid_index_semantics():
+    """UUID field type: canonical case-insensitive matching + validation
+    (reference: dedicated UUID index, core/keyvalue/uuid.cc ParseUuid)."""
+    from reindexer_tpu.core.errors import ParamsError
+
+    db = Reindexer()
+    db.open_namespace("u", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("uid", "hash", "uuid"),
+    ])
+    db.upsert("u", {"id": 1, "uid": "A1B2C3D4-0000-1111-2222-333344445555"})
+    db.upsert("u", {"id": 2,
+                    "uid": "a1b2c3d4000011112222333344445556"})  # no dashes
+    # case-insensitive + format-insensitive lookup
+    res = db.select(Query("u").where(
+        "uid", "=", "a1b2c3d4-0000-1111-2222-333344445555"))
+    assert [d["id"] for d in res.docs()] == [1]
+    res = db.select(Query("u").where(
+        "uid", "=", "A1B2C3D4-0000-1111-2222-333344445556"))
+    assert [d["id"] for d in res.docs()] == [2]
+    # the document round-trips its original spelling; the INDEX matches
+    # canonically (deviation from the reference, which rewrites the payload
+    # value to the parsed UUID)
+    doc = db.select(Query("u").where("id", "=", 2)).docs()[0]
+    assert doc["uid"] == "a1b2c3d4000011112222333344445556"
+    with pytest.raises(ParamsError):
+        db.upsert("u", {"id": 3, "uid": "not-a-uuid"})

@@ -80,3 +80,26 @@ def test_quantized_memstat(rng):
     assert st["quantized"]
     # uint8 codes = 1/4 the fp32 footprint
     assert st["quantized_size"] * 4 == st["data_size"]
+
+
+def test_requantize_on_quantile_drift(rng):
+    """NeedRequantize analog (reference: scalar_quantization/quantizer.h
+    outlier test): data drifting outside the quantile grid triggers a full
+    requantize (new lo/alpha), not just a re-encode."""
+    idx = make_index(dims=8, min_elements=10)
+    for i in range(16):
+        idx.upsert(i, rng.normal(size=8).astype(np.float32))
+    idx.select(np.zeros(8, np.float32), KnnSearchParams(k=1))
+    q = idx._quant
+    assert q.active
+    lo0, alpha0 = np.asarray(q.lo).copy(), np.asarray(q.alpha).copy()
+    # add a few far-outside-the-grid vectors (10x the data scale)
+    for i in range(16, 20):
+        idx.upsert(i, (10.0 + rng.normal(size=8)).astype(np.float32))
+    res = idx.select(np.full(8, 10.0, np.float32), KnnSearchParams(k=4))
+    # grid must have moved to cover the drifted data...
+    hi0 = lo0 + alpha0 * 255.0
+    hi1 = np.asarray(q.lo) + np.asarray(q.alpha) * 255.0
+    assert (hi1 > hi0 + 1.0).any(), (hi0, hi1)
+    # ...and the drifted vectors are the nearest to their own region
+    assert set(res.ids.tolist()) == {16, 17, 18, 19}
