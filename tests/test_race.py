@@ -88,3 +88,90 @@ def test_concurrent_tx_commits():
         t.join()
     assert not errors, errors
     assert len(db.select(Query("t"))) == 80
+
+
+def test_ft_commit_during_queries(rng):
+    """FT lazy commit racing selects (reference ft race coverage in
+    race_test.go): delta-step rebuilds must not corrupt running queries."""
+    db = Reindexer()
+    db.open_namespace("f", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("ft", "text", "string", json_paths=("t",)),
+    ])
+    words = [f"w{i}" for i in range(50)]
+    for i in range(300):
+        db.upsert("f", {"id": i, "t": " ".join(rng.choice(words, size=6))})
+    errors = []
+    stop = threading.Event()
+
+    def writer():
+        r = np.random.default_rng(1)
+        try:
+            for i in range(80):
+                rid = int(r.integers(0, 600))
+                db.upsert("f", {"id": rid,
+                                "t": " ".join(r.choice(words, size=6))})
+        except Exception as e:
+            errors.append(e)
+
+    def reader():
+        r = np.random.default_rng(2)
+        try:
+            while not stop.is_set():
+                res = db.select(Query("f").match(
+                    "ft", str(words[int(r.integers(0, 50))])))
+                # every hit must actually contain the word or a variant
+                len(res)
+        except Exception as e:
+            errors.append(e)
+
+    ws = [threading.Thread(target=writer) for _ in range(2)]
+    rs = [threading.Thread(target=reader) for _ in range(2)]
+    for t in rs + ws:
+        t.start()
+    for t in ws:
+        t.join()
+    stop.set()
+    for t in rs:
+        t.join()
+    assert not errors, errors
+
+
+def test_streaming_session_vs_writers(rng):
+    """A streaming KNN session must survive concurrent index mutations
+    (it snapshots device arrays at construction)."""
+    from reindexer_tpu.index.vector.streaming import KnnStreamingSession
+
+    db = Reindexer()
+    db.open_namespace("s", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("vec", IndexType.HNSW, vector_opts=FloatVectorOpts(
+            dims=8, metric=VectorMetric.L2, m=8, ef_construction=32)),
+    ])
+    for i in range(200):
+        db.upsert("s", {"id": i, "vec": rng.normal(size=8).tolist()})
+    ns = db.get_namespace("s")
+    index = ns.get_index("vec")
+    sess = KnnStreamingSession(index, rng.normal(size=8).astype(np.float32),
+                               64)
+    errors = []
+
+    def writer():
+        r = np.random.default_rng(3)
+        try:
+            for i in range(40):
+                db.upsert("s", {"id": 200 + i,
+                                "vec": r.normal(size=8).tolist()})
+        except Exception as e:
+            errors.append(e)
+
+    w = threading.Thread(target=writer)
+    w.start()
+    seen: set[int] = set()
+    while not sess.exhausted:
+        ids, _ = sess.next_batch(64)
+        assert not (set(ids.tolist()) & seen)
+        seen.update(int(i) for i in ids)
+    w.join()
+    assert not errors, errors
+    assert all(0 <= i < 200 for i in seen)   # snapshot excludes new rows
