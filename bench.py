@@ -57,7 +57,7 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     from reindexer_tpu.ops.pallas_scan import fused_available, knn_scan_fused
 
     if smoke:
-        n, iters = 10_000, 3
+        n, iters = 10_000, 20
 
     rng = np.random.default_rng(0)
     cap = 1 << (int(np.ceil(np.log2(n))))
@@ -156,7 +156,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
                                                knn_scan_fused_sq8)
 
     if smoke:
-        n, iters = 10_000, 3
+        n, iters = 10_000, 20
     rng = np.random.default_rng(0)
     cap = 1 << int(np.ceil(np.log2(n)))
     base = np.zeros((cap, dims), dtype=np.float32)
@@ -461,7 +461,8 @@ def main():
     if args.extras not in ("0", "false"):
         # a slow device tunnel makes per-dispatch extras unaffordable —
         # scale them down instead of risking the driver's time budget
-        slow_link = headline_s > 120
+        # (the headline itself budgets ~75s of floor sampling)
+        slow_link = headline_s > 400
         for fn in (bench_bf_quantized, bench_hnsw, bench_ft):
             try:
                 fn(smoke=args.smoke or slow_link)
