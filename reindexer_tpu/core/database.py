@@ -74,10 +74,8 @@ class Reindexer:
         self._ttl_thread: Optional[threading.Thread] = None
         self.storage = storage
         if dsn and storage is None:
-            from ..storage.engine import FileStorage
-            path = dsn[len("builtin://"):] if dsn.startswith("builtin://") else dsn
-            if path:
-                self.storage = FileStorage(path)
+            from ..storage.engine import open_storage
+            self.storage = open_storage(dsn)
         if self.storage is not None:
             self._load_from_storage()
 

@@ -1,14 +1,23 @@
 """Persistence: snapshot + write-ahead log per namespace.
 
 Semantic equivalent of the reference persistence stack
-(cpp_src/core/storage/: IDataStorage over LevelDB/RocksDB; AsyncStorage
-write-behind batching namespace/asyncstorage.cc; WAL cpp_src/wal/
-waltracker.h). Layout on disk:
+(cpp_src/core/storage/: IDataStorage with LevelDB/RocksDB backends behind
+a DSN; AsyncStorage write-behind batching namespace/asyncstorage.cc; WAL
+cpp_src/wal/waltracker.h). Two engines behind the same surface, selected
+by DSN like the reference's storage-type config
+(cpp_src/core/storage/storagefactory.cc):
 
-    <path>/<namespace>/indexes.json   — index definitions
-    <path>/<namespace>/meta.json      — user metadata
-    <path>/<namespace>/items.jsonl    — snapshot of documents (row order)
-    <path>/<namespace>/wal.jsonl      — append-only log since last snapshot
+* `FileStorage` (plain path / `builtin://`): human-readable layout
+
+      <path>/<namespace>/indexes.json   — index definitions
+      <path>/<namespace>/meta.json      — user metadata
+      <path>/<namespace>/items.jsonl    — snapshot of documents (row order)
+      <path>/<namespace>/wal.jsonl      — append-only log since snapshot
+
+* `SqliteStorage` (`sqlite://<path>`): one transactional stdlib-sqlite
+  database (blobs/items/wal tables) — the embedded-KV analog of the
+  reference's LevelDB backend (torn-tail writes are impossible here; the
+  jsonl engine tolerates them on replay instead).
 
 Writes append to the WAL through a namespace hook (the analog of the
 reference's WAL tracker feeding AsyncStorage); `flush_namespace` compacts
@@ -26,6 +35,54 @@ from typing import Optional
 
 from ..core.errors import StorageError
 from ..core.payload import IndexDef
+
+
+def open_storage(dsn: str):
+    """DSN -> engine (reference: storagefactory.cc by storage type)."""
+    if dsn.startswith("sqlite://"):
+        return SqliteStorage(dsn[len("sqlite://"):])
+    path = dsn[len("builtin://"):] if dsn.startswith("builtin://") else dsn
+    return FileStorage(path) if path else None
+
+
+def _wal_record(op: str, payload) -> dict:
+    rec = {"op": op}
+    if op in ("upsert", "delete", "put_meta", "delete_meta"):
+        rec.update(payload)
+    elif op == "add_index":
+        rec["index"] = payload
+    elif op == "drop_index":
+        rec["name"] = payload["name"]
+    return rec
+
+
+def _replay_wal(ns, records) -> int:
+    """Apply WAL records to a loaded namespace (reference: per-doc LSN
+    replay, replication.md:39-44). Returns the number of bad records."""
+    skipped = 0
+    for rec in records:
+        if rec is None:
+            skipped += 1
+            continue
+        op = rec.get("op")
+        if op == "upsert" and "doc" in rec:
+            ns.upsert(rec["doc"])
+        elif op == "delete" and "doc" in rec:
+            ns.delete(rec["doc"])
+        elif op == "add_index":
+            idef = IndexDef.from_dict(rec["index"])
+            if idef.name not in ns.payload_type:
+                ns.add_index(idef)
+        elif op == "drop_index":
+            if rec["name"] in ns.payload_type:
+                ns.drop_index(rec["name"])
+        elif op == "put_meta":
+            ns.meta[rec["key"]] = rec["value"]
+        elif op == "delete_meta":
+            ns.meta.pop(rec["key"], None)
+        elif op == "truncate":
+            ns.truncate()
+    return skipped
 
 
 class FileStorage:
@@ -72,15 +129,7 @@ class FileStorage:
                 self._wal_files[ns_name] = f
                 self._wal_counts[ns_name] = 0
             try:
-                rec = {"op": op}
-                if op in ("upsert", "delete"):
-                    rec.update(payload)
-                elif op == "add_index":
-                    rec["index"] = payload
-                elif op == "drop_index":
-                    rec["name"] = payload["name"]
-                elif op in ("put_meta", "delete_meta"):
-                    rec.update(payload)
+                rec = _wal_record(op, payload)
                 f.write(json.dumps(rec, ensure_ascii=False, default=str) + "\n")
                 f.flush()
                 self._wal_counts[ns_name] += 1
@@ -153,38 +202,21 @@ class FileStorage:
         for ix in ns.indexes:
             if isinstance(ix, FloatVectorIndexBase):
                 self.ann_cache.load(ns.name, ix, ns.item_count())
-        # replay WAL since last snapshot (reference: per-doc LSN replay,
-        # replication.md:39-44)
+        # replay WAL since last snapshot (torn tail writes — a crash
+        # mid-append — yield None records, skipped by _replay_wal)
         wal_path = os.path.join(d, "wal.jsonl")
         if os.path.isfile(wal_path):
-            with open(wal_path, encoding="utf-8") as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        rec = json.loads(line)
-                    except ValueError:
-                        skipped += 1   # torn tail write (crash mid-append)
-                        continue
-                    op = rec.get("op")
-                    if op == "upsert" and "doc" in rec:
-                        ns.upsert(rec["doc"])
-                    elif op == "delete" and "doc" in rec:
-                        ns.delete(rec["doc"])
-                    elif op == "add_index":
-                        idef = IndexDef.from_dict(rec["index"])
-                        if idef.name not in ns.payload_type:
-                            ns.add_index(idef)
-                    elif op == "drop_index":
-                        if rec["name"] in ns.payload_type:
-                            ns.drop_index(rec["name"])
-                    elif op == "put_meta":
-                        ns.meta[rec["key"]] = rec["value"]
-                    elif op == "delete_meta":
-                        ns.meta.pop(rec["key"], None)
-                    elif op == "truncate":
-                        ns.truncate()
+            def wal_iter():
+                with open(wal_path, encoding="utf-8") as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            yield json.loads(line)
+                        except ValueError:
+                            yield None
+            skipped += _replay_wal(ns, wal_iter())
 
     def drop_namespace(self, name: str) -> None:
         with self._lock:
@@ -208,3 +240,122 @@ class FileStorage:
             for f in self._wal_files.values():
                 f.close()
             self._wal_files.clear()
+
+
+class SqliteStorage:
+    """Transactional embedded-KV engine (stdlib sqlite3) behind the same
+    surface as FileStorage — the analog of the reference's LevelDB backend
+    (cpp_src/core/storage/leveldbstorage.cc behind IDataStorage)."""
+
+    WAL_COMPACT_THRESHOLD = FileStorage.WAL_COMPACT_THRESHOLD
+
+    def __init__(self, path: str):
+        import sqlite3
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._conn = sqlite3.connect(os.path.join(path, "storage.db"),
+                                     check_same_thread=False)
+        self._conn.execute("PRAGMA journal_mode=WAL")
+        self._conn.execute("PRAGMA synchronous=NORMAL")
+        self._conn.executescript("""
+            CREATE TABLE IF NOT EXISTS blobs(
+                ns TEXT, kind TEXT, data TEXT, PRIMARY KEY(ns, kind));
+            CREATE TABLE IF NOT EXISTS items(
+                ns TEXT, seq INTEGER, doc TEXT, PRIMARY KEY(ns, seq));
+            CREATE TABLE IF NOT EXISTS wal(
+                id INTEGER PRIMARY KEY AUTOINCREMENT, ns TEXT, rec TEXT);
+        """)
+        self._conn.commit()
+        self._lock = threading.Lock()
+        from .ann_cache import AnnStorageCache
+        self.ann_cache = AnnStorageCache(path)
+
+    def namespace_names(self) -> list[str]:
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT ns FROM blobs UNION SELECT ns FROM wal").fetchall()
+        return sorted({r[0] for r in rows})
+
+    def attach_namespace(self, ns) -> None:
+        ns.wal_hooks.append(
+            lambda op, payload, _n=ns.name: self._wal_append(_n, op, payload))
+
+    def _wal_append(self, ns_name: str, op: str, payload: dict) -> None:
+        try:
+            rec = json.dumps(_wal_record(op, payload), ensure_ascii=False,
+                             default=str)
+        except (TypeError, ValueError) as e:
+            raise StorageError(f"WAL serialization failed: {e}")
+        with self._lock:
+            self._conn.execute("INSERT INTO wal(ns, rec) VALUES(?, ?)",
+                               (ns_name, rec))
+            self._conn.commit()
+
+    def flush_namespace(self, ns) -> None:
+        with self._lock, ns.lock:
+            c = self._conn
+            c.execute("DELETE FROM items WHERE ns = ?", (ns.name,))
+            c.executemany(
+                "INSERT INTO items(ns, seq, doc) VALUES(?, ?, ?)",
+                ((ns.name, i, json.dumps(doc, ensure_ascii=False,
+                                         default=str))
+                 for i, doc in enumerate(ns.items) if doc is not None))
+            c.execute(
+                "INSERT OR REPLACE INTO blobs(ns, kind, data) VALUES(?,?,?)",
+                (ns.name, "indexes",
+                 json.dumps([d.to_dict() for d in ns.index_defs()])))
+            c.execute(
+                "INSERT OR REPLACE INTO blobs(ns, kind, data) VALUES(?,?,?)",
+                (ns.name, "meta",
+                 json.dumps(ns.meta, ensure_ascii=False, default=str)))
+            c.execute("DELETE FROM wal WHERE ns = ?", (ns.name,))
+            c.commit()
+            from ..index.vector.base import FloatVectorIndexBase
+            for ix in ns.indexes:
+                if isinstance(ix, FloatVectorIndexBase):
+                    self.ann_cache.write(ns.name, ix, ns.item_count())
+
+    def load_namespace(self, ns) -> None:
+        with self._lock:
+            idefs = self._conn.execute(
+                "SELECT data FROM blobs WHERE ns=? AND kind='indexes'",
+                (ns.name,)).fetchone()
+            meta = self._conn.execute(
+                "SELECT data FROM blobs WHERE ns=? AND kind='meta'",
+                (ns.name,)).fetchone()
+            docs = self._conn.execute(
+                "SELECT doc FROM items WHERE ns=? ORDER BY seq",
+                (ns.name,)).fetchall()
+            wal = self._conn.execute(
+                "SELECT rec FROM wal WHERE ns=? ORDER BY id",
+                (ns.name,)).fetchall()
+        if idefs:
+            for idef_dict in json.loads(idefs[0]):
+                ns.add_index(IndexDef.from_dict(idef_dict))
+        if meta:
+            ns.meta.update(json.loads(meta[0]))
+        for (doc,) in docs:
+            ns.upsert(json.loads(doc))
+        from ..index.vector.base import FloatVectorIndexBase
+        for ix in ns.indexes:
+            if isinstance(ix, FloatVectorIndexBase):
+                self.ann_cache.load(ns.name, ix, ns.item_count())
+        _replay_wal(ns, (json.loads(r[0]) for r in wal))
+
+    def drop_namespace(self, name: str) -> None:
+        with self._lock:
+            for table in ("blobs", "items", "wal"):
+                self._conn.execute(f"DELETE FROM {table} WHERE ns = ?",
+                                   (name,))
+            self._conn.commit()
+
+    def rename_namespace(self, src: str, dst: str) -> None:
+        with self._lock:
+            for table in ("blobs", "items", "wal"):
+                self._conn.execute(f"UPDATE {table} SET ns = ? WHERE ns = ?",
+                                   (dst, src))
+            self._conn.commit()
+
+    def close(self) -> None:
+        with self._lock:
+            self._conn.close()
