@@ -358,53 +358,68 @@ class FtSelector:
         if not live:
             return [empty for _ in queries]
 
-        # all-small batches merge on host (C++ score_merge, ~1ms/query) —
-        # the stacked device program pads every query's sort to the batch
-        # MAX gather (zipf skew: median G ~1e2, max ~1e4), so one frequent
-        # word taxes the whole batch
+        # routing: small gathers merge on host (C++ score_merge, ~1ms/query);
+        # big ones group into pow2 gather-size BUCKETS with one device
+        # program per bucket — the stacked program pads every query's sort
+        # to the bucket max, so without bucketing one frequent word (zipf
+        # skew: median G ~1e2, max ~1e6) taxes the whole batch
         from .dataholder import _native_module
         native = _native_module()
-        if (native is not None and hasattr(native, "score_merge")
-                and all(len(preps[i]["g_idx"]) <= self.HOST_SCORE_MAX
-                        for i in live)):
-            return [self.process_query(q, _prep=preps[i])
-                    if preps[i] is not None else empty
-                    for i, q in enumerate(queries)]
+        host_ok = native is not None and hasattr(native, "score_merge")
+        small, big = [], []
+        for i in live:
+            if host_ok and len(preps[i]["g_idx"]) <= self.HOST_SCORE_MAX:
+                small.append(i)
+            else:
+                big.append(i)
 
-        t_count = _pad_pow2(max(len(preps[i]["terms"]) for i in live), 2)
-        n_q = _pad_pow2(len(queries), 2)
-        fb, bb, bw, pb, pw = self._field_params(queries[live[0]])
-        dev = h.device_arrays()
+        out: list[Optional[FtSelectResult]] = [empty] * len(queries)
+        buckets: dict[int, list[int]] = {}
+        for i in big:
+            buckets.setdefault(_pad_pow2(len(preps[i]["g_idx"])),
+                               []).append(i)
+        dev = h.device_arrays() if big else None
         import jax.numpy as jnp
-        cap = dev["cap"]
-        merge_k = min(cfg.merge_limit, cap)
-        use_prox = (cfg.distance_weight > 0.0
-                    and any(len(preps[i]["terms"]) > 1 for i in live))
-        if os.environ.get("RX_TPU_FT_DENSE", "") in ("1", "true"):
-            scores, docs = self._batch_dense(
-                preps, live, n_q, t_count, cap, merge_k, fb, bb, bw, pb, pw,
-                dev, use_prox)
-        else:
-            scores, docs = self._batch_sorted(
-                preps, live, n_q, t_count, cap, merge_k, fb, bb, bw, pb, pw,
-                dev, use_prox)
-        scores = np.asarray(scores)
-        docs = np.asarray(docs)
+        fb = bb = bw = pb = pw = None
+        if big:
+            fb, bb, bw, pb, pw = self._field_params(queries[live[0]])
+        # dispatch every bucket before blocking on any result (device work
+        # pipelines behind the host merges below)
+        staged = []
+        for G, idxs in sorted(buckets.items()):
+            t_count = _pad_pow2(max(len(preps[i]["terms"]) for i in idxs), 2)
+            n_q = _pad_pow2(len(idxs), 2)
+            cap = dev["cap"]
+            merge_k = min(cfg.merge_limit, cap)
+            use_prox = (cfg.distance_weight > 0.0
+                        and any(len(preps[i]["terms"]) > 1 for i in idxs))
+            if os.environ.get("RX_TPU_FT_DENSE", "") in ("1", "true"):
+                scores, docs = self._batch_dense(
+                    preps, idxs, n_q, t_count, cap, merge_k,
+                    fb, bb, bw, pb, pw, dev, use_prox)
+            else:
+                scores, docs = self._batch_sorted(
+                    preps, idxs, n_q, t_count, cap, merge_k,
+                    fb, bb, bw, pb, pw, dev, use_prox)
+            staged.append((idxs, scores, docs))
 
-        out: list[FtSelectResult] = []
-        for i, q in enumerate(queries):
-            p = preps[i]
-            if p is None:
-                out.append(empty)
-                continue
-            s, d = scores[i], docs[i]
-            keep = d >= 0
-            s, d = s[keep], d[keep]
-            if q.phrase_distance and len(d):
-                pm = self._verify_phrases(q, p["terms"], p["variants"], d)
-                s, d = s[pm], d[pm]
-            d2, ranks = normalize_ranks(d, s, cfg.min_rank)
-            out.append(FtSelectResult(d2, ranks, p["matched_words"], h))
+        for i in small:
+            out[i] = self.process_query(queries[i], _prep=preps[i])
+
+        for idxs, scores, docs in staged:
+            scores = np.asarray(scores)
+            docs = np.asarray(docs)
+            for j, i in enumerate(idxs):
+                q, p = queries[i], preps[i]
+                s, d = scores[j], docs[j]
+                keep = d >= 0
+                s, d = s[keep], d[keep]
+                if q.phrase_distance and len(d):
+                    pm = self._verify_phrases(q, p["terms"], p["variants"],
+                                              d)
+                    s, d = s[pm], d[pm]
+                d2, ranks = normalize_ranks(d, s, cfg.min_rank)
+                out[i] = FtSelectResult(d2, ranks, p["matched_words"], h)
         return out
 
     def _batch_sorted(self, preps, live, n_q, t_count, cap, merge_k,
@@ -424,19 +439,19 @@ class FtSelector:
         must = np.zeros((n_q, t_count), np.bool_)
         notm = np.zeros((n_q, t_count), np.bool_)
         n_pos = np.full(n_q, -1, np.int32)     # -1: never full-matches
-        for i in live:
+        for j, i in enumerate(live):           # row j <-> query live[j]
             p = preps[i]
-            n_pos[i] = int((~p["notm"]).sum()) or -1
+            n_pos[j] = int((~p["notm"]).sum()) or -1
             g = len(p["g_idx"])
-            g_idx[i, :g] = p["g_idx"]
-            g_term[i, :g] = p["g_term"]
-            g_w[i, :g] = p["g_w"]
-            g_idf[i, :g] = p["g_idf"]
+            g_idx[j, :g] = p["g_idx"]
+            g_term[j, :g] = p["g_term"]
+            g_w[j, :g] = p["g_w"]
+            g_idf[j, :g] = p["g_idf"]
             nt = len(p["terms"])
-            term_boost[i, :nt] = p["term_boost"]
-            term_lenb[i, :nt] = p["term_lenb"]
-            must[i, :nt] = p["must"]
-            notm[i, :nt] = p["notm"]
+            term_boost[j, :nt] = p["term_boost"]
+            term_lenb[j, :nt] = p["term_lenb"]
+            must[j, :nt] = p["must"]
+            notm[j, :nt] = p["notm"]
         from .scorer import score_and_merge_batch_sorted
         return score_and_merge_batch_sorted(
             jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
@@ -467,10 +482,10 @@ class FtSelector:
         must = np.zeros(n_q * t_count, dtype=np.bool_)
         notm = np.zeros(n_q * t_count, dtype=np.bool_)
         n_pos = np.full(n_q, -1, dtype=np.int32)   # -1: never full-matches
-        for i in live:
+        for j, i in enumerate(live):           # row j <-> query live[j]
             p = preps[i]
-            n_pos[i] = int((~p["notm"]).sum()) or -1
-            off = i * t_count
+            n_pos[j] = int((~p["notm"]).sum()) or -1
+            off = j * t_count
             parts_idx.append(p["g_idx"])
             parts_term.append(p["g_term"] + off)
             parts_w.append(p["g_w"])

@@ -79,6 +79,12 @@ def _scatter_layer_rows(stack, li, rows, vals):
     return stack.at[li, rows].set(vals)
 
 
+@jax.jit
+def _scatter_rows_drop(table, rows, vals):
+    """Row scatter where rows == -1 means 'skip' (out-of-bounds drop)."""
+    return table.at[rows].set(vals, mode="drop")
+
+
 class HnswIndex(FloatVectorIndexBase):
     def __init__(self, definition: IndexDef):
         super().__init__(definition)
@@ -250,11 +256,14 @@ class HnswIndex(FloatVectorIndexBase):
             self._deleted[r] = False
         chunk = _CHUNK_START
         i = 0
+        plans: list[list[int]] = []
         while i < len(rows):
-            batch = rows[i: i + chunk]
-            self._insert_batch(batch)
-            i += len(batch)
+            plans.append(rows[i: i + chunk])
+            i += chunk
             chunk = min(chunk * 2, _CHUNK_MAX)
+        staged = self._dispatch_chunks(plans)
+        for batch, levels, layer_out in staged:
+            self._link_chunk(batch, levels, layer_out)
         self._pending.clear()
 
     def _pack(self, for_search: bool) -> DataPack:
@@ -276,67 +285,111 @@ class HnswIndex(FloatVectorIndexBase):
     def _sample_level(self) -> int:
         return int(-math.log(max(self._rng.random(), 1e-12)) * self._mult)
 
-    def _insert_batch(self, rows: list[int]) -> None:
+    def _dispatch_chunks(self, plans: list[list[int]]):
+        """Phase 1 of the pipelined build: sample levels for every chunk and
+        dispatch ALL candidate scans asynchronously before any host linking.
+
+        The exact-scan build never reads the link tables — each chunk's
+        candidates depend only on which rows precede it in the insertion
+        order (planned levels), which is known upfront. Dispatching every
+        chunk's device program before blocking on any result turns the
+        per-chunk tunnel round-trip (~30-200ms each) into one pipelined
+        stream (the TPU analog of the reference's concurrent inserter
+        pipelining, tx_concurrent_inserter.h:160).
+
+        Returns [(rows, levels, [(layer, connect_here, sel_device)])]."""
+        staged = []
+        if not plans:
+            return staged
         if self._entry < 0:
             # bootstrap: first point becomes the entry
-            r0 = rows[0]
+            r0 = plans[0][0]
             lvl = self._sample_level()
             self._set_level(r0, lvl)
             self._entry, self._max_level = r0, lvl
-            rows = rows[1:]
-            if not rows:
-                return
-        levels = np.asarray([self._sample_level() for _ in rows],
-                            dtype=np.int32)
-        B = len(rows)
-        vecs = self._host_vecs[rows]
-        # NOTE: no _sync_device() here — the exact-scan build never reads
-        # the device link tables; they sync lazily on the next search.
-
-        qpad = _pow2(B)
-        q = np.zeros((qpad, self.dims), dtype=np.float32)
-        q[:B] = vecs
-        qd = jnp.asarray(q)
+            plans = [plans[0][1:]] + plans[1:]
         pack = self._pack(for_search=False)
-
-        # TPU-native build: instead of walking the graph per point
-        # (reference addPoint beam, hnswalg.h:1402 — scatter-gather-heavy
-        # on TPU: each beam iteration gathers expand*M neighbor vectors per
-        # query), the efConstruction candidates come from an EXACT fused
-        # top-k scan of the current layer population on the MXU. Candidate
-        # quality is >= the reference's approximate beam; the heuristic
-        # prune and reverse linking stay reference-faithful.
+        levels_plan = self._levels.copy()
+        run_max = self._max_level
+        # device-resident build state: one int32[N] + bool[N] upload per
+        # commit, then 4KB level scatters per chunk — the kernel computes
+        # per-layer validity itself (levels >= lc & ~deleted)
+        levels_dev = jnp.asarray(levels_plan)
+        deleted_dev = jnp.asarray(self._deleted)
         efc_k = _pow2(min(self.ef_construction,
                           max(self.keeper.capacity // 2, 8)), 8)
-        row_arr = np.full(qpad, -1, dtype=np.int32)
-        row_arr[:B] = rows
-        kc = _pow2(min(B - 1, self.m0), 8) if B > 1 else 0
-        row_d = jnp.asarray(row_arr)
-
-        in_graph = (self._levels >= 0) & ~self._deleted
-        top_batch = int(levels.max())
-        for lc in range(min(top_batch, self._max_level), -1, -1):
-            connect_here = np.flatnonzero(levels >= lc) if lc > 0 else \
-                np.arange(B)
-            if len(connect_here) == 0:
+        # ONE program shape on accelerators: every chunk pads to _CHUNK_MAX
+        # so the whole build (any commit size, any chunk of the growth
+        # schedule) compiles exactly one exact_build_layer program per
+        # capacity. Remote compiles through the device tunnel cost seconds
+        # to MINUTES each; the padded rows cost microseconds of MXU time.
+        # CPU (tests) keeps tight pow2 buckets — a [1024, cap] scan per
+        # 2-row commit is real time on one host core.
+        fixed_q = jax.default_backend() != "cpu"
+        for rows in plans:
+            if not rows:
                 continue
-            valid_l = in_graph if lc == 0 else \
-                in_graph & (self._levels >= lc)
-            lvl_ok = np.zeros(qpad, dtype=np.bool_)
-            lvl_ok[:B] = levels >= lc
-            sel = exact_build_layer(
-                qd, pack, jnp.asarray(valid_l), row_d, jnp.asarray(lvl_ok),
-                k=efc_k, kc=kc, m=self.m, metric=self.metric)
-            sel = np.asarray(sel)[:B][connect_here]
-            self._connect_selected(lc, [rows[j] for j in connect_here], sel)
+            levels = np.asarray([self._sample_level() for _ in rows],
+                                dtype=np.int32)
+            B = len(rows)
+            qpad = _CHUNK_MAX if fixed_q else _pow2(B)
+            q = np.zeros((qpad, self.dims), dtype=np.float32)
+            q[:B] = self._host_vecs[rows]
+            qd = jnp.asarray(q)
 
-        # register levels / entry updates
+            # TPU-native build: instead of walking the graph per point
+            # (reference addPoint beam, hnswalg.h:1402 — scatter-gather-
+            # heavy on TPU: each beam iteration gathers expand*M neighbor
+            # vectors per query), the efConstruction candidates come from
+            # an EXACT fused top-k scan of the current layer population on
+            # the MXU. Candidate quality is >= the reference's approximate
+            # beam; the heuristic prune and reverse linking stay
+            # reference-faithful.
+            row_arr = np.full(qpad, -1, dtype=np.int32)
+            row_arr[:B] = rows
+            # fixed kc on accelerators for the same single-program reason
+            # (row_arr == -1 masks padding out of the chunk-internal KNN)
+            kc = _pow2(self.m0, 8) if fixed_q else (
+                _pow2(min(B - 1, self.m0), 8) if B > 1 else 0)
+            row_d = jnp.asarray(row_arr)
+            top_batch = int(levels.max())
+            layer_out = []
+            for lc in range(min(top_batch, run_max), -1, -1):
+                connect_here = np.flatnonzero(levels >= lc) if lc > 0 else \
+                    np.arange(B)
+                if len(connect_here) == 0:
+                    continue
+                lvl_ok = np.zeros(qpad, dtype=np.bool_)
+                lvl_ok[:B] = levels >= lc
+                sel = exact_build_layer(
+                    qd, pack, levels_dev, deleted_dev, jnp.int32(lc),
+                    row_d, jnp.asarray(lvl_ok),
+                    k=efc_k, kc=kc, m=self.m, metric=self.metric)
+                layer_out.append((lc, connect_here, sel))
+            staged.append((rows, levels, layer_out))
+            # mark this chunk in-graph for the next chunk's scan
+            lv = np.full(qpad, -1, dtype=np.int32)
+            lv[:B] = levels
+            levels_dev = _scatter_rows_drop(levels_dev, row_d,
+                                            jnp.asarray(lv))
+            levels_plan[rows] = levels
+            run_max = max(run_max, top_batch)
+        return staged
+
+    def _link_chunk(self, rows: list[int], levels: np.ndarray,
+                    layer_out) -> None:
+        """Phase 2: host linking of one chunk from its device-selected
+        neighbors (blocks on the chunk's scan results)."""
+        B = len(rows)
+        for lc, connect_here, sel in layer_out:
+            sel_np = np.asarray(sel)[:B][connect_here]
+            self._connect_selected(lc, [rows[j] for j in connect_here],
+                                   sel_np)
         for j, r in enumerate(rows):
             self._set_level(r, int(levels[j]))
         top = int(levels.max()) if B else -1
         if top > self._max_level:
-            j = int(np.argmax(levels))
-            self._entry = rows[j]
+            self._entry = rows[int(np.argmax(levels))]
             self._max_level = top
 
     def _set_level(self, row: int, lvl: int) -> None:

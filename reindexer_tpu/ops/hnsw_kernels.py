@@ -434,7 +434,10 @@ def heuristic_select(
 def exact_build_layer(
     queries: jnp.ndarray,      # f32[Q, D] new points (zero rows = pad)
     pack: DataPack,            # fp32 vector storage
-    valid_l: jnp.ndarray,      # bool[N] in-graph AND level >= this layer
+    levels_d: jnp.ndarray,     # int32[N] per-row level (-1 = not in graph)
+    deleted_d: jnp.ndarray,    # bool[N]
+    lc: jnp.ndarray,           # int32 scalar: layer being connected (traced
+                               # — one compiled program serves every layer)
     row_arr: jnp.ndarray,      # int32[Q] row id per chunk member (-1 pad)
     q_lvl_ok: jnp.ndarray,     # bool[Q] member eligible at this layer
     k: int, kc: int, m: int, metric: VectorMetric,
@@ -456,6 +459,10 @@ def exact_build_layer(
 
     qf = queries.astype(jnp.float32)
     Q = qf.shape[0]
+    # validity computed on device from the resident levels array — callers
+    # scatter 4KB of level updates per chunk instead of uploading a bool[N]
+    # mask per (chunk, layer) dispatch (256KB each at 1M-row capacity)
+    valid_l = (levels_d >= lc) & ~deleted_d
     bs, bi = knn_scan(qf, pack.data, valid_l, pack.data_sq, k, metric)
 
     if kc > 0:
