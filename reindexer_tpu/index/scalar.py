@@ -196,6 +196,39 @@ class TreeIndex(HashIndex):
         return super().supports(condition) or condition in (
             CondType.LT, CondType.LE, CondType.GT, CondType.GE, CondType.RANGE)
 
+    def estimate_matches(self, condition: CondType, values: Any):
+        """Value-distribution selectivity for range conditions: distinct
+        keys in the range (bisect over the sorted key list) x average
+        posting size. The analog of the reference planner's ordered-index
+        cost estimate (querypreprocessor.cc GetSelectKeyResult cost via
+        index distribution), O(log keys) per query entry."""
+        if condition in (CondType.EQ, CondType.SET, CondType.ANY,
+                         CondType.ALLSET):
+            return super().estimate_matches(condition, values)
+        try:
+            nkeys = len(self._sorted_keys)
+            if nkeys == 0:
+                return 0
+            avg = max(1.0, len(self._rows_with_value) / nkeys)
+            keys = self._keys_of(values)
+            if condition == CondType.LT:
+                span = bisect.bisect_left(self._sorted_keys, keys[0])
+            elif condition == CondType.LE:
+                span = bisect.bisect_right(self._sorted_keys, keys[0])
+            elif condition == CondType.GT:
+                span = nkeys - bisect.bisect_right(self._sorted_keys, keys[0])
+            elif condition == CondType.GE:
+                span = nkeys - bisect.bisect_left(self._sorted_keys, keys[0])
+            elif condition == CondType.RANGE:
+                lo, hi = sorted(keys[:2])
+                span = (bisect.bisect_right(self._sorted_keys, hi)
+                        - bisect.bisect_left(self._sorted_keys, lo))
+            else:
+                return None
+            return int(span * avg)
+        except Exception:
+            return None
+
     def _range_ids(self, lo_pos: int, hi_pos: int) -> SelectKeyResult:
         keys = self._sorted_keys[lo_pos:hi_pos]
         if not keys:

@@ -186,3 +186,39 @@ def test_selectivity_orders_indexed_conditions():
     assert order.index("narrow") < order.index("wide"), order
     assert {it.doc["id"] for it in res} == {
         i for i in range(400) if i % 2 == 0 and i % 100 == 7}
+
+
+def test_range_selectivity_orders_tree_conditions():
+    """Tree (ordered) indexes estimate range selectivity from the key
+    distribution: a narrow range runs before a wide one (reference:
+    ordered-index cost via distribution stats, querypreprocessor.cc)."""
+    db = Reindexer()
+    db.open_namespace("r", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("a", "tree", "int"),
+        IndexDef("b", "tree", "int"),
+    ])
+    for i in range(500):
+        db.upsert("r", {"id": i, "a": i, "b": i})
+    # a < 490 matches ~490 rows; b < 10 matches 10 — b must run first
+    q = (Query("r").where("a", "LT", 490).where("b", "LT", 10).explain())
+    res = db.select(q)
+    order = [s["field"] for s in res.explain["selectors"]]
+    assert order.index("b") < order.index("a"), order
+    assert {it.doc["id"] for it in res} == set(range(10))
+
+
+def test_range_estimate_values():
+    from reindexer_tpu.core.type_consts import CondType
+    db = Reindexer()
+    db.open_namespace("e", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("t", "tree", "int"),
+    ])
+    for i in range(100):
+        db.upsert("e", {"id": i, "t": i})
+    idx = db._namespaces["e"].get_index("t")
+    assert idx.estimate_matches(CondType.LT, (25,)) == 25
+    assert idx.estimate_matches(CondType.GE, (90,)) == 10
+    assert idx.estimate_matches(CondType.RANGE, (10, 19)) == 10
+    assert idx.estimate_matches(CondType.EQ, (5,)) == 1
