@@ -1107,6 +1107,10 @@ class Selecter:
 
     @staticmethod
     def _project(doc: dict, select_filter: tuple[str, ...]) -> dict:
+        # "vectors()" is an include-vectors directive (float_vector.md:
+        # 389-421), not a projection field — alone it means "all fields
+        # plus vectors"
+        select_filter = tuple(f for f in select_filter if f != "vectors()")
         if not select_filter or "*" in select_filter:
             return doc
         out: dict = {}

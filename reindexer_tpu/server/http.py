@@ -4,9 +4,10 @@ Semantic equivalent of the reference HTTP server
 (cpp_src/server/httpserver.cc:1098-1164 route table; OpenAPI spec
 server/contrib/server.yml): multi-database root (dbmanager analog,
 server/dbmanager.cc), namespaces/items/indexes/meta CRUD, SQL + JSON-DSL
-queries, transactions, health check, Prometheus metrics. JSON-only wire
-format (the reference's msgpack/protobuf negotiation is out of scope for the
-serving edge v1).
+queries, transactions, health check, Prometheus metrics. Response formats:
+JSON (default), msgpack, csv-file, and protobuf (?format=..., with
+GET /api/v1/db/:db/protobuf_schema serving the proto3 schema — reference:
+httpserver.cc:936,1116 + core/cjson/protobufbuilder.cc).
 
 Built on the stdlib ThreadingHTTPServer — the accept loop replaces the
 reference's bespoke ev reactor + coroutines (net/ev/ev.cc, P6 in SURVEY.md
@@ -209,6 +210,12 @@ class _Handler(BaseHTTPRequestHandler):
                 and isinstance(payload.get("items"), list):
             body = _to_csv(payload["items"]).encode("utf-8")
             ctype = "text/csv; charset=utf-8"
+        elif self._fmt == "protobuf" and isinstance(payload, dict) \
+                and isinstance(payload.get("items"), list) \
+                and getattr(self, "_pb_ns", None) is not None:
+            from ..core.protobuf import encode_query_results
+            body = encode_query_results(self._pb_ns, payload)
+            ctype = "application/protobuf"
         else:
             body = json.dumps(payload, ensure_ascii=False,
                               default=str).encode("utf-8")
@@ -226,6 +233,17 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+
+    def _send_qres(self, db, res) -> None:
+        """Send query results honoring format=protobuf (needs the result
+        namespace's schema for the item messages)."""
+        if self._fmt == "protobuf":
+            try:
+                self._pb_ns = db.get_namespace(res.ns_name)
+            except Exception:
+                self._pb_ns = None
+        self._send(200, _items_payload(res))
 
     def _err(self, code: int, msg: str) -> None:
         self._send(code, {"success": False, "response_code": code,
@@ -370,10 +388,10 @@ class _Handler(BaseHTTPRequestHandler):
         if head == "query":
             if method == "GET":
                 sql = qs.get("q", [""])[0]
-                return self._send(200, _items_payload(db.select(sql)))
+                return self._send_qres(db, db.select(sql))
             if method == "POST":
                 q = parse_dsl(self._body() or {})
-                return self._send(200, _items_payload(db.select(q)))
+                return self._send_qres(db, db.select(q))
             if method == "PUT":
                 q = parse_dsl(self._body() or {})
                 return self._send(200, _items_payload(db.update_query(q)))
@@ -385,10 +403,17 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0) or 0)
             sql = self.rfile.read(length).decode("utf-8")
             self._require(_sql_need(sql), db_name)
-            return self._send(200, _items_payload(db.select(sql)))
+            return self._send_qres(db, db.select(sql))
         if head == "dslquery" and method == "POST":
             q = parse_dsl(self._body() or {})
-            return self._send(200, _items_payload(db.select(q)))
+            return self._send_qres(db, db.select(q))
+        if head == "protobuf_schema" and method == "GET":
+            # reference: httpserver.cc:936 GetProtobufSchema (?ns=&ns[]=)
+            from ..core.protobuf import schema_text
+            nses = qs.get("ns", []) + qs.get("ns[]", [])
+            if not nses:
+                nses = db.namespace_names()
+            return self._send_text(200, schema_text(db, nses))
         if head == "namespaces":
             return self._ns_routes(db, method, rest[1:], qs)
         if head == "transactions":
@@ -517,7 +542,7 @@ class _Handler(BaseHTTPRequestHandler):
             q.limit(int(qs.get("limit", [1000])[0]))
             q.offset(int(qs.get("offset", [0])[0]))
             q.req_total_count()
-            return self._send(200, _items_payload(db.select(q)))
+            return self._send_qres(db, db.select(q))
         body = self._body()
         docs = body if isinstance(body, list) else [body]
         n = 0
