@@ -16,6 +16,9 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--http-port", type=int, default=9088)
     ap.add_argument("--rpc-port", type=int, default=6534)
+    ap.add_argument("--grpc-port", type=int, default=0,
+                    help="enable the gRPC plane on this port (0 = off; "
+                         "reference: optional ENABLE_GRPC service)")
     ap.add_argument("--storage", default="",
                     help="storage root (empty = in-memory databases)")
     ap.add_argument("--user", action="append", default=[],
@@ -37,10 +40,18 @@ def main(argv=None) -> int:
                             storage_root=args.storage, auth=auth)
     rpcd = RpcServer(mgr=httpd.mgr, host=args.host, port=args.rpc_port,
                      auth=auth)
+    grpcd = None
+    if args.grpc_port:
+        from .grpc_service import GrpcReindexerServer
+        grpcd = GrpcReindexerServer(mgr=httpd.mgr, host=args.host,
+                                    port=args.grpc_port)
     httpd.start()
     rpcd.start()
+    if grpcd is not None:
+        grpcd.start()
     print(f"reindexer_tpu server: http://{args.host}:{httpd.port} "
-          f"rpc {args.host}:{rpcd.port} storage={args.storage or '(memory)'}",
+          f"rpc {args.host}:{rpcd.port} "
+          f"grpc={grpcd.port if grpcd else 0} storage={args.storage or '(memory)'}",
           flush=True)
 
     stop = []
@@ -51,6 +62,8 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        if grpcd is not None:
+            grpcd.stop()
         rpcd.stop()
         httpd.stop()
     return 0
