@@ -305,6 +305,7 @@ class _Handler(BaseHTTPRequestHandler):
         if fmt is None and "msgpack" in (self.headers.get("Accept") or ""):
             fmt = "msgpack"
         self._fmt = fmt or "json"
+        self._pb_ns = None     # per-request (keep-alive reuses the handler)
         try:
             err = self._check_auth(method, parts, qs)
             if err == "unauthorized":
