@@ -343,6 +343,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     # --- routing table (reference: httpserver.cc:1098-1164) -------------
     def _dispatch(self, method: str, p: list[str], qs: dict) -> None:
+        if method == "GET" and (not p or p[0] in ("face", "facestaging")):
+            # bundled admin UI (reference: DocHandler /face routes,
+            # httpserver.cc:1060,1101-1104)
+            if not p:
+                self.send_response(302)
+                self.send_header("Location", "/face/")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            from .face import FACE_HTML
+            return self._send_text(200, FACE_HTML,
+                                   "text/html; charset=utf-8")
         if p[:3] == ["api", "v1", "check"] and method == "GET":
             return self._send(200, {"status": "OK",
                                     "version": "reindexer_tpu"})

@@ -442,3 +442,15 @@ def test_csv_export(server):
     assert lines[0].split(",")[:2] == ["id", "name"]
     assert len(lines) == 3
     assert '"[""a"", ""b""]"' in lines[1]
+
+
+def test_face_ui(server):
+    import urllib.request
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/face/") as r:
+        body = r.read().decode()
+    assert "reindexer_tpu" in body and "<html" in body
+    # root redirects to the face
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}/")
+    with urllib.request.urlopen(req) as r:
+        assert "<html" in r.read().decode()
