@@ -175,3 +175,67 @@ def test_streaming_session_vs_writers(rng):
     w.join()
     assert not errors, errors
     assert all(0 <= i < 200 for i in seen)   # snapshot excludes new rows
+
+
+def test_hnsw_pipelined_build_vs_searches(rng):
+    """Writers keep committing vector batches (the two-phase pipelined
+    build: all chunk scans dispatched before any host linking) while
+    readers run KNN selects — results must always be well-formed ids of
+    live rows, and the final graph must answer with high recall."""
+    from reindexer_tpu.index.vector.params import HnswSearchParams
+    dims = 16
+    db = Reindexer()
+    db.open_namespace("h", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("vec", IndexType.HNSW, vector_opts=FloatVectorOpts(
+            dims=dims, metric=VectorMetric.L2, m=8, ef_construction=32)),
+    ])
+    base = rng.normal(size=(600, dims)).astype(np.float32)
+    for i in range(100):
+        db.upsert("h", {"id": i, "vec": base[i].tolist()})
+    errors: list[Exception] = []
+    written = [100]
+    stop = threading.Event()
+
+    def writer():
+        try:
+            i = 100
+            while i < 600 and not stop.is_set():
+                tx = db.new_transaction("h")
+                for j in range(i, min(i + 50, 600)):
+                    tx.upsert({"id": j, "vec": base[j].tolist()})
+                tx.commit()
+                i += 50
+                written[0] = i
+        except Exception as e:           # pragma: no cover
+            errors.append(e)
+
+    def reader(seed):
+        r = np.random.default_rng(seed)
+        try:
+            while not stop.is_set():
+                q = r.normal(size=dims).astype(np.float32)
+                res = db.select(Query("h").where_knn(
+                    "vec", q, HnswSearchParams(k=5, ef=16)))
+                ids = [d["id"] for d in res.docs()]
+                assert len(ids) == len(set(ids))
+                assert all(0 <= i < 600 for i in ids)
+        except Exception as e:           # pragma: no cover
+            errors.append(e)
+
+    w = threading.Thread(target=writer)
+    rs = [threading.Thread(target=reader, args=(s,)) for s in (1, 2)]
+    w.start()
+    [t.start() for t in rs]
+    w.join(timeout=120)
+    stop.set()
+    [t.join(timeout=30) for t in rs]
+    assert not errors, errors
+    assert written[0] == 600
+    # final graph quality: recall vs the exact oracle
+    q = rng.normal(size=dims).astype(np.float32)
+    res = db.select(Query("h").where_knn("vec", q,
+                                         HnswSearchParams(k=10, ef=64)))
+    got = {d["id"] for d in res.docs()}
+    oracle = set(np.argsort(((base - q) ** 2).sum(1))[:10].tolist())
+    assert len(got & oracle) >= 6, (got, oracle)
