@@ -294,10 +294,12 @@ class FtSelector:
     # ------------------------------------------------------------------
     # Host C++ merge for small/medium gathers (csrc/ft_native.cpp
     # score_merge — the reference's CPU Merger analog, mergerimpl.h:95-124).
-    # The device sorted path pays a batch-max-padded bitonic sort + ~30ms
-    # dispatch RTT; a 1-core merge of <=~1e5 postings runs in ~1ms. Device
-    # handles the giant gathers (1M-doc corpora).
-    HOST_SCORE_MAX = int(os.environ.get("RX_FT_HOST_MAX", str(1 << 17)))
+    # The device sorted path pays a pow2-padded bitonic sort + ~30ms
+    # dispatch RTT; a 1-core merge runs ~1ms at 1e5 postings and ~215ms at
+    # ~2e6 (measured round 2 on the 1M-doc zipf corpus) vs ~600ms for the
+    # 2^21-wide device sort through the tunnel — host wins through 2M.
+    # Deployments with a local (non-tunneled) chip can lower this.
+    HOST_SCORE_MAX = int(os.environ.get("RX_FT_HOST_MAX", str(1 << 21)))
 
     def _score_host(self, q, prep, merge_k: int, use_prox: bool,
                     use_fm: bool, n_pos_terms: int):

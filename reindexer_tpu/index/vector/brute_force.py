@@ -9,6 +9,7 @@ for HNSW/IVF tests (SURVEY.md §4 implication (a)).
 """
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -116,8 +117,12 @@ class BruteForceIndex(FloatVectorIndexBase):
                 else:
                     scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k,
                                            self.metric)
-            scores = np.asarray(scores[0])
-            idx = np.asarray(idx[0])
+            # ONE blocking readback for both arrays: separate
+            # np.asarray(scores[0]) / np.asarray(idx[0]) cost a device
+            # slice dispatch + round trip EACH (~35ms of pure tunnel RTT
+            # per single-query select, measured in the hybrid profile)
+            scores, idx = jax.device_get((scores, idx))
+            scores, idx = np.asarray(scores[0]), np.asarray(idx[0])
             keep = idx >= 0
             scores, idx = scores[keep], idx[keep]
         else:

