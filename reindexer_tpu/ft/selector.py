@@ -268,8 +268,9 @@ class FtSelector:
                 use_proximity=use_prox,
                 field_words=dev["field_words"], n_terms=n_pos_terms,
                 fm_boost=cfg.full_match_boost, use_fullmatch=use_fm)
-        scores = np.asarray(scores)
-        docs = np.asarray(docs)
+        import jax
+        scores, docs = jax.device_get((scores, docs))
+        scores, docs = np.asarray(scores), np.asarray(docs)
         keep = docs >= 0
         scores, docs = scores[keep], docs[keep]
         if len(docs) == 0:
@@ -408,9 +409,10 @@ class FtSelector:
         for i in small:
             out[i] = self.process_query(queries[i], _prep=preps[i])
 
+        import jax
         for idxs, scores, docs in staged:
-            scores = np.asarray(scores)
-            docs = np.asarray(docs)
+            scores, docs = jax.device_get((scores, docs))
+            scores, docs = np.asarray(scores), np.asarray(docs)
             for j, i in enumerate(idxs):
                 q, p = queries[i], preps[i]
                 s, d = scores[j], docs[j]

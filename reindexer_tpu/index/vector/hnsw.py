@@ -554,14 +554,19 @@ class HnswIndex(FloatVectorIndexBase):
         qd = jnp.asarray(q)
         pack = self._pack(for_search=True)
 
-        ents = np.full(qpad, self._entry, dtype=np.int32)
+        # zero host round-trips between stages: descent output feeds the
+        # beam as a device array, and BOTH results come back in one
+        # blocking readback (each extra np.asarray costs a full tunnel
+        # RTT, ~30ms — measured 2x single-query serving, hybrid profile)
+        ents_d = jnp.asarray(np.full(qpad, self._entry, dtype=np.int32))
         if self._max_level > 0 and self._d_upper is not None:
-            ents = np.asarray(greedy_descend(
-                qd, pack, self._d_upper, jnp.asarray(ents), self.metric))
+            ents_d = greedy_descend(qd, pack, self._d_upper, ents_d,
+                                    self.metric)
         ef_pad = _pow2(ef, 16)
         bs, bi = beam_search_layer(
-            qd, pack, self._d_links0, jnp.asarray(ents)[:, None],
+            qd, pack, self._d_links0, ents_d[:, None],
             ef=ef_pad, expand=2, max_iters=2 * ef_pad, metric=self.metric)
+        bs, bi = jax.device_get((bs, bi))
         bs = np.asarray(bs)[:Q]
         bi = np.asarray(bi)[:Q]
         # filter deleted / invalid

@@ -16,6 +16,7 @@ import math
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ...core.payload import IndexDef
@@ -201,8 +202,8 @@ class IvfIndex(FloatVectorIndexBase):
         scores, ids = scan_lists_batch(
             qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
             cand, ok, kk, self.metric)
-        scores = np.asarray(scores)[0]
-        ids = np.asarray(ids)[0]
+        scores, ids = jax.device_get((scores, ids))
+        scores, ids = np.asarray(scores)[0], np.asarray(ids)[0]
         keep = ids >= 0
         scores, ids = scores[keep], ids[keep]
         if params.k is not None:
@@ -233,6 +234,7 @@ class IvfIndex(FloatVectorIndexBase):
         scores, ids = scan_lists_batch(
             qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
             cand, ok, kk, self.metric)
+        scores, ids = jax.device_get((scores, ids))
         scores, ids = np.asarray(scores), np.asarray(ids)
         out = []
         for b in range(B):
