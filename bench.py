@@ -116,7 +116,7 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     # co-tenant slowdowns last minutes: if the floor still looks congested
     # after the base budget, keep sampling up to a hard cap until a clean
     # window appears (the floor estimator only improves with more rounds)
-    hard_end = time.time() + 240.0
+    hard_end = time.time() + 180.0
     sol = roofline_latency_s(cap, dims, batch, 4, V5E_FP32_FLOPS)
     r = 0
     while True:
@@ -570,7 +570,7 @@ def main():
         # a slow device tunnel makes per-dispatch extras unaffordable —
         # scale them down instead of risking the driver's time budget
         # (the headline itself budgets ~75s of floor sampling)
-        slow_link = headline_s > 400
+        slow_link = headline_s > 500
         for fn in (bench_bf_quantized, bench_hnsw, bench_ft):
             try:
                 fn(smoke=args.smoke or slow_link)
