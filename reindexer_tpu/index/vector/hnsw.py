@@ -311,11 +311,12 @@ class HnswIndex(FloatVectorIndexBase):
         pack = self._pack(for_search=False)
         levels_plan = self._levels.copy()
         run_max = self._max_level
-        # device-resident build state: one int32[N] + bool[N] upload per
-        # commit, then 4KB level scatters per chunk — the kernel computes
-        # per-layer validity itself (levels >= lc & ~deleted)
-        levels_dev = jnp.asarray(levels_plan)
-        deleted_dev = jnp.asarray(self._deleted)
+        # device-resident build state, maintained as a MIRROR across
+        # commits (a fresh int32[N]+bool[N] upload per commit is ~5MB of
+        # tunnel traffic at 1M rows; the mirror diffs against a host
+        # snapshot and scatters only changed rows). The kernel computes
+        # per-layer validity itself (levels >= lc & ~deleted).
+        levels_dev, deleted_dev = self._build_state_device()
         efc_k = _pow2(min(self.ef_construction,
                           max(self.keeper.capacity // 2, 8)), 8)
         # ONE program shape on accelerators: every chunk pads to _CHUNK_MAX
@@ -374,7 +375,38 @@ class HnswIndex(FloatVectorIndexBase):
                                             jnp.asarray(lv))
             levels_plan[rows] = levels
             run_max = max(run_max, top_batch)
+        # the device mirror now holds the fully-planned levels (phase 2
+        # sets self._levels to the same values row by row)
+        self._d_levels = levels_dev
+        self._lv_snap = levels_plan
         return staged
+
+    def _build_state_device(self):
+        """Device mirrors of (levels, deleted), diffed against host
+        snapshots so incremental commits scatter only changed rows."""
+        cap = len(self._levels)
+        if getattr(self, "_d_levels", None) is None \
+                or self._d_levels.shape[0] != cap:
+            self._d_levels = jnp.asarray(self._levels)
+            self._lv_snap = self._levels.copy()
+            self._d_deleted = jnp.asarray(self._deleted)
+            self._del_snap = self._deleted.copy()
+            return self._d_levels, self._d_deleted
+        diff = np.flatnonzero(self._levels != self._lv_snap)
+        if len(diff):
+            r, v = self._pad_dirty(diff.astype(np.int32),
+                                   self._levels[diff])
+            self._d_levels = _scatter_rows(self._d_levels, jnp.asarray(r),
+                                           jnp.asarray(v))
+            self._lv_snap[diff] = self._levels[diff]
+        diffd = np.flatnonzero(self._deleted != self._del_snap)
+        if len(diffd):
+            r, v = self._pad_dirty(diffd.astype(np.int32),
+                                   self._deleted[diffd])
+            self._d_deleted = _scatter_rows(self._d_deleted,
+                                            jnp.asarray(r), jnp.asarray(v))
+            self._del_snap[diffd] = self._deleted[diffd]
+        return self._d_levels, self._d_deleted
 
     def _link_chunk(self, rows: list[int], levels: np.ndarray,
                     layer_out) -> None:
