@@ -209,8 +209,20 @@ def sum_ranks_sorted(
     mp = jnp.where(padm, _POS_BIG, minpos.astype(jnp.float32))
     sr = jnp.where(padm, 0.0, subrank)
 
-    dockey, termk, sr, mp = jax.lax.sort(
-        (dockey, termk, sr, mp), num_keys=2)
+    # pack (doc, term) into ONE int32 sort key when it fits: the bitonic
+    # sort then moves 3 arrays with 1-key comparisons instead of 4 arrays
+    # with 2-key comparisons (t_count is pow2; termk <= t_count needs one
+    # extra bit). Giant caps fall back to the 2-key sort.
+    t2 = 2 * t_count
+    shift = t2.bit_length() - 1
+    if (cap + 1) << shift < (1 << 31):
+        key = jnp.bitwise_or(jnp.left_shift(dockey, shift), termk)
+        key, sr, mp = jax.lax.sort((key, sr, mp), num_keys=1)
+        dockey = jnp.right_shift(key, shift)
+        termk = jnp.bitwise_and(key, t2 - 1)
+    else:
+        dockey, termk, sr, mp = jax.lax.sort(
+            (dockey, termk, sr, mp), num_keys=2)
     real = dockey < cap
 
     prev_doc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), dockey[:-1]])
