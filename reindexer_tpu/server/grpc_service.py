@@ -139,6 +139,8 @@ META_REQ = {1: ("dbName", "string"), 2: ("nsName", "string"),
 META_RESP = {1: ("metadata", "string")}
 PUT_META = {1: ("dbName", "string"), 2: ("nsName", "string"),
             3: ("key", "string"), 4: ("value", "string")}
+ENUM_META_REQ = {1: ("dbName", "string"), 2: ("nsName", "string")}
+META_KEYS_RESP = {1: ("keys", "string*")}
 PB_SCHEMA_REQ = {1: ("dbName", "string"), 2: ("namespaces", "string*")}
 PB_SCHEMA_RESP = {1: ("protoStr", "string")}
 
@@ -193,6 +195,8 @@ class GrpcReindexerServer:
             "EnumDatabases": ({}, svc._enum_dbs),
             "GetMeta": (META_REQ, svc._get_meta),
             "PutMeta": (PUT_META, svc._put_meta),
+            "EnumMeta": (ENUM_META_REQ, svc._enum_meta),
+            "DeleteMeta": (META_REQ, svc._delete_meta),
             "GetProtobufSchema": (PB_SCHEMA_REQ, svc._pb_schema),
         }
 
@@ -323,6 +327,14 @@ class GrpcReindexerServer:
 
     def _put_meta(self, req) -> bytes:
         self._db(req).put_meta(req["nsName"], req["key"], req["value"])
+        return _ok()
+
+    def _enum_meta(self, req) -> bytes:
+        return encode({"keys": self._db(req).enum_meta(req["nsName"])},
+                      META_KEYS_RESP)
+
+    def _delete_meta(self, req) -> bytes:
+        self._db(req).delete_meta(req["nsName"], req["key"])
         return _ok()
 
     def _pb_schema(self, req) -> bytes:

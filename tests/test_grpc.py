@@ -97,6 +97,18 @@ def test_grpc_full_flow(srv):
         META_RESP)
     assert got["metadata"] == "v7"
 
+    # meta enumeration + delete
+    from reindexer_tpu.server.grpc_service import (ENUM_META_REQ,
+                                                   META_KEYS_RESP)
+    keys = decode(_call(srv, "EnumMeta", encode(
+        {"dbName": "g1", "nsName": "books"}, ENUM_META_REQ)), META_KEYS_RESP)
+    assert keys["keys"] == ["k"]
+    decode(_call(srv, "DeleteMeta", encode(
+        {"dbName": "g1", "nsName": "books", "key": "k"}, META_REQ)), ERROR)
+    keys = decode(_call(srv, "EnumMeta", encode(
+        {"dbName": "g1", "nsName": "books"}, ENUM_META_REQ)), META_KEYS_RESP)
+    assert keys["keys"] == []
+
     # namespaces enumeration + protobuf schema
     names = decode(_call(srv, "EnumNamespaces",
                          encode({"dbName": "g1"}, DB_REQ)), NAMES_RESP)
