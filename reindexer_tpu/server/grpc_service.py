@@ -16,11 +16,9 @@ from __future__ import annotations
 
 import json
 import os
-import struct
 from concurrent import futures
-from typing import Any, Optional
+from typing import Any
 
-from ..core.errors import ReindexerError
 from ..core.payload import IndexDef
 
 SERVICE = "reindexer.grpc.Reindexer"
