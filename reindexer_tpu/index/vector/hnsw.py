@@ -598,6 +598,11 @@ class HnswIndex(FloatVectorIndexBase):
         bs, bi = beam_search_layer(
             qd, pack, self._d_links0, ents_d[:, None],
             ef=ef_pad, expand=2, max_iters=2 * ef_pad, metric=self.metric)
+        if pack.quantized:
+            # exact fp32 re-rank of the quantized beam's results
+            from ...ops.hnsw_kernels import exact_rescore
+            bs, bi = exact_rescore(qd, self.keeper.data, self.keeper.sq,
+                                   bi, bs, self.metric)
         bs, bi = jax.device_get((bs, bi))
         bs = np.asarray(bs)[:Q]
         bi = np.asarray(bi)[:Q]
