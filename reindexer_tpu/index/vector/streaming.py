@@ -133,8 +133,17 @@ class KnnStreamingSession:
                                self._visited, ef=ef_b, expand=2,
                                max_iters=2 * ef_b, metric=self.metric)
         self.iters_total += int(iters)
-        scores = np.asarray(w_s[0])
-        ids = np.asarray(w_ids[0])
+        if self._pack.quantized:
+            # exact fp32 re-rank within the batch (hnsw._search_batch does
+            # the same for one-shot searches)
+            from ...ops.hnsw_kernels import exact_rescore
+            w_s, w_ids = exact_rescore(self._q, self.index.keeper.data,
+                                       self.index.keeper.sq, w_ids, w_s,
+                                       self.metric)
+        import jax
+        scores, ids = jax.device_get((w_s, w_ids))
+        scores = np.asarray(scores[0])
+        ids = np.asarray(ids[0])
         keep = ids >= 0
         scores, ids = scores[keep], ids[keep]
         if len(ids):
