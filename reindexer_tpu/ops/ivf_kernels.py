@@ -200,7 +200,10 @@ def scan_probed_full(queries: jnp.ndarray, data: jnp.ndarray,
             probe_sel, jnp.broadcast_to(safe_a[None, :], (B, csz)), axis=1)
         ok = memb & (a_chunk >= 0)[None, :] & v_chunk[None, :]
         scores = jnp.where(ok, scores, NEG_INF)
-        loc_s, loc_pos = jax.lax.top_k(scores, kk)
+        # hierarchical block selection — a flat lax.top_k over a
+        # 262144-wide row is the pathological case (docs/performance.md)
+        from .distance import exact_topk_blocks
+        loc_s, loc_pos = exact_topk_blocks(scores, kk)
         loc_i = jnp.where(loc_s > NEG_INF, loc_pos + base_idx, -1)
         m_s = jnp.concatenate([best_s, loc_s], axis=1)
         m_i = jnp.concatenate([best_i, loc_i], axis=1)
