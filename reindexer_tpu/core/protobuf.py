@@ -155,10 +155,12 @@ def _encode_packed_float(num: int, vals, out: bytearray) -> None:
         out += struct.pack("<f", float(v))
 
 
-def encode_item(ns, doc: dict) -> bytes:
-    """One document -> proto3 message bytes (schema: _ns_fields)."""
+def encode_item(ns, doc: dict, fields=None) -> bytes:
+    """One document -> proto3 message bytes (schema: _ns_fields; pass
+    `fields` to amortize the schema walk across a result page)."""
     out = bytearray()
-    fields = _ns_fields(ns)
+    if fields is None:
+        fields = _ns_fields(ns)
     known = set()
     for num, fname, ptype, rep in fields:
         if fname == _EXTRA_FIELD:
@@ -202,8 +204,9 @@ def encode_query_results(ns, payload: dict) -> bytes:
     """JSON-shaped query-result envelope -> QueryResults message bytes
     (reference: httpserver.cc:1752 queryResultsProtobuf)."""
     out = bytearray()
+    fields = _ns_fields(ns)
     for doc in payload.get("items", []):
-        body = encode_item(ns, doc)
+        body = encode_item(ns, doc, fields)
         _tag(1, _WT_LEN, out)
         encode_varint(len(body), out)
         out += body

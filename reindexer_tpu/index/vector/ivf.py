@@ -13,6 +13,7 @@ default when centroids_count is 0.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import numpy as np
@@ -183,7 +184,6 @@ class IvfIndex(FloatVectorIndexBase):
         0.34s -> ~ms at 1M x 768 nprobe=128). RX_IVF_GATHER=1 keeps the
         gathered-list formulation for comparison. Returns (scores, ids)
         device arrays or (None, None) when nothing matches."""
-        import os
         from ...ops.ivf_kernels import probe_mask, scan_probed_full
         use_gather = os.environ.get("RX_IVF_GATHER", "") in ("1", "true")
         if use_gather or k is None:

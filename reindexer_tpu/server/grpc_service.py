@@ -20,6 +20,7 @@ from concurrent import futures
 from typing import Any
 
 from ..core.payload import IndexDef
+from ..core.protobuf import encode_varint as _write_varint
 
 SERVICE = "reindexer.grpc.Reindexer"
 
@@ -39,19 +40,6 @@ def _read_varint(b: bytes, i: int) -> tuple[int, int]:
         if not x & 0x80:
             return out, i
         shift += 7
-
-
-def _write_varint(n: int, out: bytearray) -> None:
-    if n < 0:
-        n &= (1 << 64) - 1
-    while True:
-        x = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(x | 0x80)
-        else:
-            out.append(x)
-            return
 
 
 def decode(b: bytes, spec: dict) -> dict:
