@@ -13,7 +13,6 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ...core.type_consts import RankOrdering
 from ...ops.distance import knn_scan, pairwise_scores, scores_to_ranks
 from ..base import SelectKeyResult
 from .base import FloatVectorIndexBase

@@ -31,13 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from ...core.payload import IndexDef
-from ...core.type_consts import RankOrdering, VectorMetric
+from ...core.type_consts import VectorMetric
 from ...ops.distance import normalize_rows, scores_to_ranks
 from ...ops.hnsw_kernels import DataPack, beam_search_layer, \
     exact_build_layer, greedy_descend
 from ..base import SelectKeyResult
 from .base import FloatVectorIndexBase
-from .params import HnswSearchParams, KnnSearchParams
+from .params import KnnSearchParams
 
 _Q_BUCKET = 8
 _CHUNK_START = 32

@@ -27,7 +27,7 @@ from ...ops.ivf_kernels import (assign_lists, expand_probes, kmeans_l2,
                                 probe_centroids, scan_lists_batch)
 from ..base import SelectKeyResult
 from .base import FloatVectorIndexBase
-from .params import IvfSearchParams, KnnSearchParams
+from .params import KnnSearchParams
 
 _TRAIN_FACTOR = 39      # reference: ivf_index.h:62
 _KMEANS_ITERS = 20
