@@ -580,12 +580,15 @@ def main():
     ap.add_argument("--extras", default=os.environ.get("RX_BENCH_EXTRAS", "1"),
                     help="1 = also run hnsw/ft/sq8 side benches (stderr)")
     ap.add_argument("--config", default="",
-                    help="baseline config run: deep1m | ivf1m | hybrid "
-                         "(BASELINE.md #2/#3/#5); default = headline BF")
+                    help="baseline config run: deep1m | hnsw200k | ivf1m | "
+                         "hybrid | ft1m (BASELINE.md #2/#3/#4b/#5); "
+                         "default = headline BF")
     args = ap.parse_args()
     if args.config:
         fn = {"deep1m": bench_deep1m, "ivf1m": bench_ivf1m,
-              "hybrid": bench_hybrid, "ft1m": bench_ft1m}[args.config]
+              "hybrid": bench_hybrid, "ft1m": bench_ft1m,
+              "hnsw200k": lambda smoke=False: bench_deep1m(
+                  n=200_000, smoke=False)}[args.config]
         print(json.dumps(fn(smoke=args.smoke)))
         return
     result = bench_bf(smoke=args.smoke)

@@ -454,3 +454,45 @@ def test_face_ui(server):
     req = urllib.request.Request(f"http://127.0.0.1:{server.port}/")
     with urllib.request.urlopen(req) as r:
         assert "<html" in r.read().decode()
+
+
+def test_concurrent_mixed_format_requests(server):
+    """Concurrent clients with different response formats on keep-alive
+    connections must not cross-contaminate (per-request _fmt/_pb_ns
+    state lives on a per-connection handler instance)."""
+    import threading
+    import urllib.request
+    base = f"http://127.0.0.1:{server.port}/api/v1/db/testdb"
+    call(server, "POST", "/api/v1/db", {"name": "testdb"})
+    call(server, "POST", "/api/v1/db/testdb/namespaces",
+         {"name": "cc", "indexes": [
+             {"name": "id", "json_paths": ["id"], "field_type": "int",
+              "index_type": "hash", "is_pk": True}]})
+    for i in range(50):
+        call(server, "POST", "/api/v1/db/testdb/namespaces/cc/items",
+             {"id": i})
+    errors = []
+
+    def worker(fmt):
+        try:
+            for _ in range(25):
+                url = (f"{base}/query?q=SELECT%20*%20FROM%20cc"
+                       + (f"&format={fmt}" if fmt else ""))
+                with urllib.request.urlopen(url) as r:
+                    ct = r.headers["Content-Type"]
+                    body = r.read()
+                if fmt == "protobuf":
+                    assert ct.startswith("application/protobuf"), ct
+                elif fmt == "msgpack":
+                    assert "msgpack" in ct, ct
+                else:
+                    assert "json" in ct, ct
+                    assert b'"items"' in body
+        except Exception as e:        # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker, args=(f,))
+          for f in (None, "protobuf", "msgpack", None)]
+    [t.start() for t in ts]
+    [t.join(timeout=60) for t in ts]
+    assert not errors, errors
