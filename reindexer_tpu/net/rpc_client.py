@@ -1,14 +1,19 @@
 """Binary RPC client.
 
 Semantic equivalent of the reference's network binding
-(bindings/cproto/cproto.go connection + Go query execution over cproto;
-C++ client cpp_src/client/): a plain blocking socket client speaking the
-framed varint protocol (net/protocol.py), with cursor-paged result
-iteration (FetchResults analog).
+(bindings/cproto/cproto.go connection POOL + Go query execution over
+cproto; C++ client cpp_src/client/): blocking socket connections speaking
+the framed varint protocol (net/protocol.py), with cursor-paged result
+iteration (FetchResults analog). Concurrent callers spread over a lazy
+connection pool (reference: cproto.go conn pool, default 8); cursors and
+transactions are CONNECTION-AFFINE server-side (per-_Conn state,
+net/rpc_server.py), so select() pins one pooled connection for its
+fetch/close sequence and a transaction holds one until commit/rollback.
 """
 from __future__ import annotations
 
 import json
+import queue
 import socket
 import threading
 from typing import Any, Iterator, Optional, Sequence, Union
@@ -34,57 +39,31 @@ def _page_docs(page) -> list:
     return [json.loads(p) for p in page]
 
 
-class RpcTransaction:
-    def __init__(self, client: "RpcReindexer", tx_id: int):
-        self._c = client
-        self._id = tx_id
 
-    def upsert(self, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY, [self._id, 0, cjson.encode_doc(doc)])
-        return self
+class _ConnSlot:
+    """One pooled connection: socket + frame sequence (used by a single
+    thread at a time — the pool hands a slot to one caller)."""
 
-    def insert(self, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY, [self._id, 1, cjson.encode_doc(doc)])
-        return self
+    def __init__(self, addr, creds):
+        self.sock = socket.create_connection(addr, timeout=30)
+        self.seq = 0
+        self.dead = False
+        user, password, db = creds
+        self.call(Cmd.LOGIN, [user, password, db])
 
-    def update(self, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY, [self._id, 2, cjson.encode_doc(doc)])
-        return self
-
-    def delete(self, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY, [self._id, 3, cjson.encode_doc(doc)])
-        return self
-
-    def commit(self) -> int:
-        return int(self._c._call(Cmd.COMMIT_TX, [self._id])[0])
-
-    def rollback(self) -> None:
-        self._c._call(Cmd.ROLLBACK_TX, [self._id])
-
-
-class RpcReindexer:
-    """Client facade over the binary protocol (same API shape as
-    client.RemoteReindexer / the embedded Reindexer)."""
-
-    def __init__(self, host: str, port: int, db: str,
-                 user: str = "", password: str = "",
-                 fetch_limit: int = 100):
-        self._sock = socket.create_connection((host, port), timeout=30)
-        self._seq = 0
-        self._lock = threading.Lock()
-        self.fetch_limit = fetch_limit
-        self._call(Cmd.LOGIN, [user, password, db])
-
-    # --- transport ------------------------------------------------------
-    def _call(self, cmd: Cmd, args: list) -> list:
-        with self._lock:
-            self._seq += 1
-            seq = self._seq
-            self._sock.sendall(pack_frame(seq, cmd, 0, encode_args(args)))
+    def call(self, cmd: Cmd, args: list) -> list:
+        self.seq += 1
+        seq = self.seq
+        try:
+            self.sock.sendall(pack_frame(seq, cmd, 0, encode_args(args)))
             head = self._recv_exact(HEADER_SIZE)
             rseq, rcmd, status, length = unpack_header(head)
             body = self._recv_exact(length) if length else b""
+        except (OSError, ConnectionError):
+            self.dead = True
+            raise
         if rseq != seq:
+            self.dead = True
             raise ReindexerError(f"rpc sequence mismatch {rseq} != {seq}")
         out = decode_args(body) if body else []
         if status != Status.OK:
@@ -95,14 +74,123 @@ class RpcReindexer:
     def _recv_exact(self, n: int) -> bytes:
         buf = b""
         while len(buf) < n:
-            chunk = self._sock.recv(n - len(buf))
+            chunk = self.sock.recv(n - len(buf))
             if not chunk:
                 raise ConnectionError("rpc connection closed")
             buf += chunk
         return buf
 
     def close(self) -> None:
-        self._sock.close()
+        self.dead = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class RpcTransaction:
+    """Holds one pooled connection until commit/rollback (tx ids are
+    per-connection server-side)."""
+
+    def __init__(self, client: "RpcReindexer", tx_id: int, slot):
+        self._c = client
+        self._id = tx_id
+        self._slot = slot
+
+    def _op(self, mode: int, doc: dict) -> "RpcTransaction":
+        self._c._call(Cmd.TX_MODIFY,
+                      [self._id, mode, cjson.encode_doc(doc)],
+                      slot=self._slot)
+        return self
+
+    def upsert(self, doc: dict) -> "RpcTransaction":
+        return self._op(0, doc)
+
+    def insert(self, doc: dict) -> "RpcTransaction":
+        return self._op(1, doc)
+
+    def update(self, doc: dict) -> "RpcTransaction":
+        return self._op(2, doc)
+
+    def delete(self, doc: dict) -> "RpcTransaction":
+        return self._op(3, doc)
+
+    def _finish(self, cmd: Cmd) -> list:
+        try:
+            return self._c._call(cmd, [self._id], slot=self._slot)
+        finally:
+            self._c._checkin(self._slot)
+            self._slot = None
+
+    def commit(self) -> int:
+        return int(self._finish(Cmd.COMMIT_TX)[0])
+
+    def rollback(self) -> None:
+        self._finish(Cmd.ROLLBACK_TX)
+
+
+class RpcReindexer:
+    """Client facade over the binary protocol (same API shape as
+    client.RemoteReindexer / the embedded Reindexer)."""
+
+    def __init__(self, host: str, port: int, db: str,
+                 user: str = "", password: str = "",
+                 fetch_limit: int = 100, conns: int = 4):
+        self._addr = (host, port)
+        self._creds = (user, password, db)
+        self.fetch_limit = fetch_limit
+        self._pool: "queue.LifoQueue[_ConnSlot]" = queue.LifoQueue()
+        self._max = max(1, conns)
+        self._created = 0
+        self._lock = threading.Lock()
+        # eager first connection validates the login
+        self._checkin(self._new_slot())
+
+    # --- transport (pooled) --------------------------------------------
+    def _new_slot(self) -> "_ConnSlot":
+        with self._lock:
+            self._created += 1
+        try:
+            return _ConnSlot(self._addr, self._creds)
+        except BaseException:
+            with self._lock:
+                self._created -= 1
+            raise
+
+    def _checkout(self) -> "_ConnSlot":
+        try:
+            return self._pool.get_nowait()
+        except queue.Empty:
+            pass
+        with self._lock:
+            can_grow = self._created < self._max
+        if can_grow:
+            return self._new_slot()
+        return self._pool.get()
+
+    def _checkin(self, slot: "_ConnSlot") -> None:
+        if slot.dead:
+            with self._lock:
+                self._created -= 1
+            return
+        self._pool.put(slot)
+
+    def _call(self, cmd: Cmd, args: list,
+              slot: "Optional[_ConnSlot]" = None) -> list:
+        if slot is not None:
+            return slot.call(cmd, args)
+        s = self._checkout()
+        try:
+            return s.call(cmd, args)
+        finally:
+            self._checkin(s)
+
+    def close(self) -> None:
+        while True:
+            try:
+                self._pool.get_nowait().close()
+            except queue.Empty:
+                return
 
     # --- API --------------------------------------------------------------
     def ping(self) -> bool:
@@ -141,13 +229,23 @@ class RpcReindexer:
         self._call(Cmd.MODIFY_ITEM, [ns, 3, cjson.encode_doc(doc)])
 
     def select(self, q: Union[Query, str]) -> QueryResults:
+        # the result cursor is per-connection server-side: pin ONE pooled
+        # connection for the select + fetch + close sequence
+        slot = self._checkout()
+        try:
+            return self._select_on(slot, q)
+        finally:
+            self._checkin(slot)
+
+    def _select_on(self, slot, q: Union[Query, str]) -> QueryResults:
         if isinstance(q, str):
-            out = self._call(Cmd.SELECT_SQL, [q, self.fetch_limit, 1])
+            out = self._call(Cmd.SELECT_SQL, [q, self.fetch_limit, 1],
+                             slot=slot)
             ns = ""
         else:
             out = self._call(Cmd.SELECT_DSL,
                              [json.dumps(to_dsl(q), default=str),
-                              self.fetch_limit, 1])
+                              self.fetch_limit, 1], slot=slot)
             ns = q.namespace
         req_id, total, count, page, ranks, aggs_json = out
         docs = _page_docs(page)
@@ -158,7 +256,8 @@ class RpcReindexer:
         offset = len(items)
         while offset < count:
             fpage, franks = self._call(
-                Cmd.FETCH_RESULTS, [req_id, offset, self.fetch_limit, 1])
+                Cmd.FETCH_RESULTS, [req_id, offset, self.fetch_limit, 1],
+                slot=slot)
             fdocs = _page_docs(fpage)
             for j, d in enumerate(fdocs):
                 items.append(ResultItem(
@@ -167,7 +266,7 @@ class RpcReindexer:
             if not fdocs:
                 break
             offset += len(fdocs)
-        self._call(Cmd.CLOSE_RESULTS, [req_id])
+        self._call(Cmd.CLOSE_RESULTS, [req_id], slot=slot)
         aggs = []
         for a in json.loads(aggs_json):
             ar = AggregationResult(a.get("type", ""),
@@ -179,8 +278,13 @@ class RpcReindexer:
                             aggregations=aggs)
 
     def new_transaction(self, ns: str) -> RpcTransaction:
-        tx_id = int(self._call(Cmd.BEGIN_TX, [ns])[0])
-        return RpcTransaction(self, tx_id)
+        slot = self._checkout()
+        try:
+            tx_id = int(self._call(Cmd.BEGIN_TX, [ns], slot=slot)[0])
+        except BaseException:
+            self._checkin(slot)
+            raise
+        return RpcTransaction(self, tx_id, slot)
 
     def put_meta(self, ns: str, key: str, value: str) -> None:
         self._call(Cmd.PUT_META, [ns, key, value])

@@ -128,3 +128,45 @@ def test_clientsstats_registration():
         assert db.select(Query("#clientsstats")).docs() == []
     finally:
         srv.stop()
+
+
+def test_pooled_client_concurrency(server):
+    """Concurrent selects/writes through ONE client must spread over the
+    connection pool (cursors and txs are connection-affine) and stay
+    correct under interleaving."""
+    import threading
+    c = RpcReindexer("127.0.0.1", server.port, "pooldb", conns=3)
+    c.open_namespace("p", [IndexDef("id", "hash", "int",
+                                    opts=IndexOpts(is_pk=True)),
+                           IndexDef("grp", "hash", "int")])
+    for i in range(300):
+        c.upsert("p", {"id": i, "grp": i % 3})
+    errors = []
+
+    def reader(g):
+        try:
+            for _ in range(15):
+                res = c.select(Query("p").where("grp", "=", g))
+                ids = [it.doc["id"] for it in res]
+                assert len(ids) >= 100 and all(i % 3 == g for i in ids)
+        except Exception as e:           # pragma: no cover
+            errors.append(e)
+
+    def writer():
+        try:
+            for j in range(300, 360):
+                tx = c.new_transaction("p")
+                tx.upsert({"id": j, "grp": j % 3})
+                tx.commit()
+        except Exception as e:           # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=reader, args=(g,)) for g in (0, 1, 2)]
+    ts.append(threading.Thread(target=writer))
+    [t.start() for t in ts]
+    [t.join(timeout=60) for t in ts]
+    assert not errors, errors
+    assert c._created >= 2      # the pool actually grew under concurrency
+    res = c.select(Query("p"))
+    assert len(res) == 360
+    c.close()
