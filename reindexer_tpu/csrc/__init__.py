@@ -31,7 +31,8 @@ def _build(name: str, source: str) -> str:
     os.makedirs(os.path.dirname(out), exist_ok=True)
     include = sysconfig.get_paths()["include"]
     cmd = [
-        os.environ.get("CXX", "g++"), "-O3", "-fPIC", "-shared",
+        os.environ.get("CXX", "g++"), "-O3", "-march=native",
+        "-funroll-loops", "-fPIC", "-shared",
         "-std=c++17", f"-I{include}", src, "-o", out,
     ]
     subprocess.run(cmd, check=True, capture_output=True)

@@ -23,6 +23,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstring>
 #include <string>
 #include <unordered_map>
 #include <utility>
@@ -525,6 +526,478 @@ PyObject* score_merge(PyObject* /*self*/, PyObject* args) {
     return tup;
 }
 
+// ---------------------------------------------------------------------------
+// Presorted k-way run merge (no sort): the gathered postings are a
+// concatenation of per-(term, variant-word) CSR ranges, each already sorted
+// by doc (ft/dataholder.py builds postings doc-major). score_merge pays an
+// O(G log G) std::sort of 16-byte structs — ~200 ms at 2e6 postings — which
+// this entrypoint replaces with a binary-heap merge over the R runs keyed by
+// (doc, term): O(G log R) with R ~ tens. Scoring is inlined per posting
+// (per-run weight/idf/term hoisted) and the top-merge_k selection happens
+// here (nth_element) instead of a full np.argsort on the Python side.
+// Same reference hot loop as score_merge: mergerimpl.h:95-124 Merger::Merge.
+// ---------------------------------------------------------------------------
+
+struct RunHead {
+    uint64_t key;      // (doc << 20) | term  — merge order = (doc, term)
+    int32_t run;
+};
+
+PyObject* score_merge_runs(PyObject* /*self*/, PyObject* args) {
+    PyObject *run_start_o, *run_len_o, *run_term_o, *run_w_o, *run_idf_o;
+    PyObject *post_doc_o, *post_field_o, *post_tf_o, *post_minpos_o;
+    PyObject *doc_words_o, *fb_o, *bb_o, *bw_o, *pb_o, *pw_o;
+    PyObject *term_boost_o, *term_lenb_o, *must_o, *notm_o, *field_words_o;
+    double k1, b, avg_len, dist_w, dist_b, fm_boost;
+    long bm25_type, use_prox, n_fields, cap, n_terms, use_fm, merge_k;
+    if (!PyArg_ParseTuple(
+            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl",
+            &run_start_o, &run_len_o, &run_term_o, &run_w_o, &run_idf_o,
+            &post_doc_o, &post_field_o, &post_tf_o, &post_minpos_o,
+            &doc_words_o, &fb_o, &bb_o, &bw_o, &pb_o, &pw_o,
+            &term_boost_o, &term_lenb_o, &must_o, &notm_o,
+            &k1, &b, &avg_len, &bm25_type, &dist_w, &dist_b, &use_prox,
+            &field_words_o, &n_fields, &cap, &n_terms, &use_fm, &fm_boost,
+            &merge_k)) {
+        return nullptr;
+    }
+    PhraseBuf rs_b, rl_b, rt_b, rw_b, ri_b, post_doc_b, post_field_b,
+        post_tf_b, post_minpos_b, doc_words_b, fb_b, bb_b, bw_b, pb_b, pw_b,
+        tb_b, tl_b, must_b, notm_b, fw_b;
+    if (!rs_b.get(run_start_o) || !rl_b.get(run_len_o) ||
+        !rt_b.get(run_term_o) || !rw_b.get(run_w_o) || !ri_b.get(run_idf_o) ||
+        !post_doc_b.get(post_doc_o) || !post_field_b.get(post_field_o) ||
+        !post_tf_b.get(post_tf_o) || !post_minpos_b.get(post_minpos_o) ||
+        !doc_words_b.get(doc_words_o) || !fb_b.get(fb_o) || !bb_b.get(bb_o) ||
+        !bw_b.get(bw_o) || !pb_b.get(pb_o) || !pw_b.get(pw_o) ||
+        !tb_b.get(term_boost_o) || !tl_b.get(term_lenb_o) ||
+        !must_b.get(must_o) || !notm_b.get(notm_o)) {
+        return nullptr;
+    }
+    bool have_fw = field_words_o != Py_None;
+    if (have_fw && !fw_b.get(field_words_o)) return nullptr;
+
+    const int64_t* run_start = (const int64_t*)rs_b.view.buf;
+    const int64_t* run_len = (const int64_t*)rl_b.view.buf;
+    const int32_t* run_term = (const int32_t*)rt_b.view.buf;
+    const float* run_w = (const float*)rw_b.view.buf;
+    const float* run_idf = (const float*)ri_b.view.buf;
+    const int32_t* post_doc = (const int32_t*)post_doc_b.view.buf;
+    const int32_t* post_field = (const int32_t*)post_field_b.view.buf;
+    const float* post_tf = (const float*)post_tf_b.view.buf;
+    const int32_t* post_minpos = (const int32_t*)post_minpos_b.view.buf;
+    const float* doc_words = (const float*)doc_words_b.view.buf;
+    const float* fb = (const float*)fb_b.view.buf;
+    const float* bb = (const float*)bb_b.view.buf;
+    const float* bw = (const float*)bw_b.view.buf;
+    const float* pb = (const float*)pb_b.view.buf;
+    const float* pw = (const float*)pw_b.view.buf;
+    const float* term_boost = (const float*)tb_b.view.buf;
+    const float* term_lenb = (const float*)tl_b.view.buf;
+    const uint8_t* must = (const uint8_t*)must_b.view.buf;
+    const uint8_t* notm = (const uint8_t*)notm_b.view.buf;
+    const int32_t* field_words =
+        have_fw ? (const int32_t*)fw_b.view.buf : nullptr;
+    Py_ssize_t R = rs_b.view.len / 8;
+    Py_ssize_t T = must_b.view.len;
+
+    int n_must = 0;
+    for (Py_ssize_t t = 0; t < T; t++) n_must += must[t] ? 1 : 0;
+
+    // per-run cursor + hoisted per-run scoring constants
+    std::vector<int64_t> cur(R), end(R);
+    std::vector<float> rboost(R);     // fb-independent run factor
+    for (Py_ssize_t r = 0; r < R; r++) {
+        cur[r] = run_start[r];
+        end[r] = run_start[r] + run_len[r];
+        int32_t t = run_term[r];
+        rboost[r] = run_w[r] * term_boost[t] * term_lenb[t];
+    }
+    const float k1f = (float)k1, bf = (float)b;
+    const float k1p1 = k1f + 1.0f;
+    const float kb_base = k1f * (1.0f - bf);
+    const float kb_scale = k1f * bf / (float)avg_len;
+
+    // binary min-heap of run heads keyed by (doc, term)
+    std::vector<RunHead> heap;
+    heap.reserve(R);
+    auto key_of = [&](Py_ssize_t r) -> uint64_t {
+        return ((uint64_t)(uint32_t)post_doc[cur[r]] << 20) |
+               (uint32_t)run_term[r];
+    };
+    for (Py_ssize_t r = 0; r < R; r++) {
+        if (cur[r] < end[r]) heap.push_back({key_of(r), (int32_t)r});
+    }
+    auto sift_down = [&](size_t i) {
+        size_t n2 = heap.size();
+        RunHead v = heap[i];
+        while (true) {
+            size_t l = 2 * i + 1;
+            if (l >= n2) break;
+            size_t m = l;
+            if (l + 1 < n2 && heap[l + 1].key < heap[l].key) m = l + 1;
+            if (heap[m].key >= v.key) break;
+            heap[i] = heap[m];
+            i = m;
+        }
+        heap[i] = v;
+    };
+    for (size_t i = heap.size() / 2; i-- > 0;) sift_down(i);
+
+    std::vector<int32_t> out_docs;
+    std::vector<float> out_scores;
+    int64_t total_g = 0;
+    for (Py_ssize_t r = 0; r < R; r++) total_g += run_len[r];
+    out_docs.reserve((size_t)total_g);
+    out_scores.reserve((size_t)total_g);
+
+    // doc-group state (mirrors score_merge's inner loops)
+    int32_t cur_doc = -1;
+    double docsum = 0.0;
+    bool excl = false;
+    int must_cnt = 0, pos_cnt = 0;
+    float carry = 0.f;
+    bool hasp = false;
+    // (doc, term)-group state
+    int32_t cur_term = -1;
+    float smax = 0.f, pmin = 0.f;
+
+    auto flush_term = [&]() {
+        if (cur_term < 0) return;
+        bool present = smax > 0.f;
+        if (present) {
+            float att = smax;
+            if (use_prox && hasp) {
+                float dist = pmin > carry ? pmin - carry : carry - pmin;
+                if (dist < 1.f) dist = 1.f;
+                att = smax * ((float)(1.0 - dist_w) +
+                              (float)(dist_b * dist_w) / dist);
+            }
+            bool is_not = notm[cur_term] != 0;
+            if (!is_not) {
+                docsum += att;
+                pos_cnt++;
+                carry = pmin;
+                hasp = true;
+            } else {
+                excl = true;
+            }
+            if (must[cur_term]) must_cnt++;
+        }
+        cur_term = -1;
+    };
+    auto flush_doc = [&]() {
+        flush_term();
+        if (cur_doc >= 0 && !excl && must_cnt == n_must && docsum > 0.0) {
+            double ds = docsum;
+            if (use_fm && have_fw && pos_cnt == (int)n_terms) {
+                for (long f = 0; f < n_fields; f++) {
+                    if (fb[f] > 0.f &&
+                        field_words[f * cap + cur_doc] == (int)n_terms) {
+                        ds *= fm_boost;
+                        break;
+                    }
+                }
+            }
+            out_docs.push_back(cur_doc);
+            out_scores.push_back((float)ds);
+        }
+        cur_doc = -1;
+        docsum = 0.0;
+        excl = false;
+        must_cnt = pos_cnt = 0;
+        carry = 0.f;
+        hasp = false;
+    };
+
+    while (!heap.empty()) {
+        RunHead h = heap[0];
+        int32_t r = h.run;
+        int64_t pi = cur[r];
+        int32_t d = post_doc[pi];
+        int32_t t = run_term[r];
+        if (d != cur_doc) {
+            flush_doc();
+            cur_doc = d;
+        } else if (t != cur_term) {
+            flush_term();
+        }
+        // inline subTermRank (identical math to score_merge)
+        int32_t fld = post_field[pi];
+        float tf = post_tf[pi];
+        float wdoc = doc_words[d];
+        if (wdoc < 1.f) wdoc = 1.f;
+        float bm25;
+        if (bm25_type == 2) {
+            bm25 = tf;
+        } else {
+            float t_freq = (bm25_type == 1) ? tf / wdoc : tf;
+            bm25 = run_idf[r] * t_freq * k1p1 /
+                   (t_freq + kb_base + kb_scale * wdoc);
+        }
+        float bm25_norm = (1.f - bw[fld]) + bm25 * bb[fld] * bw[fld];
+        float mpf = (float)post_minpos[pi];
+        float posrank = (1.f - pw[fld]) + pos2rank(mpf) * pb[fld] * pw[fld];
+        float sr = fb[fld] * rboost[r] * bm25_norm * posrank;
+        if (cur_term < 0) {
+            cur_term = t;
+            smax = sr;
+            pmin = mpf;
+        } else {
+            if (sr > smax) smax = sr;
+            if (mpf < pmin) pmin = mpf;
+        }
+        // advance the run head; replace-top + one sift
+        if (++cur[r] < end[r]) {
+            heap[0].key = key_of(r);
+            sift_down(0);
+        } else {
+            heap[0] = heap.back();
+            heap.pop_back();
+            if (!heap.empty()) sift_down(0);
+        }
+    }
+    flush_doc();
+
+    // top-merge_k by (score desc, doc asc) — parity with the former
+    // np.argsort(-scores, kind="stable") over docs emitted doc-ascending.
+    // Packed u64 keys (inverted sortable-float score | doc) make both the
+    // nth_element and the final sort branch-free single-word compares.
+    size_t n_out = out_docs.size();
+    std::vector<uint64_t> keys(n_out);
+    for (size_t i = 0; i < n_out; i++) {
+        uint32_t u;
+        float s = out_scores[i];
+        std::memcpy(&u, &s, 4);
+        u = (u & 0x80000000u) ? ~u : (u | 0x80000000u);  // sortable asc
+        keys[i] = ((uint64_t)(~u) << 32) | (uint32_t)out_docs[i];
+    }
+    size_t kk = merge_k > 0 && (size_t)merge_k < n_out ? (size_t)merge_k
+                                                       : n_out;
+    if (kk < n_out) {
+        std::nth_element(keys.begin(), keys.begin() + kk, keys.end());
+        keys.resize(kk);
+    }
+    std::sort(keys.begin(), keys.end());
+    std::vector<int32_t> docs2(kk);
+    std::vector<float> scores2(kk);
+    for (size_t i = 0; i < kk; i++) {
+        uint32_t u = ~(uint32_t)(keys[i] >> 32);
+        u = (u & 0x80000000u) ? (u & 0x7fffffffu) : ~u;
+        float s;
+        std::memcpy(&s, &u, 4);
+        docs2[i] = (int32_t)(keys[i] & 0xffffffffu);
+        scores2[i] = s;
+    }
+    PyObject* docs_b2 = PyBytes_FromStringAndSize(
+        (const char*)docs2.data(), kk * 4);
+    PyObject* scores_b2 = PyBytes_FromStringAndSize(
+        (const char*)scores2.data(), kk * 4);
+    PyObject* tup = PyTuple_Pack(2, docs_b2, scores_b2);
+    Py_XDECREF(docs_b2);
+    Py_XDECREF(scores_b2);
+    return tup;
+}
+
+// ---------------------------------------------------------------------------
+// Dense doc-major merge for FREQUENT terms (large gathered posting sets).
+//
+// The heap merge above interleaves runs per posting — unpredictable branches
+// cost ~25 ns/posting at multi-million-posting frequent words. This variant
+// is the reference's own structure (Merger's doc-indexed merge statuses,
+// merger.h): a dense [T, cap] accumulator filled run-by-run with ascending-
+// doc streaming writes (branch-free scoring, no interleave), then ONE
+// combine pass over docs folding proximity/must/not/full-match. O(T*cap)
+// memory — the Python router picks it only when G is large enough that the
+// memset amortizes (ft/selector.py DENSE_MIN).
+// ---------------------------------------------------------------------------
+
+PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
+    PyObject *run_start_o, *run_len_o, *run_term_o, *run_w_o, *run_idf_o;
+    PyObject *post_doc_o, *post_field_o, *post_tf_o, *post_minpos_o;
+    PyObject *doc_words_o, *fb_o, *bb_o, *bw_o, *pb_o, *pw_o;
+    PyObject *term_boost_o, *term_lenb_o, *must_o, *notm_o, *field_words_o;
+    double k1, b, avg_len, dist_w, dist_b, fm_boost;
+    long bm25_type, use_prox, n_fields, cap, n_terms, use_fm, merge_k;
+    if (!PyArg_ParseTuple(
+            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl",
+            &run_start_o, &run_len_o, &run_term_o, &run_w_o, &run_idf_o,
+            &post_doc_o, &post_field_o, &post_tf_o, &post_minpos_o,
+            &doc_words_o, &fb_o, &bb_o, &bw_o, &pb_o, &pw_o,
+            &term_boost_o, &term_lenb_o, &must_o, &notm_o,
+            &k1, &b, &avg_len, &bm25_type, &dist_w, &dist_b, &use_prox,
+            &field_words_o, &n_fields, &cap, &n_terms, &use_fm, &fm_boost,
+            &merge_k)) {
+        return nullptr;
+    }
+    PhraseBuf rs_b, rl_b, rt_b, rw_b, ri_b, post_doc_b, post_field_b,
+        post_tf_b, post_minpos_b, doc_words_b, fb_b, bb_b, bw_b, pb_b, pw_b,
+        tb_b, tl_b, must_b, notm_b, fw_b;
+    if (!rs_b.get(run_start_o) || !rl_b.get(run_len_o) ||
+        !rt_b.get(run_term_o) || !rw_b.get(run_w_o) || !ri_b.get(run_idf_o) ||
+        !post_doc_b.get(post_doc_o) || !post_field_b.get(post_field_o) ||
+        !post_tf_b.get(post_tf_o) || !post_minpos_b.get(post_minpos_o) ||
+        !doc_words_b.get(doc_words_o) || !fb_b.get(fb_o) || !bb_b.get(bb_o) ||
+        !bw_b.get(bw_o) || !pb_b.get(pb_o) || !pw_b.get(pw_o) ||
+        !tb_b.get(term_boost_o) || !tl_b.get(term_lenb_o) ||
+        !must_b.get(must_o) || !notm_b.get(notm_o)) {
+        return nullptr;
+    }
+    bool have_fw = field_words_o != Py_None;
+    if (have_fw && !fw_b.get(field_words_o)) return nullptr;
+
+    const int64_t* run_start = (const int64_t*)rs_b.view.buf;
+    const int64_t* run_len = (const int64_t*)rl_b.view.buf;
+    const int32_t* run_term = (const int32_t*)rt_b.view.buf;
+    const float* run_w = (const float*)rw_b.view.buf;
+    const float* run_idf = (const float*)ri_b.view.buf;
+    const int32_t* post_doc = (const int32_t*)post_doc_b.view.buf;
+    const int32_t* post_field = (const int32_t*)post_field_b.view.buf;
+    const float* post_tf = (const float*)post_tf_b.view.buf;
+    const int32_t* post_minpos = (const int32_t*)post_minpos_b.view.buf;
+    const float* doc_words = (const float*)doc_words_b.view.buf;
+    const float* fb = (const float*)fb_b.view.buf;
+    const float* bb = (const float*)bb_b.view.buf;
+    const float* bw = (const float*)bw_b.view.buf;
+    const float* pb = (const float*)pb_b.view.buf;
+    const float* pw = (const float*)pw_b.view.buf;
+    const float* term_boost = (const float*)tb_b.view.buf;
+    const float* term_lenb = (const float*)tl_b.view.buf;
+    const uint8_t* must = (const uint8_t*)must_b.view.buf;
+    const uint8_t* notm = (const uint8_t*)notm_b.view.buf;
+    const int32_t* field_words =
+        have_fw ? (const int32_t*)fw_b.view.buf : nullptr;
+    Py_ssize_t R = rs_b.view.len / 8;
+    Py_ssize_t T = must_b.view.len;
+
+    int n_must = 0;
+    for (Py_ssize_t t = 0; t < T; t++) n_must += must[t] ? 1 : 0;
+
+    const float k1f = (float)k1, bf = (float)b;
+    const float k1p1 = k1f + 1.0f;
+    const float kb_base = k1f * (1.0f - bf);
+    const float kb_scale = k1f * bf / (float)avg_len;
+    const float BIGPOS = 1e9f;
+
+    std::vector<float> acc((size_t)T * cap, 0.f);
+    std::vector<float> mp;
+    if (use_prox) mp.assign((size_t)T * cap, BIGPOS);
+
+    for (Py_ssize_t r = 0; r < R; r++) {
+        int32_t t = run_term[r];
+        float* at = acc.data() + (size_t)t * cap;
+        float* mt = use_prox ? mp.data() + (size_t)t * cap : nullptr;
+        const float rboost = run_w[r] * term_boost[t] * term_lenb[t];
+        const float idf = run_idf[r];
+        const int64_t s0 = run_start[r], e0 = s0 + run_len[r];
+        for (int64_t pi = s0; pi < e0; pi++) {
+            int32_t d = post_doc[pi];
+            int32_t fld = post_field[pi];
+            float tf = post_tf[pi];
+            float wdoc = doc_words[d];
+            wdoc = wdoc < 1.f ? 1.f : wdoc;
+            float bm25;
+            if (bm25_type == 2) {
+                bm25 = tf;
+            } else {
+                float t_freq = (bm25_type == 1) ? tf / wdoc : tf;
+                bm25 = idf * t_freq * k1p1 /
+                       (t_freq + kb_base + kb_scale * wdoc);
+            }
+            float bm25_norm = (1.f - bw[fld]) + bm25 * bb[fld] * bw[fld];
+            float mpf = (float)post_minpos[pi];
+            float posrank =
+                (1.f - pw[fld]) + pos2rank(mpf) * pb[fld] * pw[fld];
+            float sr = fb[fld] * rboost * bm25_norm * posrank;
+            at[d] = sr > at[d] ? sr : at[d];
+            if (mt) mt[d] = mpf < mt[d] ? mpf : mt[d];
+        }
+    }
+
+    // combine pass: per doc, terms ascending (same fold as the heap merge)
+    std::vector<int32_t> out_docs;
+    std::vector<float> out_scores;
+    out_docs.reserve(65536);
+    out_scores.reserve(65536);
+    for (long d = 0; d < cap; d++) {
+        double docsum = 0.0;
+        bool excl = false;
+        int must_cnt = 0, pos_cnt = 0;
+        float carry = 0.f;
+        bool hasp = false;
+        bool any = false;
+        for (Py_ssize_t t = 0; t < T; t++) {
+            float smax = acc[(size_t)t * cap + d];
+            if (smax <= 0.f) continue;
+            any = true;
+            float att = smax;
+            float pmin = use_prox ? mp[(size_t)t * cap + d] : 0.f;
+            if (use_prox && hasp) {
+                float dist = pmin > carry ? pmin - carry : carry - pmin;
+                if (dist < 1.f) dist = 1.f;
+                att = smax * ((float)(1.0 - dist_w) +
+                              (float)(dist_b * dist_w) / dist);
+            }
+            if (!notm[t]) {
+                docsum += att;
+                pos_cnt++;
+                carry = pmin;
+                hasp = true;
+            } else {
+                excl = true;
+            }
+            if (must[t]) must_cnt++;
+        }
+        if (!any || excl || must_cnt != n_must || docsum <= 0.0) continue;
+        if (use_fm && have_fw && pos_cnt == (int)n_terms) {
+            for (long f = 0; f < n_fields; f++) {
+                if (fb[f] > 0.f &&
+                    field_words[f * cap + d] == (int)n_terms) {
+                    docsum *= fm_boost;
+                    break;
+                }
+            }
+        }
+        out_docs.push_back((int32_t)d);
+        out_scores.push_back((float)docsum);
+    }
+
+    size_t n_out = out_docs.size();
+    std::vector<uint64_t> keys(n_out);
+    for (size_t i = 0; i < n_out; i++) {
+        uint32_t u;
+        float s = out_scores[i];
+        std::memcpy(&u, &s, 4);
+        u = (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+        keys[i] = ((uint64_t)(~u) << 32) | (uint32_t)out_docs[i];
+    }
+    size_t kk = merge_k > 0 && (size_t)merge_k < n_out ? (size_t)merge_k
+                                                       : n_out;
+    if (kk < n_out) {
+        std::nth_element(keys.begin(), keys.begin() + kk, keys.end());
+        keys.resize(kk);
+    }
+    std::sort(keys.begin(), keys.end());
+    std::vector<int32_t> docs2(kk);
+    std::vector<float> scores2(kk);
+    for (size_t i = 0; i < kk; i++) {
+        uint32_t u = ~(uint32_t)(keys[i] >> 32);
+        u = (u & 0x80000000u) ? (u & 0x7fffffffu) : ~u;
+        float s;
+        std::memcpy(&s, &u, 4);
+        docs2[i] = (int32_t)(keys[i] & 0xffffffffu);
+        scores2[i] = s;
+    }
+    PyObject* docs_b2 = PyBytes_FromStringAndSize(
+        (const char*)docs2.data(), kk * 4);
+    PyObject* scores_b2 = PyBytes_FromStringAndSize(
+        (const char*)scores2.data(), kk * 4);
+    PyObject* tup = PyTuple_Pack(2, docs_b2, scores_b2);
+    Py_XDECREF(docs_b2);
+    Py_XDECREF(scores_b2);
+    return tup;
+}
+
 PyMethodDef methods[] = {
     {"build_tokens", build_tokens, METH_VARARGS,
      "build_tokens(docs, extra_symbols) -> (vocab, token_ids, doc_ids, "
@@ -532,6 +1005,14 @@ PyMethodDef methods[] = {
     {"score_merge", score_merge, METH_VARARGS,
      "score_merge(...) -> (doc_ids bytes i32, scores bytes f32) — host "
      "BM25 merge of gathered postings (mergerimpl.h:95-124 analog)"},
+    {"score_merge_runs", score_merge_runs, METH_VARARGS,
+     "score_merge_runs(...) -> (doc_ids bytes i32, scores bytes f32) — "
+     "sort-free k-way merge over presorted per-variant posting runs with "
+     "in-C top-merge_k (mergerimpl.h:95-124 analog)"},
+    {"score_merge_dense", score_merge_dense, METH_VARARGS,
+     "score_merge_dense(...) -> (doc_ids bytes i32, scores bytes f32) — "
+     "dense [T, cap] doc-major merge for frequent terms (merger.h merge "
+     "statuses analog); same args as score_merge_runs"},
     {"verify_phrases", verify_phrases, METH_VARARGS,
      "verify_phrases(post_doc, post_field, pos_start, pos_flat, docs, "
      "slot_ranges, dist) -> bytes mask"},

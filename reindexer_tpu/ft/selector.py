@@ -107,8 +107,13 @@ class FtSelector:
         if not any(variants):
             return None
 
-        # --- build gather arrays over posting CSR ranges
-        g_idx_parts, g_term_parts, g_w_parts, g_idf_parts = [], [], [], []
+        # --- collect per-(term, variant-word) posting runs. Each run is a
+        # CONTIGUOUS doc-sorted CSR range [start, start+len) — the host merge
+        # (csrc score_merge_runs) consumes them sort-free, and the device
+        # gather arrays materialize lazily from them (_gather_arrays) only
+        # when a device path actually runs.
+        run_start_p, run_len_p, run_term_p = [], [], []
+        run_w_p, run_idf_p = [], []
         matched_words: set = set()
         bm25_type = cfg.bm25.bm25_type
         for t_idx, var in enumerate(variants):
@@ -126,17 +131,17 @@ class FtSelector:
             if terms[t_idx].op != "not":
                 for w in wids:
                     matched_words.add(h.words[w])
-            idx = np.concatenate(
-                [np.arange(s, e, dtype=np.int32)
-                 for s, e in zip(starts, ends) if e > s]) if total else \
-                np.empty(0, dtype=np.int32)
-            g_idx_parts.append(idx)
-            g_term_parts.append(np.full(total, t_idx, dtype=np.int32))
-            g_w_parts.append(np.repeat(procs / 100.0, lens))
-            g_idf_parts.append(np.repeat(idfs, lens))
+            nz = lens > 0
+            run_start_p.append(starts[nz].astype(np.int64))
+            run_len_p.append(lens[nz])
+            run_term_p.append(np.full(int(nz.sum()), t_idx, dtype=np.int32))
+            run_w_p.append((procs[nz] / 100.0).astype(np.float32))
+            run_idf_p.append(idfs[nz].astype(np.float32))
 
-        if not g_idx_parts:
+        if not run_start_p:
             return None
+        run_start = np.concatenate(run_start_p)
+        run_len = np.concatenate(run_len_p)
         n_terms = len(terms)
         term_boost = np.ones(n_terms, dtype=np.float32)
         term_lenb = np.ones(n_terms, dtype=np.float32)
@@ -150,13 +155,30 @@ class FtSelector:
         return {
             "terms": terms, "variants": variants,
             "matched_words": matched_words,
-            "g_idx": np.concatenate(g_idx_parts),
-            "g_term": np.concatenate(g_term_parts),
-            "g_w": np.concatenate(g_w_parts),
-            "g_idf": np.concatenate(g_idf_parts),
+            "run_start": run_start, "run_len": run_len,
+            "run_term": np.concatenate(run_term_p),
+            "run_w": np.concatenate(run_w_p),
+            "run_idf": np.concatenate(run_idf_p),
+            "G": int(run_len.sum()),
             "term_boost": term_boost, "term_lenb": term_lenb,
             "must": must, "notm": notm,
         }
+
+    @staticmethod
+    def _gather_arrays(prep: dict) -> dict:
+        """Materialize the flat device gather arrays (g_idx/g_term/g_w/g_idf)
+        from the posting runs; cached in the prep dict (host-merge queries
+        never pay this)."""
+        if "g_idx" not in prep:
+            rs, rl = prep["run_start"], prep["run_len"]
+            prep["g_idx"] = (
+                np.concatenate([np.arange(s, s + l, dtype=np.int32)
+                                for s, l in zip(rs, rl)])
+                if len(rs) else np.empty(0, dtype=np.int32))
+            prep["g_term"] = np.repeat(prep["run_term"], rl)
+            prep["g_w"] = np.repeat(prep["run_w"], rl).astype(np.float32)
+            prep["g_idf"] = np.repeat(prep["run_idf"], rl).astype(np.float32)
+        return prep
 
     def process_query(self, q: FtDslQuery, normalize: bool = True,
                       _prep: Optional[dict] = None) -> FtSelectResult:
@@ -172,15 +194,21 @@ class FtSelector:
         variants = prep["variants"]
         matched_words = prep["matched_words"]
 
-        g_idx, g_term = prep["g_idx"], prep["g_term"]
-        g_w, g_idf = prep["g_w"], prep["g_idf"]
-        gpad = _pad_pow2(len(g_idx))
-        pad = gpad - len(g_idx)
-        if pad:
-            g_idx = np.concatenate([g_idx, np.zeros(pad, dtype=np.int32)])
-            g_term = np.concatenate([g_term, np.zeros(pad, dtype=np.int32)])
-            g_w = np.concatenate([g_w, np.zeros(pad, dtype=np.float32)])
-            g_idf = np.concatenate([g_idf, np.zeros(pad, dtype=np.float32)])
+        def _padded_gather():
+            self._gather_arrays(prep)
+            g_idx, g_term = prep["g_idx"], prep["g_term"]
+            g_w, g_idf = prep["g_w"], prep["g_idf"]
+            gpad = _pad_pow2(len(g_idx))
+            pad = gpad - len(g_idx)
+            if pad:
+                g_idx = np.concatenate([g_idx,
+                                        np.zeros(pad, dtype=np.int32)])
+                g_term = np.concatenate([g_term,
+                                         np.zeros(pad, dtype=np.int32)])
+                g_w = np.concatenate([g_w, np.zeros(pad, dtype=np.float32)])
+                g_idf = np.concatenate([g_idf,
+                                        np.zeros(pad, dtype=np.float32)])
+            return g_idx, g_term, g_w, g_idf
 
         # --- per-term parameter vectors padded to a shape bucket
         t_count = _pad_pow2(len(terms), 2)
@@ -229,6 +257,7 @@ class FtSelector:
                 if name in sum_fields:
                     sum_mask[i] = True
             from .scorer import score_and_merge_fielded
+            g_idx, g_term, g_w, g_idf = _padded_gather()
             scores, docs = score_and_merge_fielded(
                 jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
                 jnp.asarray(g_idf),
@@ -253,6 +282,7 @@ class FtSelector:
                 fn = score_and_merge
             else:
                 from .scorer import score_and_merge_sorted as fn
+            g_idx, g_term, g_w, g_idf = _padded_gather()
             scores, docs = fn(
                 jnp.asarray(g_idx), jnp.asarray(g_term), jnp.asarray(g_w),
                 jnp.asarray(g_idf),
@@ -300,27 +330,40 @@ class FtSelector:
     # ~2e6 (measured round 2 on the 1M-doc zipf corpus) vs ~600ms for the
     # 2^21-wide device sort through the tunnel — host wins through 2M.
     # Deployments with a local (non-tunneled) chip can lower this.
-    HOST_SCORE_MAX = int(os.environ.get("RX_FT_HOST_MAX", str(1 << 21)))
+    HOST_SCORE_MAX = int(os.environ.get("RX_FT_HOST_MAX", str(1 << 23)))
+    # above this many gathered postings the dense [T, cap] doc-major merge
+    # beats the k-way heap merge (branchy interleave ~25ns/posting vs
+    # streaming writes ~5ns + an O(cap) combine pass)
+    DENSE_MIN = int(os.environ.get("RX_FT_DENSE_MIN", str(1 << 17)))
 
     def _score_host(self, q, prep, merge_k: int, use_prox: bool,
                     use_fm: bool, n_pos_terms: int):
         from .dataholder import _native_module
         native = _native_module()
-        if native is None or not hasattr(native, "score_merge"):
+        if native is None or not hasattr(native, "score_merge_runs"):
             return None
-        g_idx = prep["g_idx"]
-        if len(g_idx) > self.HOST_SCORE_MAX:
+        if prep["G"] > self.HOST_SCORE_MAX:
             return None
         h, cfg = self.holder, self.cfg
+        # dense merge when postings dwarf the per-doc combine/memset cost
+        # and the [T, cap] accumulator stays modest
+        t_real = len(prep["must"])
+        entry = native.score_merge_runs
+        if (prep["G"] >= self.DENSE_MIN
+                and hasattr(native, "score_merge_dense")
+                and prep["G"] >= h.total_docs // 4
+                and t_real * h.total_docs <= (1 << 26)):
+            entry = native.score_merge_dense
         fb, bb, bw, pb, pw = self._field_params(q)
         bm25_code = {"rx": 0, "classic": 1, "word_count": 2}.get(
             cfg.bm25.bm25_type, 0)
         fw = np.ascontiguousarray(h.field_words, dtype=np.int32)
-        docs_raw, scores_raw = native.score_merge(
-            np.ascontiguousarray(g_idx, np.int32),
-            np.ascontiguousarray(prep["g_term"], np.int32),
-            np.ascontiguousarray(prep["g_w"], np.float32),
-            np.ascontiguousarray(prep["g_idf"], np.float32),
+        docs_raw, scores_raw = entry(
+            np.ascontiguousarray(prep["run_start"], np.int64),
+            np.ascontiguousarray(prep["run_len"], np.int64),
+            np.ascontiguousarray(prep["run_term"], np.int32),
+            np.ascontiguousarray(prep["run_w"], np.float32),
+            np.ascontiguousarray(prep["run_idf"], np.float32),
             h.post_doc, h.post_field, h.post_tf, h.post_minpos,
             h.doc_words,
             np.ascontiguousarray(fb, np.float32),
@@ -338,11 +381,10 @@ class FtSelector:
             1 if use_prox else 0,
             fw, int(fw.shape[0]), int(fw.shape[1]),
             int(n_pos_terms), 1 if use_fm else 0,
-            float(cfg.full_match_boost))
+            float(cfg.full_match_boost), int(merge_k))
         docs = np.frombuffer(docs_raw, dtype=np.int32)
         scores = np.frombuffer(scores_raw, dtype=np.float32)
-        order = np.argsort(-scores, kind="stable")[:merge_k]
-        return scores[order], docs[order]
+        return scores, docs
 
     # ------------------------------------------------------------------
     def process_batch(self, dsls: list[str]) -> list[FtSelectResult]:
@@ -368,10 +410,10 @@ class FtSelector:
         # skew: median G ~1e2, max ~1e6) taxes the whole batch
         from .dataholder import _native_module
         native = _native_module()
-        host_ok = native is not None and hasattr(native, "score_merge")
+        host_ok = native is not None and hasattr(native, "score_merge_runs")
         small, big = [], []
         for i in live:
-            if host_ok and len(preps[i]["g_idx"]) <= self.HOST_SCORE_MAX:
+            if host_ok and preps[i]["G"] <= self.HOST_SCORE_MAX:
                 small.append(i)
             else:
                 big.append(i)
@@ -379,8 +421,7 @@ class FtSelector:
         out: list[Optional[FtSelectResult]] = [empty] * len(queries)
         buckets: dict[int, list[int]] = {}
         for i in big:
-            buckets.setdefault(_pad_pow2(len(preps[i]["g_idx"])),
-                               []).append(i)
+            buckets.setdefault(_pad_pow2(preps[i]["G"]), []).append(i)
         dev = h.device_arrays() if big else None
         import jax.numpy as jnp
         fb = bb = bw = pb = pw = None
@@ -433,6 +474,8 @@ class FtSelector:
         import jax.numpy as jnp
         cfg = self.cfg
         h = self.holder
+        for i in live:
+            self._gather_arrays(preps[i])
         G = _pad_pow2(max(len(preps[i]["g_idx"]) for i in live))
         g_idx = np.zeros((n_q, G), np.int32)
         g_term = np.zeros((n_q, G), np.int32)
@@ -487,7 +530,7 @@ class FtSelector:
         notm = np.zeros(n_q * t_count, dtype=np.bool_)
         n_pos = np.full(n_q, -1, dtype=np.int32)   # -1: never full-matches
         for j, i in enumerate(live):           # row j <-> query live[j]
-            p = preps[i]
+            p = self._gather_arrays(preps[i])
             n_pos[j] = int((~p["notm"]).sum()) or -1
             off = j * t_count
             parts_idx.append(p["g_idx"])

@@ -1,0 +1,438 @@
+"""Fused brute-force KNN with IN-KERNEL selection (v2 scan).
+
+Replaces the v1 two-piece design (ops/pallas_scan.py: Pallas sweep
+materializing [Q, N] partial scores + a ~0.4 ms XLA selection epilogue) with
+two kernels whose total HBM traffic is two reads of the base — the epilogue
+runs entirely in VMEM:
+
+  sweep A   base (f32, or SQ8 codes at 1/4 the bytes) -> per-64-row block
+            maxima  bmax f32[Q, N/64]   (tiny write)
+  sweep B   ONE kernel: (1) step 0 radix-selects a per-query block threshold
+            from bmax (32-bit monotone-int bisection, VMEM-only) and ranks
+            surviving blocks by a roll-based prefix sum; (2) every grid step
+            recomputes the tile's exact scores (FLOPs are free — the sweep is
+            HBM-bound) and compacts surviving blocks into a [Q, 64, S]
+            candidate buffer with a rank-one-hot MXU contraction (gathers are
+            the TPU anti-pattern; matmuls are the pattern); (3) the last step
+            runs a fine per-8 stage (same radix + one-hot machinery) and an
+            iterative top-k extraction, emitting [Q, k] scores/ids directly.
+
+Exactness: any row in the true top-k lives in a block whose max >= the k-th
+best score, and at most k blocks satisfy that (distinct scores), so keeping
+the top-(k+margin) blocks by bmax is a superset (margin absorbs sweep-A vs
+sweep-B rounding, as v1's MARGIN did). The SQ8 path thresholds with a
+CERTIFIED per-query error bound eps = fac * sum_d |q_d| * e_d (e_d = max
+per-dim dequantization error, tracked at quantize time), then scores
+candidates EXACTLY from the fp32 base — quantization accelerates the scan
+without giving up the exact-top-k contract (the reference compensates with
+per-vector corrective offsets instead: scalar_quantization/quantizer.h:11-75).
+Ties/eps can overflow the S-slot capacity; the kernel then raises an output
+flag and the caller reruns the v1 path (astronomically rare for fp32).
+
+Replaces the same reference path as v1: tools/distances/l2_dist.cc:38-280 +
+heap select (hnswlib/bruteforce.cc).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.type_consts import VectorMetric
+from .pallas_scan import _dot3, _dot2, _pad_queries
+
+SENT = -1e30                 # in-kernel invalid/empty sentinel (NEVER -inf:
+                             # 0 * -inf = NaN in the one-hot contractions)
+SENT_HALF = -5e29
+BLK = 64                     # selection block (rows per bmax entry)
+TILE = 2048                  # base rows per grid step
+GL = TILE // BLK             # blocks per tile
+S_SLOTS = 128                # compacted block capacity (>= k + margin)
+S2 = 128                     # fine-stage slot capacity
+MARGIN = 4                   # sweep-A vs sweep-B rounding absorption
+INT_MIN = np.int32(-2147483648)
+
+
+def _key_i32(x):
+    """Monotone f32 -> signed i32 map (float order == int order)."""
+    s = pltpu.bitcast(x, jnp.int32)
+    return jnp.where(s >= 0, s, INT_MIN - s)
+
+
+def _unkey_f32(m):
+    s = jnp.where(m >= 0, m, INT_MIN - m)
+    return pltpu.bitcast(s, jnp.float32)
+
+
+def _radix_kth(keys, kth, axis):
+    """Value of the `kth`-largest element of `keys` (f32) along `axis`
+    (keepdims), via 32-step bisection on the monotone-int image. Exact:
+    count(keys >= result) >= kth, and result is the largest such value."""
+    m = _key_i32(keys)
+    shape = list(keys.shape)
+    shape[axis] = 1
+    u0 = jnp.zeros(shape, jnp.int32)
+
+    def step(j, u):
+        bitv = jnp.left_shift(jnp.int32(1), 31 - j)
+        u_try = jnp.bitwise_or(u, bitv)
+        mt = jnp.bitwise_xor(u_try, INT_MIN)
+        cnt = jnp.sum(jnp.where(m >= mt, 1.0, 0.0), axis=axis,
+                      keepdims=True)
+        return jnp.where(cnt >= kth, u_try, u)
+
+    u = jax.lax.fori_loop(0, 32, step, u0)
+    return _unkey_f32(jnp.bitwise_xor(u, INT_MIN))
+
+
+def _prefix_lanes(x, axis):
+    """Inclusive prefix sum along a lane axis via log-step rolls."""
+    n = x.shape[axis]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    sh = 1
+    while sh < n:
+        rolled = pltpu.roll(x, sh, axis=axis)
+        x = x + jnp.where(lanes >= sh, rolled, 0.0)
+        sh *= 2
+    return x
+
+
+def _scores_tile(tile, q, metric):
+    """Exact transposed scores s_t f32[T, Q]: 2*q.b - |b|^2 for L2 (the
+    per-query -|q|^2 completion is rank-invariant, added by the wrapper),
+    q.b for IP/cosine. Zeroed (invalid) rows -> SENT."""
+    dots_t = _dot3(tile, q)                       # [T, Q]
+    sumsq = jnp.sum(tile * tile, axis=1, keepdims=True)
+    s_t = (2.0 * dots_t - sumsq) if metric == VectorMetric.L2 else dots_t
+    return jnp.where(sumsq > 0.0, jnp.maximum(s_t, SENT), SENT)
+
+
+# ---------------------------------------------------------------------------
+# sweep A: block maxima only
+# ---------------------------------------------------------------------------
+
+def _make_bmax_kernel(metric):
+    def _kernel(q_ref, base_ref, bmax_ref):
+        s_t = _scores_tile(base_ref[:], q_ref[:], metric)
+        bm = jnp.max(s_t.reshape(GL, BLK, s_t.shape[1]), axis=1)  # [GL, Q]
+        bmax_ref[:] = bm.T                                        # [Q, GL]
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def sweep_bmax(queries, base, metric, interpret=False):
+    """bmax f32[Q, N/BLK] from one base read (no ps materialization)."""
+    n, d = base.shape
+    Qn = queries.shape[0]
+    return pl.pallas_call(
+        _make_bmax_kernel(metric),
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Qn, GL), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Qn, n // BLK), jnp.float32),
+        interpret=interpret,
+    )(queries, base)
+
+
+def _make_bmax_sq8_kernel(metric):
+    l2 = metric == VectorMetric.L2
+
+    def _kernel(qa_ref, shift_ref, codes_ref, sqe_ref, bmax_ref):
+        c = codes_ref[:].astype(jnp.int32).astype(jnp.float32)
+        dots_t = _dot2(c, qa_ref[:])                       # [T, Q]
+        s_t = (2.0 * dots_t if l2 else dots_t) - sqe_ref[:]
+        s_t = jnp.maximum(s_t + shift_ref[:], SENT)
+        bm = jnp.max(s_t.reshape(GL, BLK, s_t.shape[1]), axis=1)
+        bmax_ref[:] = bm.T
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def sweep_bmax_sq8(q_alpha, shift, codes, sq_eff, metric, interpret=False):
+    """Quantized bmax from the uint8 codes (1/4 the HBM bytes of fp32).
+    `shift` f32[1, Q] = fac * q.lo aligns the affine-code scores with the
+    exact fp32 scores so one eps bound covers the difference; sq_eff is the
+    EXACT |b|^2 (+big for invalid rows)."""
+    n, d = codes.shape
+    Qn = q_alpha.shape[0]
+    return pl.pallas_call(
+        _make_bmax_sq8_kernel(metric),
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Qn, GL), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Qn, n // BLK), jnp.float32),
+        interpret=interpret,
+    )(q_alpha, shift, codes, sq_eff[:, None])
+
+
+# ---------------------------------------------------------------------------
+# sweep B: threshold + compaction + fine select + extraction, one kernel
+# ---------------------------------------------------------------------------
+
+def _make_select_kernel(n, k, metric, Qn):
+    G = n // BLK
+    n_tiles = n // TILE
+    kb = float(min(k + MARGIN, G))      # blocks to keep (threshold rank)
+    kf = float(min(k + MARGIN, 8 * S_SLOTS))
+    log_s = S_SLOTS.bit_length() - 1
+
+    def _kernel(q_ref, eps_ref, bmaxf_ref, base_ref, out_s_ref, out_i_ref,
+                flag_ref, rank_gq, count_s, cand, kid):
+        i = pl.program_id(0)
+
+        # ---- step 0: threshold + global block ranks (VMEM only)
+        @pl.when(i == 0)
+        def _():
+            bm = bmaxf_ref[:]                                  # [Q, G]
+            tau = _radix_kth(bm, kb, axis=1)                   # [Q, 1]
+            mask = jnp.where(
+                (bm >= tau - eps_ref[:]) & (bm > SENT_HALF), 1.0, 0.0)
+            incl = _prefix_lanes(mask, axis=1)
+            count_s[:] = incl[:, G - 1:G]
+            # unmasked blocks get rank >= S_SLOTS -> dropped by the one-hot
+            rank = jnp.where(mask > 0.0, incl - mask,
+                             jnp.float32(S_SLOTS))
+            rank_gq[:] = rank.T                                # [G, Q]
+            cand[:] = jnp.zeros_like(cand)
+            kid[:] = jnp.zeros_like(kid)
+
+        # ---- every step: exact scores + rank-one-hot compaction
+        s_t = _scores_tile(base_ref[:], q_ref[:], metric)      # [T, Q]
+        x = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))  # [Q, c, gl]
+        rk = rank_gq[pl.ds(i * GL, GL), :].T                   # [Q, GL]
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (Qn, GL, S_SLOTS), 2)
+        sel_f = (rk[:, :, None].astype(jnp.int32) == s_iota).astype(
+            jnp.float32)                                       # [Q, GL, S]
+        sel_b = sel_f.astype(jnp.bfloat16)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        cand[:] += jax.lax.dot_general(
+            x_hi, sel_b, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        cand[:] += jax.lax.dot_general(
+            x_lo, sel_b, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        gval = (jnp.float32(i * GL)
+                + jax.lax.broadcasted_iota(jnp.float32, (Qn, 1, GL), 2))
+        kid[:] += jax.lax.dot_general(
+            gval, sel_f, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+
+        # ---- last step: fine stage + extraction
+        @pl.when(i == n_tiles - 1)
+        def _():
+            count = count_s[:]                                  # [Q, 1]
+            # lane layout [Q, 8, 8*S]: lane l = fine-group (f = l >> log_s,
+            # slot s = l & (S-1)); sublane c2 = row within the 8-group
+            cc = jnp.concatenate(
+                [cand[:, f * 8:(f + 1) * 8, :] for f in range(8)], axis=2)
+            lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (Qn, 8, 8 * S_SLOTS), 2)
+            slot_l = jnp.bitwise_and(lanes, S_SLOTS - 1)
+            valid = slot_l.astype(jnp.float32) < count[:, :, None]
+            ccv = jnp.where(valid, cc, SENT)
+            kidrep = jnp.concatenate([kid] * 8, axis=2)        # [Q, 1, 8S]
+            f_l = jnp.right_shift(lanes, log_s).astype(jnp.float32)
+            c2 = jax.lax.broadcasted_iota(
+                jnp.float32, (Qn, 8, 8 * S_SLOTS), 1)
+            rid = kidrep * float(BLK) + f_l * 8.0 + c2         # [Q, 8, 8S]
+
+            fgm = jnp.max(ccv, axis=1, keepdims=True)          # [Q, 1, 8S]
+            tau2 = _radix_kth(fgm, kf, axis=2)                 # [Q, 1, 1]
+            mask2 = jnp.where((fgm >= tau2) & (fgm > SENT_HALF), 1.0, 0.0)
+            incl2 = _prefix_lanes(mask2, axis=2)
+            count2 = incl2[:, :, 8 * S_SLOTS - 1:]             # [Q, 1, 1]
+            rank2 = jnp.where(mask2 > 0.0, incl2 - mask2,
+                              jnp.float32(S2))                 # [Q, 1, 8S]
+
+            # second compaction, chunked over the 8S lanes
+            out2 = jnp.zeros((Qn, 8, S2), jnp.float32)
+            ridc = jnp.zeros((Qn, 8, S2), jnp.float32)
+            s2_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (Qn, S_SLOTS, S2), 2)
+            for ch in range(8):
+                lo, hi = ch * S_SLOTS, (ch + 1) * S_SLOTS
+                r2c = rank2[:, 0, lo:hi]                       # [Q, S]
+                sel2 = (r2c[:, :, None].astype(jnp.int32) == s2_iota
+                        ).astype(jnp.float32)                  # [Q, S, S2]
+                sel2b = sel2.astype(jnp.bfloat16)
+                xc = ccv[:, :, lo:hi]                          # [Q, 8, S]
+                xh = xc.astype(jnp.bfloat16)
+                xl = (xc - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+                out2 += jax.lax.dot_general(
+                    xh, sel2b, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                out2 += jax.lax.dot_general(
+                    xl, sel2b, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                ridc += jax.lax.dot_general(
+                    rid[:, :, lo:hi], sel2, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+            s2l = jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 2)
+            out2 = jnp.where(s2l.astype(jnp.float32) < count2, out2, SENT)
+
+            # iterative top-k extraction (lowest flat position on ties)
+            pos = (jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 1) * S2
+                   + s2l)
+            kl = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, out_s_ref.shape[2]), 2)
+
+            def ext(j, carry):
+                o2, rs, ri = carry
+                m1 = jnp.max(o2, axis=1, keepdims=True)
+                m = jnp.max(m1, axis=2, keepdims=True)         # [Q, 1, 1]
+                hit = o2 == m
+                p1 = jnp.min(jnp.where(hit, pos, jnp.int32(1 << 30)),
+                             axis=1, keepdims=True)
+                p = jnp.min(p1, axis=2, keepdims=True)         # [Q, 1, 1]
+                at = pos == p
+                rv1 = jnp.sum(jnp.where(at, ridc, 0.0), axis=1,
+                              keepdims=True)
+                rv = jnp.sum(rv1, axis=2, keepdims=True)       # [Q, 1, 1]
+                sel_j = kl == j
+                rs = jnp.where(sel_j, m, rs)
+                ri = jnp.where(sel_j, rv, ri)
+                o2 = jnp.where(at, SENT, o2)
+                return o2, rs, ri
+
+            rs0 = jnp.full((Qn, 1, out_s_ref.shape[2]), SENT, jnp.float32)
+            ri0 = jnp.zeros((Qn, 1, out_s_ref.shape[2]), jnp.float32)
+            _, rs, ri = jax.lax.fori_loop(0, k, ext, (out2, rs0, ri0))
+            out_s_ref[:] = rs
+            out_i_ref[:] = ri.astype(jnp.int32)
+            over = jnp.maximum(count - float(S_SLOTS),
+                               count2[:, :, 0] - float(S2))    # [Q, 1]
+            flag_ref[:] = jnp.max(over, axis=0, keepdims=True)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret"))
+def select_sweep(queries, base, bmax, eps, k, metric, interpret=False):
+    """Exact top-k from (bmax, eps) candidates + one fp32 base sweep.
+
+    queries f32[Qn, D] (pow2-padded), base f32[N, D] (invalid rows zeroed),
+    bmax f32[Qn, N/64] from sweep_bmax / sweep_bmax_sq8, eps f32[Qn, 1]
+    (0 when bmax is exact; the certified score-error bound otherwise).
+    Returns (scores f32[Qn, KPAD], ids i32[Qn, KPAD], flag f32[1, 1]);
+    flag > 0 => slot capacity overflow, caller must use the v1 path.
+    Scores are the uncorrected s_t form (L2: 2 q.b - |b|^2)."""
+    n, d = base.shape
+    Qn = queries.shape[0]
+    kpad = 128
+    return pl.pallas_call(
+        _make_select_kernel(n, k, metric, Qn),
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qn, n // BLK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Qn, 1, kpad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qn, 1, kpad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Qn, 1, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((Qn, 1, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n // BLK, Qn), jnp.float32),   # rank_gq
+            pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
+            pltpu.VMEM((Qn, BLK, S_SLOTS), jnp.float32),  # cand
+            pltpu.VMEM((Qn, 1, S_SLOTS), jnp.float32),    # kid
+        ],
+        interpret=interpret,
+    )(queries, eps, bmax, base)
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def _finish_v2(s3, i3, flag, k, Q_in, corr):
+    s = s3[:, 0, :k]
+    ids = i3[:, 0, :k]
+    ids = jnp.where(s > SENT_HALF, ids, -1)
+    s = jnp.where(ids >= 0, s + corr, -jnp.inf)
+    return s[:Q_in], ids[:Q_in], flag[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret"))
+def knn_scan_fused_v2(queries, base, k, metric, interpret=False):
+    """Exact top-k, two base sweeps, zero XLA epilogue. Same result contract
+    as pallas_scan.knn_scan_fused (higher-better scores, -inf/-1 padded)
+    plus an overflow flag (0.0 in the overwhelmingly common case)."""
+    qf = _pad_queries(queries)
+    bmax = sweep_bmax(qf, base, metric, interpret)
+    eps = jnp.zeros((qf.shape[0], 1), jnp.float32)
+    s3, i3, flag = select_sweep(qf, base, bmax, eps, k, metric, interpret)
+    corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
+            if metric == VectorMetric.L2 else jnp.float32(0.0))
+    return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret"))
+def knn_scan_sq8_v2(queries, codes, lo, alpha, err_dims, sq_eff, base, k,
+                    metric, interpret=False):
+    """EXACT top-k at SQ8 scan cost: the threshold sweep reads the uint8
+    codes (1/4 the HBM bytes); candidates are scored exactly from the fp32
+    base in sweep B. err_dims f32[D] = max per-dim |b - dequant(b)| over
+    valid rows (QuantizedStore tracks it); the threshold widens by
+    eps = fac * sum_d |q_d| * err_d, a certified bound on the quantized-vs-
+    exact score difference, so the kept-block set provably covers the true
+    top-k. Returns (scores, ids, flag) like knn_scan_fused_v2."""
+    qf = _pad_queries(queries)
+    fac = 2.0 if metric == VectorMetric.L2 else 1.0
+    q_alpha = qf * alpha[None, :]
+    shift = fac * jnp.dot(qf, lo,
+                          preferred_element_type=jnp.float32)[None, :]
+    eps = fac * jnp.sum(jnp.abs(qf) * err_dims[None, :], axis=1,
+                        keepdims=True)
+    bmax = sweep_bmax_sq8(q_alpha, shift, codes, sq_eff, metric, interpret)
+    s3, i3, flag = select_sweep(qf, base, bmax, eps, k, metric, interpret)
+    corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
+            if metric == VectorMetric.L2 else jnp.float32(0.0))
+    return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)
+
+
+def v2_available(n: int, dims: int, k: int, n_queries: int) -> bool:
+    """Geometry gate for the v2 path (callers must also hold the
+    zeroed-invalid-rows contract — the vector keeper does)."""
+    import os
+    if os.environ.get("RX_TPU_FUSED_V2", "") in ("0", "false"):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    Qn = 8
+    while Qn < n_queries:
+        Qn *= 2
+    return (n % TILE == 0 and dims % 128 == 0 and Qn <= 128
+            and k + MARGIN <= S_SLOTS and (k + MARGIN) * BLK * 2 < n)

@@ -191,3 +191,74 @@ def test_native_score_merge_parity(rng):
         assert a.ids.tolist() == b.ids.tolist(), f"doc parity broke: {q!r}"
         np.testing.assert_allclose(a.ranks, b.ranks, rtol=1e-4,
                                    err_msg=f"rank parity broke: {q!r}")
+
+
+def test_native_merge_three_way_parity(rng):
+    """score_merge_dense == score_merge_runs == device sorted scorer on a
+    corpus large enough to trip the dense router, across query shapes that
+    exercise must/not/proximity/fullmatch and multi-variant merges."""
+    import numpy as np
+    from reindexer_tpu.ft.config import FtFastConfig
+    from reindexer_tpu.ft.dataholder import FtDataHolder
+    from reindexer_tpu.ft.dsl import parse_ft_dsl
+    from reindexer_tpu.ft.selector import FtSelector
+
+    words = [f"w{i}" for i in range(40)] + ["frequent", "also"]
+    docs = []
+    for i in range(600):
+        toks = ["frequent"] if i % 2 == 0 else []
+        if i % 3 == 0:
+            toks.append("also")
+        toks += list(rng.choice(words[:40], size=rng.integers(2, 9)))
+        docs.append((i, [" ".join(toks)]))
+    cfg = FtFastConfig()
+    holder = FtDataHolder(cfg, ["text"])
+    holder.build(docs, 600)
+    if holder.native_module() is None or \
+            not hasattr(holder.native_module(), "score_merge_dense"):
+        import pytest
+        pytest.skip("no compiler for the native module")
+    sel = FtSelector(holder, cfg)
+    queries = ["frequent", "frequent also", "frequent -w1", "+frequent +also",
+               "frequent w2 w3", "w1*"]
+    variants = {}
+    for qs in queries:
+        q = parse_ft_dsl(qs)
+        prep = sel._prepare(q)
+        t = len(prep["must"])
+        dense = sel._score_host(q, prep, merge_k=100, use_prox=t > 1,
+                                use_fm=True, n_pos_terms=t)
+        saved = FtSelector.DENSE_MIN
+        try:
+            FtSelector.DENSE_MIN = 1 << 60     # force the heap-runs merge
+            runs = sel._score_host(q, prep, merge_k=100, use_prox=t > 1,
+                                   use_fm=True, n_pos_terms=t)
+        finally:
+            FtSelector.DENSE_MIN = saved
+        variants[qs] = (dense, runs)
+    # force the dense router for every query size in this test
+    saved_min = FtSelector.DENSE_MIN
+    saved_max = FtSelector.HOST_SCORE_MAX
+    try:
+        FtSelector.DENSE_MIN = 0
+        for qs, (dense, runs) in variants.items():
+            assert runs is not None
+            q = parse_ft_dsl(qs)
+            prep = sel._prepare(q)
+            t = len(prep["must"])
+            dense2 = sel._score_host(q, prep, merge_k=100, use_prox=t > 1,
+                                     use_fm=True, n_pos_terms=t)
+            assert dense2[1].tolist() == runs[1].tolist(), qs
+            np.testing.assert_allclose(dense2[0], runs[0], rtol=1e-5,
+                                       err_msg=qs)
+        # device parity end-to-end (docs + normalized ranks)
+        host_res = [sel.process(qs) for qs in queries]
+        FtSelector.HOST_SCORE_MAX = 0
+        dev_res = [sel.process(qs) for qs in queries]
+    finally:
+        FtSelector.DENSE_MIN = saved_min
+        FtSelector.HOST_SCORE_MAX = saved_max
+    for qs, a, b in zip(queries, host_res, dev_res):
+        assert a.ids.tolist() == b.ids.tolist(), f"doc parity broke: {qs!r}"
+        np.testing.assert_allclose(a.ranks, b.ranks, rtol=1e-4,
+                                   err_msg=f"rank parity broke: {qs!r}")
