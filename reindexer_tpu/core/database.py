@@ -309,9 +309,16 @@ class Reindexer:
         index = ns.get_index(field)
         if idef is None or not idef.is_vector or index is None:
             raise QueryError(f"'{field}' is not a float_vector index")
+        # two-phase serving: the namespace lock covers only the device
+        # DISPATCH (async through the tunnel); the blocking readback runs
+        # unlocked so N concurrent clients overlap their device RTTs
+        # (reference analog: per-connection coroutines never serialize the
+        # server on one query, net/cproto/serverconnection.cc)
         with ns.lock:
-            results = index.select_batch(np.asarray(queries,
-                                                    dtype=np.float32), params)
+            drain = index.select_batch_async(
+                np.asarray(queries, dtype=np.float32), params)
+        results = drain()
+        with ns.lock:
             out = []
             for res in results:
                 items = []
@@ -356,7 +363,13 @@ class Reindexer:
                 from ..ft.selector import FtSelector
                 if index._selector is None:
                     index._selector = FtSelector(index.holder, index.cfg)
-                results = index._selector.process_batch(list(dsls))
+                # the committed holder is an immutable snapshot (rebuilds
+                # replace the object) — release the namespace lock while
+                # the batch scores so concurrent requests overlap device
+                # dispatches and host merges (see Namespace.unlocked)
+                sel = index._selector
+                with ns.unlocked():
+                    results = sel.process_batch(list(dsls))
             out = []
             for res in results:
                 items = []

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import threading
 import time
+from contextlib import contextmanager
 from typing import Any, Callable, Iterable, Optional
 
 import numpy as np
@@ -74,6 +75,39 @@ class Namespace:
         self.schema: Optional[dict] = None  # JSON schema (reference SetSchema)
         # WAL observer hooks: fn(op, payload) — wired by storage/replication
         self.wal_hooks: list[Callable[[str, dict], None]] = []
+
+    @contextmanager
+    def unlocked(self):
+        """Temporarily release ALL of this thread's holds on the namespace
+        lock (and reacquire on exit). Used to overlap device round-trips in
+        serving: device dispatch is async through the tunnel, so dropping
+        the lock only for the blocking readback lets N concurrent clients
+        pipeline their queries (the reference's per-connection coroutines
+        never serialize the server on one query — cproto/serverconnection.cc).
+
+        Isolation tradeoff (documented): while unlocked, a concurrent
+        writer may commit, so a multi-condition query whose KNN drain sits
+        inside the window reads at read-committed rather than per-query
+        snapshot isolation. Every namespace accessor remains individually
+        consistent (they take the lock internally). Disable with
+        RX_TPU_OVERLAP_DEVICE_WAITS=0 to restore full query isolation."""
+        import os
+        if os.environ.get("RX_TPU_OVERLAP_DEVICE_WAITS", "1") in ("0",
+                                                                  "false"):
+            yield
+            return
+        n = 0
+        try:
+            while True:
+                self.lock.release()
+                n += 1
+        except RuntimeError:
+            pass
+        try:
+            yield
+        finally:
+            for _ in range(n):
+                self.lock.acquire()
 
     # ------------------------------------------------------------------
     # index management (reference: NamespaceImpl::AddIndex/DropIndex/UpdateIndex)

@@ -76,6 +76,27 @@ class FloatVectorIndexBase(Index):
         Subclasses override with a truly batched kernel; the fallback loops."""
         return [self.select(q, params) for q in np.asarray(queries)]
 
+    # --- two-phase (dispatch / drain) serving protocol ------------------
+    # Device dispatch through the tunnel is ASYNC (issuing a jitted call
+    # returns immediately; blocking happens at the result readback), so a
+    # server holding the namespace lock only for the dispatch phase lets N
+    # concurrent clients overlap their device round-trips — the reference's
+    # per-connection coroutines never serialize the whole server on one
+    # query either (net/cproto/serverconnection.cc). Subclasses with real
+    # async dispatch override these; the fallback runs synchronously.
+
+    def select_async(self, query: np.ndarray, params: KnnSearchParams):
+        """Returns a zero-arg drain closure producing the SelectKeyResult.
+        Call under the namespace lock; invoke the closure outside it."""
+        res = self.select(query, params)
+        return lambda: res
+
+    def select_batch_async(self, queries: np.ndarray,
+                           params: KnnSearchParams):
+        """Batched variant of select_async (drain -> list[SelectKeyResult])."""
+        res = self.select_batch(queries, params)
+        return lambda: res
+
     def _apply_radius(self, ranks: np.ndarray, ids: np.ndarray,
                       radius: Optional[float]) -> tuple[np.ndarray, np.ndarray]:
         """Radius cut-off in reference semantics: keep rank strictly better

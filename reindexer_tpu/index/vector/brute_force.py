@@ -61,15 +61,19 @@ class BruteForceIndex(FloatVectorIndexBase):
             q, self._quant.codes, self._quant.lo, self._quant.alpha,
             kp.valid, kp.sq, k, self.metric)
 
-    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
-                     ) -> list[SelectKeyResult]:
-        """One fused scan for the whole query batch (queries ride the MXU as
-        one [B, D] x [D, N] matmul)."""
+    def select_batch_async(self, queries: np.ndarray,
+                           params: KnnSearchParams):
+        """Dispatch one fused scan for the whole query batch (queries ride
+        the MXU as one [B, D] x [D, N] matmul) and return the drain closure.
+        The dispatch phase runs under the caller's namespace lock; the drain
+        (blocking readback + host post-processing) runs outside it, so
+        concurrent clients overlap their device round trips."""
         self.keeper.flush()
         kp = self.keeper
         queries = np.asarray(queries, dtype=np.float32)
         if kp.count == 0 or params.k is None:
-            return super().select_batch(queries, params)
+            res = super().select_batch(queries, params)
+            return lambda: res
         self._maybe_quantize()
         q = np.stack([kp.prepare_query(v) for v in queries])
         k = min(params.k, kp.capacity)
@@ -83,24 +87,33 @@ class BruteForceIndex(FloatVectorIndexBase):
             else:
                 scores, idx = knn_scan(jnp.asarray(q), kp.data, kp.valid,
                                        kp.sq, k, self.metric)
-        scores = np.asarray(scores)
-        idx = np.asarray(idx)
-        out = []
-        for b in range(len(queries)):
-            keep = idx[b] >= 0
-            ranks = np.asarray(scores_to_ranks(scores[b][keep], self.metric))
-            ids = idx[b][keep]
-            ranks, ids = self._apply_radius(ranks, ids, params.radius)
-            out.append(SelectKeyResult(ids.astype(np.int64),
-                                       ranks.astype(np.float32),
-                                       self.ordering))
-        return out
 
-    def select(self, query: np.ndarray, params: KnnSearchParams) -> SelectKeyResult:
+        def drain() -> list[SelectKeyResult]:
+            s, i = jax.device_get((scores, idx))
+            s, i = np.asarray(s), np.asarray(i)
+            out = []
+            for b in range(len(queries)):
+                keep = i[b] >= 0
+                ranks = np.asarray(scores_to_ranks(s[b][keep], self.metric))
+                ids = i[b][keep]
+                ranks, ids = self._apply_radius(ranks, ids, params.radius)
+                out.append(SelectKeyResult(ids.astype(np.int64),
+                                           ranks.astype(np.float32),
+                                           self.ordering))
+            return out
+
+        return drain
+
+    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
+                     ) -> list[SelectKeyResult]:
+        return self.select_batch_async(queries, params)()
+
+    def select_async(self, query: np.ndarray, params: KnnSearchParams):
+        """Single-query dispatch/drain split (see select_batch_async)."""
         self.keeper.flush()
         kp = self.keeper
         if kp.count == 0:
-            return SelectKeyResult.empty()
+            return lambda: SelectKeyResult.empty()
         q = jnp.asarray(kp.prepare_query(query)[None, :])
         self._maybe_quantize()
 
@@ -116,24 +129,39 @@ class BruteForceIndex(FloatVectorIndexBase):
                 else:
                     scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k,
                                            self.metric)
-            # ONE blocking readback for both arrays: separate
-            # np.asarray(scores[0]) / np.asarray(idx[0]) cost a device
-            # slice dispatch + round trip EACH (~35ms of pure tunnel RTT
-            # per single-query select, measured in the hybrid profile)
-            scores, idx = jax.device_get((scores, idx))
-            scores, idx = np.asarray(scores[0]), np.asarray(idx[0])
-            keep = idx >= 0
-            scores, idx = scores[keep], idx[keep]
-        else:
-            # radius-only search: full scan, filter on host
-            scores = np.asarray(
-                pairwise_scores(q, kp.data, kp.valid, kp.sq, self.metric)[0])
+
+            def drain() -> SelectKeyResult:
+                # ONE blocking readback for both arrays: separate
+                # np.asarray(scores[0]) / np.asarray(idx[0]) cost a device
+                # slice dispatch + round trip EACH (~35ms of pure tunnel RTT
+                # per single-query select, measured in the hybrid profile)
+                s, i = jax.device_get((scores, idx))
+                s, i = np.asarray(s[0]), np.asarray(i[0])
+                keep = i >= 0
+                s, i = s[keep], i[keep]
+                ranks = np.asarray(scores_to_ranks(s, self.metric))
+                ranks, i = self._apply_radius(ranks, i, params.radius)
+                return SelectKeyResult(i.astype(np.int64),
+                                       ranks.astype(np.float32),
+                                       self.ordering)
+
+            return drain
+
+        # radius-only search: full scan, filter on host
+        scores_d = pairwise_scores(q, kp.data, kp.valid, kp.sq, self.metric)
+
+        def drain_radius() -> SelectKeyResult:
+            scores = np.asarray(scores_d[0])
             idx = np.flatnonzero(scores > -np.inf)
             scores = scores[idx]
             order = np.argsort(-scores, kind="stable")
-            scores, idx = scores[order], idx[order]
+            scores, idx2 = scores[order], idx[order]
+            ranks = np.asarray(scores_to_ranks(scores, self.metric))
+            ranks, idx2 = self._apply_radius(ranks, idx2, params.radius)
+            return SelectKeyResult(idx2.astype(np.int64),
+                                   ranks.astype(np.float32), self.ordering)
 
-        ranks = np.asarray(scores_to_ranks(scores, self.metric))
-        ranks, idx = self._apply_radius(ranks, idx, params.radius)
-        return SelectKeyResult(idx.astype(np.int64), ranks.astype(np.float32),
-                               self.ordering)
+        return drain_radius
+
+    def select(self, query: np.ndarray, params: KnnSearchParams) -> SelectKeyResult:
+        return self.select_async(query, params)()

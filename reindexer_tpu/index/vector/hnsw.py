@@ -552,31 +552,43 @@ class HnswIndex(FloatVectorIndexBase):
     # ------------------------------------------------------------------
     # search
     # ------------------------------------------------------------------
-    def select(self, query: np.ndarray, params: KnnSearchParams,
-               ) -> SelectKeyResult:
+    def select_async(self, query: np.ndarray, params: KnnSearchParams):
         self._commit()
         if self._entry < 0:
-            return SelectKeyResult.empty()
+            return lambda: SelectKeyResult.empty()
         k = params.k
         ef = getattr(params, "ef", None) or max(k or 10, 10)
         if k is not None:
             ef = max(ef, k)
-        scores, ids = self._search_batch(
+        search_drain = self._search_batch_async(
             self.keeper.prepare_query(query)[None, :], ef)
-        scores, ids = scores[0], ids[0]
-        keep = ids >= 0
-        scores, ids = scores[keep], ids[keep]
-        if k is not None:
-            scores, ids = scores[:k], ids[:k]
-        ranks = np.asarray(scores_to_ranks(scores, self.metric))
-        ranks, ids = self._apply_radius(ranks, ids, params.radius)
-        return SelectKeyResult(ids.astype(np.int64),
-                               ranks.astype(np.float32), self.ordering)
 
-    def _search_batch(self, queries: np.ndarray, ef: int,
-                      ) -> tuple[np.ndarray, np.ndarray]:
-        """Batched HNSW search; returns (scores, ids) [Q, ef] best-first with
-        deleted/invalid rows filtered out (-inf/-1)."""
+        def drain() -> SelectKeyResult:
+            scores, ids = search_drain()
+            scores, ids = scores[0], ids[0]
+            keep = ids >= 0
+            scores, ids = scores[keep], ids[keep]
+            if k is not None:
+                scores, ids = scores[:k], ids[:k]
+            ranks = np.asarray(scores_to_ranks(scores, self.metric))
+            ranks, ids2 = self._apply_radius(ranks, ids, params.radius)
+            return SelectKeyResult(ids2.astype(np.int64),
+                                   ranks.astype(np.float32), self.ordering)
+
+        return drain
+
+    def select(self, query: np.ndarray, params: KnnSearchParams,
+               ) -> SelectKeyResult:
+        return self.select_async(query, params)()
+
+    def _search_batch_async(self, queries: np.ndarray, ef: int):
+        """Dispatch the batched HNSW search (descent + beam, all device
+        arrays chained with zero host round-trips) and return a drain
+        closure producing (scores, ids) [Q, ef]. Dispatch runs under the
+        caller's namespace lock; the drain (one blocking readback + host
+        filtering) runs outside it, so concurrent clients overlap their
+        tunnel RTTs — ~17 ms device time inside a ~47 ms wall at 1M
+        (CLAUDE.md), i.e. pipelined serving sustains ~3x blocking qps."""
         self._commit()
         self._sync_device()
         Q = queries.shape[0]
@@ -603,46 +615,67 @@ class HnswIndex(FloatVectorIndexBase):
             from ...ops.hnsw_kernels import exact_rescore
             bs, bi = exact_rescore(qd, self.keeper.data, self.keeper.sq,
                                    bi, bs, self.metric)
-        bs, bi = jax.device_get((bs, bi))
-        bs = np.asarray(bs)[:Q]
-        bi = np.asarray(bi)[:Q]
-        # filter deleted / invalid
-        safe = np.where(bi >= 0, bi, 0)
-        bad = (bi < 0) | self._deleted[safe]
-        bs = np.where(bad, -np.inf, bs)
-        bi = np.where(bad, -1, bi)
-        # re-sort after filtering
-        order = np.argsort(-bs, axis=1, kind="stable")
-        return (np.take_along_axis(bs, order, axis=1)[:, :ef],
-                np.take_along_axis(bi, order, axis=1)[:, :ef])
+        deleted = self._deleted      # snapshot under the caller's lock
 
-    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
-                     ) -> list[SelectKeyResult]:
-        """Batched beam search: the whole query batch shares the descent and
-        layer-0 beam programs (two device dispatches total)."""
+        def drain() -> tuple[np.ndarray, np.ndarray]:
+            s, i = jax.device_get((bs, bi))
+            s = np.asarray(s)[:Q]
+            i = np.asarray(i)[:Q]
+            # filter deleted / invalid
+            safe = np.where(i >= 0, i, 0)
+            bad = (i < 0) | deleted[safe]
+            s = np.where(bad, -np.inf, s)
+            i = np.where(bad, -1, i)
+            # re-sort after filtering
+            order = np.argsort(-s, axis=1, kind="stable")
+            return (np.take_along_axis(s, order, axis=1)[:, :ef],
+                    np.take_along_axis(i, order, axis=1)[:, :ef])
+
+        return drain
+
+    def _search_batch(self, queries: np.ndarray, ef: int,
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched HNSW search; returns (scores, ids) [Q, ef] best-first with
+        deleted/invalid rows filtered out (-inf/-1)."""
+        return self._search_batch_async(queries, ef)()
+
+    def select_batch_async(self, queries: np.ndarray,
+                           params: KnnSearchParams):
+        """Batched beam search dispatch (descent + layer-0 beam share two
+        device programs); returns the drain closure."""
         self._commit()
         queries = np.asarray(queries, dtype=np.float32)
         if self._entry < 0:
-            return [SelectKeyResult.empty() for _ in queries]
+            res = [SelectKeyResult.empty() for _ in queries]
+            return lambda: res
         k = params.k
         ef = getattr(params, "ef", None) or max(k or 10, 10)
         if k is not None:
             ef = max(ef, k)
         q = np.stack([self.keeper.prepare_query(v) for v in queries])
-        scores, ids = self._search_batch(q, ef)
-        out = []
-        for b in range(len(queries)):
-            s, i = scores[b], ids[b]
-            keep = i >= 0
-            s, i = s[keep], i[keep]
-            if k is not None:
-                s, i = s[:k], i[:k]
-            ranks = np.asarray(scores_to_ranks(s, self.metric))
-            ranks, i = self._apply_radius(ranks, i, params.radius)
-            out.append(SelectKeyResult(i.astype(np.int64),
-                                       ranks.astype(np.float32),
-                                       self.ordering))
-        return out
+        search_drain = self._search_batch_async(q, ef)
+
+        def drain() -> list[SelectKeyResult]:
+            scores, ids = search_drain()
+            out = []
+            for b in range(len(queries)):
+                s, i = scores[b], ids[b]
+                keep = i >= 0
+                s, i = s[keep], i[keep]
+                if k is not None:
+                    s, i = s[:k], i[:k]
+                ranks = np.asarray(scores_to_ranks(s, self.metric))
+                ranks, i = self._apply_radius(ranks, i, params.radius)
+                out.append(SelectKeyResult(i.astype(np.int64),
+                                           ranks.astype(np.float32),
+                                           self.ordering))
+            return out
+
+        return drain
+
+    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
+                     ) -> list[SelectKeyResult]:
+        return self.select_batch_async(queries, params)()
 
     # ------------------------------------------------------------------
     def memstat(self) -> dict:

@@ -101,6 +101,20 @@ def _prefix_lanes(x, axis):
     return x
 
 
+def _split_bf16(x):
+    """Exact 2-limb bf16 split of f32 values via BIT TRUNCATION: hi is the
+    top 16 bits (exactly bf16-representable), lo = x - hi is exact in f32
+    and rounds to bf16 with ~2^-16 relative error. The arithmetic split
+    (x - bf16(x)) is NOT safe here: --xla_allow_excess_precision lets the
+    compiler fuse the round-trip and collapse lo to 0 (measured: v2 scores
+    quantized to bf16 ulps on-chip while exact in interpret mode). The
+    integer AND is opaque to float optimizations."""
+    hi32 = pltpu.bitcast(
+        jnp.bitwise_and(pltpu.bitcast(x, jnp.int32),
+                        jnp.int32(-65536)), jnp.float32)
+    return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+
+
 def _scores_tile(tile, q, metric):
     """Exact transposed scores s_t f32[T, Q]: 2*q.b - |b|^2 for L2 (the
     per-query -|q|^2 completion is rank-invariant, added by the wrapper),
@@ -116,10 +130,13 @@ def _scores_tile(tile, q, metric):
 # ---------------------------------------------------------------------------
 
 def _make_bmax_kernel(metric):
+    # bmax is emitted in [G, Q] layout: Mosaic requires output block lane
+    # dims divisible by 128 (or full) — [GL, Qn] blocks qualify via the
+    # full-Qn lane dim; the select kernel transposes once in VMEM.
     def _kernel(q_ref, base_ref, bmax_ref):
         s_t = _scores_tile(base_ref[:], q_ref[:], metric)
-        bm = jnp.max(s_t.reshape(GL, BLK, s_t.shape[1]), axis=1)  # [GL, Q]
-        bmax_ref[:] = bm.T                                        # [Q, GL]
+        bmax_ref[:] = jnp.max(
+            s_t.reshape(GL, BLK, s_t.shape[1]), axis=1)           # [GL, Q]
     return _kernel
 
 
@@ -136,9 +153,9 @@ def sweep_bmax(queries, base, metric, interpret=False):
             pl.BlockSpec((TILE, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Qn, GL), lambda i: (0, i),
+        out_specs=pl.BlockSpec((GL, Qn), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Qn, n // BLK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n // BLK, Qn), jnp.float32),
         interpret=interpret,
     )(queries, base)
 
@@ -151,8 +168,8 @@ def _make_bmax_sq8_kernel(metric):
         dots_t = _dot2(c, qa_ref[:])                       # [T, Q]
         s_t = (2.0 * dots_t if l2 else dots_t) - sqe_ref[:]
         s_t = jnp.maximum(s_t + shift_ref[:], SENT)
-        bm = jnp.max(s_t.reshape(GL, BLK, s_t.shape[1]), axis=1)
-        bmax_ref[:] = bm.T
+        bmax_ref[:] = jnp.max(
+            s_t.reshape(GL, BLK, s_t.shape[1]), axis=1)           # [GL, Q]
     return _kernel
 
 
@@ -175,9 +192,9 @@ def sweep_bmax_sq8(q_alpha, shift, codes, sq_eff, metric, interpret=False):
             pl.BlockSpec((TILE, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Qn, GL), lambda i: (0, i),
+        out_specs=pl.BlockSpec((GL, Qn), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Qn, n // BLK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n // BLK, Qn), jnp.float32),
         interpret=interpret,
     )(q_alpha, shift, codes, sq_eff[:, None])
 
@@ -194,13 +211,13 @@ def _make_select_kernel(n, k, metric, Qn):
     log_s = S_SLOTS.bit_length() - 1
 
     def _kernel(q_ref, eps_ref, bmaxf_ref, base_ref, out_s_ref, out_i_ref,
-                flag_ref, rank_gq, count_s, cand, kid):
+                flag_ref, rank_gq, count_s, cand, kid, rank2_s):
         i = pl.program_id(0)
 
         # ---- step 0: threshold + global block ranks (VMEM only)
         @pl.when(i == 0)
         def _():
-            bm = bmaxf_ref[:]                                  # [Q, G]
+            bm = bmaxf_ref[:].T                                # [Q, G]
             tau = _radix_kth(bm, kb, axis=1)                   # [Q, 1]
             mask = jnp.where(
                 (bm >= tau - eps_ref[:]) & (bm > SENT_HALF), 1.0, 0.0)
@@ -221,8 +238,7 @@ def _make_select_kernel(n, k, metric, Qn):
         sel_f = (rk[:, :, None].astype(jnp.int32) == s_iota).astype(
             jnp.float32)                                       # [Q, GL, S]
         sel_b = sel_f.astype(jnp.bfloat16)
-        x_hi = x.astype(jnp.bfloat16)
-        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_hi, x_lo = _split_bf16(x)
         dn = (((2,), (1,)), ((0,), (0,)))
         cand[:] += jax.lax.dot_general(
             x_hi, sel_b, dimension_numbers=dn,
@@ -231,7 +247,8 @@ def _make_select_kernel(n, k, metric, Qn):
             x_lo, sel_b, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
         gval = (jnp.float32(i * GL)
-                + jax.lax.broadcasted_iota(jnp.float32, (Qn, 1, GL), 2))
+                + jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, GL), 2
+                                           ).astype(jnp.float32))
         kid[:] += jax.lax.dot_general(
             gval, sel_f, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
@@ -240,54 +257,66 @@ def _make_select_kernel(n, k, metric, Qn):
         @pl.when(i == n_tiles - 1)
         def _():
             count = count_s[:]                                  # [Q, 1]
-            # lane layout [Q, 8, 8*S]: lane l = fine-group (f = l >> log_s,
-            # slot s = l & (S-1)); sublane c2 = row within the 8-group
-            cc = jnp.concatenate(
-                [cand[:, f * 8:(f + 1) * 8, :] for f in range(8)], axis=2)
-            lanes = jax.lax.broadcasted_iota(
-                jnp.int32, (Qn, 8, 8 * S_SLOTS), 2)
-            slot_l = jnp.bitwise_and(lanes, S_SLOTS - 1)
-            valid = slot_l.astype(jnp.float32) < count[:, :, None]
-            ccv = jnp.where(valid, cc, SENT)
-            kidrep = jnp.concatenate([kid] * 8, axis=2)        # [Q, 1, 8S]
-            f_l = jnp.right_shift(lanes, log_s).astype(jnp.float32)
-            c2 = jax.lax.broadcasted_iota(
-                jnp.float32, (Qn, 8, 8 * S_SLOTS), 1)
-            rid = kidrep * float(BLK) + f_l * 8.0 + c2         # [Q, 8, 8S]
+            # fine layout: group g2 = ch*S + s holds cand[:, ch*8:(ch+1)*8,
+            # s] — chunk ch of the fine lanes is EXACTLY a static sublane
+            # slice of cand, so nothing [Q, 8, 8S]-shaped ever materializes
+            # (the first cut concatenated cand into [Q,8,8S] + built a rid
+            # array of the same size; with the 8x-unrolled chunk loop Mosaic
+            # allocated every iteration's temporaries -> 29 MB VMEM OOM).
+            # Mosaic also cannot broadcast [Q,1,1] over sublanes AND lanes
+            # in one op — predicates build on [Q,1,L] rows first, and the
+            # consumer broadcasts over sublanes only.
+            s_r = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, S_SLOTS), 2)
+            valid_r = s_r.astype(jnp.float32) < count[:, :, None]
 
-            fgm = jnp.max(ccv, axis=1, keepdims=True)          # [Q, 1, 8S]
+            fgm = jnp.concatenate(
+                [jnp.max(jnp.where(valid_r, cand[:, ch * 8:(ch + 1) * 8, :],
+                                   SENT), axis=1, keepdims=True)
+                 for ch in range(8)], axis=2)                  # [Q, 1, 8S]
             tau2 = _radix_kth(fgm, kf, axis=2)                 # [Q, 1, 1]
             mask2 = jnp.where((fgm >= tau2) & (fgm > SENT_HALF), 1.0, 0.0)
             incl2 = _prefix_lanes(mask2, axis=2)
             count2 = incl2[:, :, 8 * S_SLOTS - 1:]             # [Q, 1, 1]
-            rank2 = jnp.where(mask2 > 0.0, incl2 - mask2,
-                              jnp.float32(S2))                 # [Q, 1, 8S]
+            # staged through scratch: Mosaic lacks dynamic_slice on VALUES,
+            # but ref reads at 128-multiple lane offsets are fine
+            rank2_s[:] = jnp.where(mask2 > 0.0, incl2 - mask2,
+                                   jnp.float32(S2))            # [Q, 1, 8S]
 
-            # second compaction, chunked over the 8S lanes
-            out2 = jnp.zeros((Qn, 8, S2), jnp.float32)
-            ridc = jnp.zeros((Qn, 8, S2), jnp.float32)
+            # second compaction: fori so chunk temporaries are reused
             s2_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (Qn, S_SLOTS, S2), 2)
-            for ch in range(8):
-                lo, hi = ch * S_SLOTS, (ch + 1) * S_SLOTS
-                r2c = rank2[:, 0, lo:hi]                       # [Q, S]
-                sel2 = (r2c[:, :, None].astype(jnp.int32) == s2_iota
-                        ).astype(jnp.float32)                  # [Q, S, S2]
+            c2_sub = jax.lax.broadcasted_iota(
+                jnp.int32, (Qn, 8, S_SLOTS), 1).astype(jnp.float32)
+
+            def chunk(ch, carry):
+                out2, ridc = carry
+                r2c = rank2_s[:, :, pl.ds(ch * S_SLOTS, S_SLOTS)]
+                sel2 = (jnp.transpose(r2c, (0, 2, 1)).astype(jnp.int32)
+                        == s2_iota).astype(jnp.float32)        # [Q, S, S2]
                 sel2b = sel2.astype(jnp.bfloat16)
-                xc = ccv[:, :, lo:hi]                          # [Q, 8, S]
-                xh = xc.astype(jnp.bfloat16)
-                xl = (xc - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-                out2 += jax.lax.dot_general(
+                xc = jnp.where(valid_r, cand[pl.ds(0, Qn),
+                                             pl.ds(ch * 8, 8), :], SENT)
+                xh, xl = _split_bf16(xc)
+                out2 = out2 + jax.lax.dot_general(
                     xh, sel2b, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
-                out2 += jax.lax.dot_general(
+                out2 = out2 + jax.lax.dot_general(
                     xl, sel2b, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
-                ridc += jax.lax.dot_general(
-                    rid[:, :, lo:hi], sel2, dimension_numbers=dn,
+                rid_ch = (kid[:] * float(BLK)
+                          + ch.astype(jnp.float32) * 8.0 + c2_sub)
+                ridc = ridc + jax.lax.dot_general(
+                    rid_ch, sel2, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
+                return out2, ridc
+
+            out2, ridc = jax.lax.fori_loop(
+                0, 8, chunk, (jnp.zeros((Qn, 8, S2), jnp.float32),
+                              jnp.zeros((Qn, 8, S2), jnp.float32)))
+            s2r = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, S2), 2)
+            valid2_r = s2r.astype(jnp.float32) < count2
+            out2 = jnp.where(valid2_r, out2, SENT)
             s2l = jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 2)
-            out2 = jnp.where(s2l.astype(jnp.float32) < count2, out2, SENT)
 
             # iterative top-k extraction (lowest flat position on ties)
             pos = (jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 1) * S2
@@ -298,11 +327,13 @@ def _make_select_kernel(n, k, metric, Qn):
                 o2, rs, ri = carry
                 m1 = jnp.max(o2, axis=1, keepdims=True)
                 m = jnp.max(m1, axis=2, keepdims=True)         # [Q, 1, 1]
-                hit = o2 == m
+                # (o2 == m) decomposed so no op broadcasts both axes:
+                # column holds the max AND element equals the column max
+                hit = (o2 == m1) & (m1 == m)
                 p1 = jnp.min(jnp.where(hit, pos, jnp.int32(1 << 30)),
                              axis=1, keepdims=True)
                 p = jnp.min(p1, axis=2, keepdims=True)         # [Q, 1, 1]
-                at = pos == p
+                at = (pos == p1) & (p1 == p) & (m1 == m)
                 rv1 = jnp.sum(jnp.where(at, ridc, 0.0), axis=1,
                               keepdims=True)
                 rv = jnp.sum(rv1, axis=2, keepdims=True)       # [Q, 1, 1]
@@ -329,7 +360,7 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False):
     """Exact top-k from (bmax, eps) candidates + one fp32 base sweep.
 
     queries f32[Qn, D] (pow2-padded), base f32[N, D] (invalid rows zeroed),
-    bmax f32[Qn, N/64] from sweep_bmax / sweep_bmax_sq8, eps f32[Qn, 1]
+    bmax f32[N/64, Qn] from sweep_bmax / sweep_bmax_sq8, eps f32[Qn, 1]
     (0 when bmax is exact; the certified score-error bound otherwise).
     Returns (scores f32[Qn, KPAD], ids i32[Qn, KPAD], flag f32[1, 1]);
     flag > 0 => slot capacity overflow, caller must use the v1 path.
@@ -343,7 +374,7 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False):
         in_specs=[
             pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Qn, n // BLK), lambda i: (0, 0),
+            pl.BlockSpec((n // BLK, Qn), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -365,7 +396,13 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False):
             pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
             pltpu.VMEM((Qn, BLK, S_SLOTS), jnp.float32),  # cand
             pltpu.VMEM((Qn, 1, S_SLOTS), jnp.float32),    # kid
+            pltpu.VMEM((Qn, 1, 8 * S_SLOTS), jnp.float32),  # rank2_s
         ],
+        # the one-kernel design trades scratch residency for zero HBM
+        # round-trips; the default 16 MB scoped-vmem limit is a compiler
+        # knob, not the physical size — raise it (v5e VMEM is far larger)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(queries, eps, bmax, base)
 

@@ -555,7 +555,16 @@ class Selecter:
         value = entry.value
         if isinstance(value, str):
             value = self.db.embed_query(ns, entry.field, value)
-        res = index.select(np.asarray(value, dtype=np.float32), entry.params)
+        # dispatch under the namespace lock, drain with it released: the
+        # device round-trip (~30ms tunnel RTT) no longer serializes
+        # concurrent queries on this namespace (see Namespace.unlocked)
+        qv = np.asarray(value, dtype=np.float32)
+        if hasattr(index, "select_async"):
+            drain = index.select_async(qv, entry.params)
+            with ns.unlocked():
+                res = drain()
+        else:                      # adapters without an async split
+            res = index.select(qv, entry.params)
         src = RankSource(field=entry.field, kind="knn", ids=res.ids,
                          ranks=res.ranks, ordering=res.ordering)
         return self._ids_to_mask(res.ids, cap), src
@@ -750,6 +759,10 @@ class Selecter:
             all_eq_and = all(c.condition == CondType.EQ and c.op == OpType.AND
                              for c in jq.on)
             if all_eq_and:
+                vec = self._join_eq_vectorized(ns, joined_ns, jq, main_rows,
+                                               j_rows, mask, need_matches)
+                if vec is not None:
+                    return vec
                 j_keys = cached["j_keys"]
                 if j_keys is None:
                     j_keys = {}
@@ -862,6 +875,85 @@ class Selecter:
         if isinstance(v, list):
             return tuple(v)
         return v
+
+    def _join_eq_vectorized(self, ns: Namespace, joined_ns: Namespace,
+                            jq: JoinedQuery, main_rows: np.ndarray,
+                            j_rows: np.ndarray, mask: np.ndarray,
+                            need_matches: bool):
+        """Columnar EQ-join probe: zero per-row Python on the probe side.
+
+        Replaces the get_item dict-walk hash probe with factorized column
+        codes + a sort/searchsorted join (reference analog:
+        joins/items_processor preselect — the reference probes its hash with
+        indexed key values, not decoded documents). Returns None when a
+        field lacks a scalar column or value kinds are incomparable (the
+        dict fallback keeps full generality). Parity notes: deleted rows are
+        excluded via exists masks; an UNSET field matches another UNSET
+        field (code 0), matching the dict path's None == None behavior."""
+        if len(jq.on) > 3:
+            return None
+        cols = []
+        for c in jq.on:
+            lc = ns.column_values(c.left_field)
+            rc = joined_ns.column_values(c.right_field)
+            if (lc is None or rc is None or lc.is_array or rc.is_array):
+                return None
+            lk = np.asarray(lc.values()).dtype.kind
+            rk = np.asarray(rc.values()).dtype.kind
+            num = "biuf"
+            if not ((lk in num and rk in num) or lk == rk):
+                return None
+            cols.append((lc, rc, lk in num and rk in num))
+
+        def full(col, cap_n, numeric):
+            v = col.values()
+            s = col.set_mask()
+            if numeric:
+                out = np.zeros(cap_n, dtype=np.float64)
+                out[: len(v)] = v.astype(np.float64, copy=False)
+            else:
+                out = np.empty(cap_n, dtype=object)
+                out[: len(v)] = v
+            st = np.zeros(cap_n, dtype=np.bool_)
+            st[: len(s)] = s
+            return out, st
+
+        lex = ns.exists_mask()
+        lvalid = lex[main_rows]
+        comb_l = np.zeros(len(main_rows), dtype=np.int64)
+        comb_r = np.zeros(len(j_rows), dtype=np.int64)
+        for (lc, rc, numeric) in cols:
+            lv, ls = full(lc, ns.rows_capacity, numeric)
+            rv, rs = full(rc, joined_ns.rows_capacity, numeric)
+            lv, ls = lv[main_rows], ls[main_rows]
+            rv, rs = rv[j_rows], rs[j_rows]
+            both = np.concatenate([lv[ls], rv[rs]])
+            try:
+                _, inv = np.unique(both, return_inverse=True)
+            except TypeError:
+                return None
+            lcode = np.zeros(len(lv), dtype=np.int64)
+            rcode = np.zeros(len(rv), dtype=np.int64)
+            nl = int(ls.sum())
+            lcode[ls] = inv[:nl] + 1
+            rcode[rs] = inv[nl:] + 1
+            width = (int(inv.max(initial=-1)) + 3)
+            comb_l = comb_l * width + lcode
+            comb_r = comb_r * width + rcode
+
+        order = np.argsort(comb_r, kind="stable")
+        r_sorted = comb_r[order]
+        jr_sorted = j_rows[order]
+        lo = np.searchsorted(r_sorted, comb_l, side="left")
+        hi = np.searchsorted(r_sorted, comb_l, side="right")
+        hit = (hi > lo) & lvalid
+        mask[main_rows[hit]] = True
+        matches: dict[int, list[int]] = {}
+        if need_matches:
+            for k_i in np.flatnonzero(hit):
+                matches[int(main_rows[k_i])] = [
+                    int(r) for r in jr_sorted[lo[k_i]:hi[k_i]]]
+        return mask, matches
 
     def _attach_left_join(self, ns: Namespace, jq: JoinedQuery,
                           items: list[ResultItem]) -> None:

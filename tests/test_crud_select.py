@@ -459,3 +459,53 @@ def test_uuid_index_semantics():
     assert doc["uid"] == "a1b2c3d4000011112222333344445556"
     with pytest.raises(ParamsError):
         db.upsert("u", {"id": 3, "uid": "not-a-uuid"})
+
+
+def test_join_vectorized_parity(rng):
+    """The columnar EQ-join probe must agree with the get_item dict fallback
+    across unset fields, string keys, multi-condition ON, deleted rows, and
+    LEFT joins (the fallback is forced by monkeypatching the fast path)."""
+    from reindexer_tpu import IndexDef, IndexOpts, Query, Reindexer
+    import reindexer_tpu.query.executor as ex
+
+    db = Reindexer()
+    db.open_namespace("m")
+    db.open_namespace("j")
+    db.add_index("m", IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)))
+    db.add_index("m", IndexDef("fk", "hash", "int"))
+    db.add_index("m", IndexDef("color", "hash", "string"))
+    db.add_index("j", IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)))
+    db.add_index("j", IndexDef("key", "hash", "int"))
+    db.add_index("j", IndexDef("color", "hash", "string"))
+    colors = ["red", "green", "blue"]
+    for i in range(300):
+        doc = {"id": i, "color": colors[i % 3]}
+        if i % 7 != 0:           # some rows leave fk unset
+            doc["fk"] = int(rng.integers(0, 40))
+        db.upsert("m", doc)
+    for i in range(120):
+        doc = {"id": i, "color": colors[i % 3]}
+        if i % 5 != 0:
+            doc["key"] = int(rng.integers(0, 40))
+        db.upsert("j", doc)
+    db.delete("m", {"id": 17})
+    db.delete("j", {"id": 3})
+
+    queries = [
+        Query("m").inner_join(Query("j")).on("fk", "EQ", "key").query,
+        Query("m").inner_join(Query("j")).on("fk", "EQ", "key")
+                  .on("color", "EQ", "color").query,
+        Query("m").left_join(Query("j")).on("color", "EQ", "color").query,
+        Query("m").inner_join(Query("j").where("key", "LT", 20))
+                  .on("fk", "EQ", "key").query,
+    ]
+    for q in queries:
+        q.limit(10**9)
+        fast = [it.row_id for it in db.select(q)]
+        orig = ex.Selecter._join_eq_vectorized
+        ex.Selecter._join_eq_vectorized = lambda *a, **k: None
+        try:
+            slow = [it.row_id for it in db.select(q)]
+        finally:
+            ex.Selecter._join_eq_vectorized = orig
+        assert fast == slow
