@@ -233,3 +233,131 @@ def test_chunked_force_sync_over_http_and_rpc():
     finally:
         rpc.stop()
         srv.stop()
+
+
+def test_snapshot_force_sync_under_load():
+    """Chunked force-sync racing live writes (reference breadth:
+    cascade_replication_test.cc force-sync-under-load): a follower
+    snapshot-syncs while a writer thread keeps mutating the leader; the
+    follower must converge to the leader's final state via snapshot + WAL
+    catch-up with no torn/duplicated rows."""
+    import threading
+
+    db = Reindexer()
+    db.open_namespace("t", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("name", "hash", "string"),
+    ])
+    for i in range(200):
+        db.upsert("t", {"id": i, "name": f"n{i}"})
+    state = ReplicationState(db)        # attached late => follower must
+    #                                     snapshot-sync, not WAL catch-up
+
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        j = 200
+        while not stop.is_set():
+            try:
+                db.upsert("t", {"id": j % 400, "name": f"w{j}"})
+                if j % 7 == 0:
+                    db.delete("t", {"id": (j * 13) % 200})
+                j += 1
+            except Exception as e:          # pragma: no cover
+                errors.append(e)
+                return
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    try:
+        follower = Reindexer()
+        repl = AsyncReplicator(follower, LeaderChannel(state))
+        repl.sync_once()                    # force sync races the writer
+        assert repl.force_syncs >= 1
+        for _ in range(50):                 # catch-up ladder under load
+            repl.sync_once()
+    finally:
+        stop.set()
+        th.join(timeout=10)
+    assert not errors
+    # quiesce and converge
+    for _ in range(20):
+        repl.sync_once()
+        lead = {d["id"]: d["name"]
+                for d in db.select(Query("t").limit(10 ** 9)).docs()}
+        folw = {d["id"]: d["name"]
+                for d in follower.select(Query("t").limit(10 ** 9)).docs()}
+        if lead == folw:
+            break
+        time.sleep(0.02)
+    assert lead == folw
+
+
+def test_reshard_under_write():
+    """Runtime resharding racing writers (reference breadth:
+    sharding_base_test.cc): apply_sharding_config migrates rows while
+    writer threads keep upserting; afterwards every row lives on exactly
+    the shard the new config routes it to, and nothing is lost."""
+    import threading
+
+    from reindexer_tpu.sharding import (NamespaceShardingConfig, ShardSpec,
+                                        ShardedReindexer)
+
+    shards = [Reindexer() for _ in range(2)]
+    cfg = NamespaceShardingConfig(
+        namespace="items", index="loc",
+        shards=(ShardSpec(0, values=("a",)), ShardSpec(1, values=("b",))),
+        default_shard=0)
+    sr = ShardedReindexer(shards, [cfg])
+    sr.open_namespace("items", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("loc", "hash", "string"),
+    ])
+    for i in range(100):
+        sr.upsert("items", {"id": i, "loc": "a" if i % 2 else "b"})
+
+    stop = threading.Event()
+    errors = []
+    written = []
+
+    def writer(base):
+        j = 0
+        while not stop.is_set() and j < 500:
+            i = base + j
+            try:
+                sr.upsert("items", {"id": i, "loc": "a" if i % 2 else "b"})
+                written.append(i)
+            except Exception as e:          # pragma: no cover
+                errors.append(e)
+                return
+            j += 1
+
+    threads = [threading.Thread(target=writer, args=(1000 * (t + 1),),
+                                daemon=True) for t in range(2)]
+    for th in threads:
+        th.start()
+    # swap the shard assignment mid-write
+    new_cfg = NamespaceShardingConfig(
+        namespace="items", index="loc",
+        shards=(ShardSpec(0, values=("b",)), ShardSpec(1, values=("a",))),
+        default_shard=1)
+    sr.apply_sharding_config([new_cfg])
+    stop.set()
+    for th in threads:
+        th.join(timeout=30)
+    assert not errors
+    # every written row exists exactly once, on the shard the NEW config
+    # routes its key to (rows written mid-migration may land either side of
+    # the cutover, so re-route any stragglers with one more apply)
+    sr.apply_sharding_config([new_cfg])
+    all_ids = set(range(100)) | set(written)
+    seen = {}
+    for si, sh in enumerate(shards):
+        for d in sh.select(Query("items").limit(10 ** 9)).docs():
+            assert d["id"] not in seen, f"duplicate row {d['id']}"
+            seen[d["id"]] = (si, d["loc"])
+    assert set(seen) == all_ids
+    for rid, (si, loc) in seen.items():
+        want = 1 if loc == "a" else 0
+        assert si == want, (rid, si, loc)
