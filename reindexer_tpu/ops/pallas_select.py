@@ -101,18 +101,29 @@ def _prefix_lanes(x, axis):
     return x
 
 
-def _split_bf16(x):
-    """Exact 2-limb bf16 split of f32 values via BIT TRUNCATION: hi is the
-    top 16 bits (exactly bf16-representable), lo = x - hi is exact in f32
-    and rounds to bf16 with ~2^-16 relative error. The arithmetic split
-    (x - bf16(x)) is NOT safe here: --xla_allow_excess_precision lets the
-    compiler fuse the round-trip and collapse lo to 0 (measured: v2 scores
-    quantized to bf16 ulps on-chip while exact in interpret mode). The
-    integer AND is opaque to float optimizations."""
-    hi32 = pltpu.bitcast(
+def _trunc16(x):
+    """Top 16 bits of an f32 (exactly bf16-representable). Bit masking, not
+    arithmetic: the (x - bf16(x)) round-trip is fused away under
+    --xla_allow_excess_precision (measured: scores quantized to bf16 ulps
+    on-chip while exact in interpret mode); the integer AND is opaque."""
+    return pltpu.bitcast(
         jnp.bitwise_and(pltpu.bitcast(x, jnp.int32),
                         jnp.int32(-65536)), jnp.float32)
-    return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
+
+
+def _split3_bf16(x):
+    """BITWISE-EXACT 3-limb bf16 split of f32: hi/mid are bit-truncated
+    (bf16-exact), lo holds the remaining <= 8 mantissa bits (also bf16-
+    exact), so hi + mid + lo reconstructs x exactly in f32 accumulation.
+    A 2-limb split leaves ~2^-17 relative error — enough to swap the k-th
+    and (k+1)-th candidate at dense score boundaries (observed 1/64
+    queries at the 131k bench shape)."""
+    hi = _trunc16(x)
+    r = x - hi
+    mid = _trunc16(r)
+    lo = r - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
 
 
 def _scores_tile(tile, q, metric):
@@ -238,19 +249,25 @@ def _make_select_kernel(n, k, metric, Qn):
         sel_f = (rk[:, :, None].astype(jnp.int32) == s_iota).astype(
             jnp.float32)                                       # [Q, GL, S]
         sel_b = sel_f.astype(jnp.bfloat16)
-        x_hi, x_lo = _split_bf16(x)
         dn = (((2,), (1,)), ((0,), (0,)))
-        cand[:] += jax.lax.dot_general(
-            x_hi, sel_b, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
-        cand[:] += jax.lax.dot_general(
-            x_lo, sel_b, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+        for limb in _split3_bf16(x):
+            cand[:] += jax.lax.dot_general(
+                limb, sel_b, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        # integer-carrying dots MUST run with explicitly bf16-exact
+        # pieces: TPU's DEFAULT matmul precision computes f32-operand dots
+        # at bf16, silently rounding block ids > 255 (measured: every
+        # returned id snapped to a multiple of its bf16 ulp)
         gval = (jnp.float32(i * GL)
                 + jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, GL), 2
                                            ).astype(jnp.float32))
+        ghi = jnp.floor(gval * (1.0 / 256.0))           # <= 7, bf16-exact
+        glo = gval - 256.0 * ghi                        # <= 255, bf16-exact
+        kid[:] += 256.0 * jax.lax.dot_general(
+            ghi.astype(jnp.bfloat16), sel_b, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
         kid[:] += jax.lax.dot_general(
-            gval, sel_f, dimension_numbers=dn,
+            glo.astype(jnp.bfloat16), sel_b, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
 
         # ---- last step: fine stage + extraction
@@ -291,22 +308,31 @@ def _make_select_kernel(n, k, metric, Qn):
             def chunk(ch, carry):
                 out2, ridc = carry
                 r2c = rank2_s[:, :, pl.ds(ch * S_SLOTS, S_SLOTS)]
-                sel2 = (jnp.transpose(r2c, (0, 2, 1)).astype(jnp.int32)
-                        == s2_iota).astype(jnp.float32)        # [Q, S, S2]
-                sel2b = sel2.astype(jnp.bfloat16)
+                sel2b = (jnp.transpose(r2c, (0, 2, 1)).astype(jnp.int32)
+                         == s2_iota).astype(jnp.bfloat16)      # [Q, S, S2]
                 xc = jnp.where(valid_r, cand[pl.ds(0, Qn),
                                              pl.ds(ch * 8, 8), :], SENT)
-                xh, xl = _split_bf16(xc)
-                out2 = out2 + jax.lax.dot_general(
-                    xh, sel2b, dimension_numbers=dn,
+                for limb in _split3_bf16(xc):
+                    out2 = out2 + jax.lax.dot_general(
+                        limb, sel2b, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                # rid = kid*64 + ch*8 + c2 can reach 2^17 — decompose into
+                # bf16-exact dots (same DEFAULT-precision trap as kid):
+                # rid = 16384*khi + 64*klo + off, each piece <= 255
+                khi = jnp.floor(kid[:] * (1.0 / 256.0))
+                klo = kid[:] - 256.0 * khi
+                off = ch.astype(jnp.float32) * 8.0 + c2_sub
+                zb = jnp.zeros((Qn, 8, S_SLOTS), jnp.float32)
+                khi_r = (khi + zb).astype(jnp.bfloat16)
+                klo_r = (klo + zb).astype(jnp.bfloat16)
+                ridc = ridc + 16384.0 * jax.lax.dot_general(
+                    khi_r, sel2b, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
-                out2 = out2 + jax.lax.dot_general(
-                    xl, sel2b, dimension_numbers=dn,
+                ridc = ridc + 64.0 * jax.lax.dot_general(
+                    klo_r, sel2b, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
-                rid_ch = (kid[:] * float(BLK)
-                          + ch.astype(jnp.float32) * 8.0 + c2_sub)
                 ridc = ridc + jax.lax.dot_general(
-                    rid_ch, sel2, dimension_numbers=dn,
+                    off.astype(jnp.bfloat16), sel2b, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
                 return out2, ridc
 
