@@ -61,6 +61,40 @@ class BruteForceIndex(FloatVectorIndexBase):
             q, self._quant.codes, self._quant.lo, self._quant.alpha,
             kp.valid, kp.sq, k, self.metric)
 
+    def _dispatch_scan(self, q: jnp.ndarray, k: int):
+        """Dispatch the best available scan for (q, k). Returns
+        (scores, idx, flag) device arrays; flag is None unless the v2
+        fused-selection kernel ran (flag > 0 on readback => slot-capacity
+        overflow, rerun via _scan_fallback — astronomically rare)."""
+        kp = self.keeper
+        from ...ops.pallas_select import (knn_scan_fused_v2, knn_scan_sq8_v2,
+                                          v2_available)
+        quant = self._quant is not None and self._quant.active
+        if v2_available(kp.capacity, kp.dims, k, q.shape[0]):
+            if quant and self._quant.err_dims is not None:
+                # exact top-k at SQ8 scan cost: quantized threshold sweep
+                # (certified eps) + exact fp32 candidate sweep
+                s, i, flag = knn_scan_sq8_v2(
+                    q, self._quant.codes, self._quant.lo, self._quant.alpha,
+                    self._quant.err_dims, kp.sq_eff(), kp.data, k,
+                    self.metric)
+                return s, i, flag
+            if not quant:
+                s, i, flag = knn_scan_fused_v2(q, kp.data, k, self.metric)
+                return s, i, flag
+        s, i = self._scan_fallback(q, k)
+        return s, i, None
+
+    def _scan_fallback(self, q: jnp.ndarray, k: int):
+        """v1 scan paths (also the overflow fallback for v2)."""
+        kp = self.keeper
+        if self._quant is not None and self._quant.active:
+            return self._scan_quantized(q, k)
+        from ...ops.pallas_scan import fused_available, knn_scan_fused
+        if fused_available(kp.capacity, kp.dims, k):
+            return knn_scan_fused(q, kp.data, kp.sq_eff(), k, self.metric)
+        return knn_scan(q, kp.data, kp.valid, kp.sq, k, self.metric)
+
     def select_batch_async(self, queries: np.ndarray,
                            params: KnnSearchParams):
         """Dispatch one fused scan for the whole query batch (queries ride
@@ -77,19 +111,16 @@ class BruteForceIndex(FloatVectorIndexBase):
         self._maybe_quantize()
         q = np.stack([kp.prepare_query(v) for v in queries])
         k = min(params.k, kp.capacity)
-        if self._quant is not None and self._quant.active:
-            scores, idx = self._scan_quantized(jnp.asarray(q), k)
-        else:
-            from ...ops.pallas_scan import fused_available, knn_scan_fused
-            if fused_available(kp.capacity, kp.dims, k):
-                scores, idx = knn_scan_fused(jnp.asarray(q), kp.data,
-                                             kp.sq_eff(), k, self.metric)
-            else:
-                scores, idx = knn_scan(jnp.asarray(q), kp.data, kp.valid,
-                                       kp.sq, k, self.metric)
+        qd = jnp.asarray(q)
+        scores, idx, flag = self._dispatch_scan(qd, k)
 
         def drain() -> list[SelectKeyResult]:
-            s, i = jax.device_get((scores, idx))
+            if flag is not None:
+                s, i, fl = jax.device_get((scores, idx, flag))
+                if float(fl) > 0.0:        # v2 slot overflow: rerun v1
+                    s, i = jax.device_get(self._scan_fallback(qd, k))
+            else:
+                s, i = jax.device_get((scores, idx))
             s, i = np.asarray(s), np.asarray(i)
             out = []
             for b in range(len(queries)):
@@ -119,23 +150,19 @@ class BruteForceIndex(FloatVectorIndexBase):
 
         if params.k is not None:
             k = min(params.k, kp.capacity)
-            if self._quant is not None and self._quant.active:
-                scores, idx = self._scan_quantized(q, k)
-            else:
-                from ...ops.pallas_scan import fused_available, knn_scan_fused
-                if fused_available(kp.capacity, kp.dims, k):
-                    scores, idx = knn_scan_fused(q, kp.data, kp.sq_eff(), k,
-                                                 self.metric)
-                else:
-                    scores, idx = knn_scan(q, kp.data, kp.valid, kp.sq, k,
-                                           self.metric)
+            scores, idx, flag = self._dispatch_scan(q, k)
 
             def drain() -> SelectKeyResult:
-                # ONE blocking readback for both arrays: separate
+                # ONE blocking readback for all arrays: separate
                 # np.asarray(scores[0]) / np.asarray(idx[0]) cost a device
                 # slice dispatch + round trip EACH (~35ms of pure tunnel RTT
                 # per single-query select, measured in the hybrid profile)
-                s, i = jax.device_get((scores, idx))
+                if flag is not None:
+                    s, i, fl = jax.device_get((scores, idx, flag))
+                    if float(fl) > 0.0:    # v2 slot overflow: rerun v1
+                        s, i = jax.device_get(self._scan_fallback(q, k))
+                else:
+                    s, i = jax.device_get((scores, idx))
                 s, i = np.asarray(s[0]), np.asarray(i[0])
                 keep = i >= 0
                 s, i = s[keep], i[keep]

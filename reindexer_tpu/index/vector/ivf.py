@@ -174,16 +174,51 @@ class IvfIndex(FloatVectorIndexBase):
         m = min(cap, len(self._assign))
         a[:m] = self._assign[:m]
         self._d_assign = jnp.asarray(a)
+        self._rebuild_segments()
         self._csr_dirty = False
+
+    def _rebuild_segments(self) -> None:
+        """LIST-CONTIGUOUS device reorder (ops/ivf_kernels.scan_segments):
+        every inverted list becomes a SEG_BLK-aligned contiguous span of a
+        reordered base copy, so stage 2 streams exactly the probed blocks
+        at HBM bandwidth — cost proportional to nprobe, like the
+        reference's list probing (ivf_index.cc:151-261) and unlike the
+        masked full scan. One extra base-sized HBM buffer + <= nlist
+        zero-padded blocks; rebuilt only when assignments change."""
+        from ...ops.ivf_kernels import SEG_BLK
+        nlist = self.centroids.shape[0] if self.centroids is not None else 0
+        lens = np.diff(self._list_start)
+        blocks = np.maximum((lens + SEG_BLK - 1) // SEG_BLK, 0)
+        seg_start_rows = np.zeros(nlist + 1, dtype=np.int64)
+        np.cumsum(blocks * SEG_BLK, out=seg_start_rows[1:])
+        total = int(seg_start_rows[-1]) + SEG_BLK   # +1 guaranteed pad block
+        npad = _pow2(max(total, SEG_BLK), SEG_BLK)
+        perm = np.full(npad, -1, dtype=np.int32)
+        for li in range(nlist):
+            s, e = self._list_start[li], self._list_start[li + 1]
+            if e > s:
+                off = int(seg_start_rows[li])
+                perm[off: off + (e - s)] = self._list_rows[s:e]
+        self._seg_blocks = blocks.astype(np.int64)
+        self._seg_first_block = (seg_start_rows[:-1] // SEG_BLK).astype(
+            np.int64)
+        self._pad_block = int(seg_start_rows[-1]) // SEG_BLK
+        self._d_perm = jnp.asarray(perm)
+        # reordered base on device: row-gather once per rebuild; padding
+        # rows zero (the kernel's sumsq validity check needs exact zeros)
+        safe = jnp.maximum(self._d_perm, 0)
+        self._d_reordered = (self.keeper.data[safe]
+                             * (self._d_perm >= 0)[:, None])
 
 
     def _stage2(self, qd, nprobe: int, k):
-        """Candidate scoring: masked full matmul scan by default (gathers
-        move candidate rows at ~11 GB/s vs the ~819 GB/s contiguous sweep
-        — the full scan wins for every realistic nprobe/nlist; measured
-        0.34s -> ~ms at 1M x 768 nprobe=128). RX_IVF_GATHER=1 keeps the
-        gathered-list formulation for comparison. Returns (scores, ids)
-        device arrays or (None, None) when nothing matches."""
+        """Candidate scoring. Default: SEGMENT SCAN over the list-contiguous
+        reorder — the Pallas pipeline DMAs exactly the probed 128-row blocks
+        at HBM bandwidth, so cost scales with nprobe (ops/ivf_kernels.
+        scan_segments). Fallbacks: masked full matmul scan
+        (RX_IVF_SEGMENTS=0 — cost independent of nprobe) and the gathered
+        formulation (RX_IVF_GATHER=1 — rows move at the ~11 GB/s gather
+        unit). Returns (scores, ids) device arrays or (None, None)."""
         from ...ops.ivf_kernels import probe_mask, scan_probed_full
         use_gather = os.environ.get("RX_IVF_GATHER", "") in ("1", "true")
         if use_gather or k is None:
@@ -195,6 +230,17 @@ class IvfIndex(FloatVectorIndexBase):
             return scan_lists_batch(
                 qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
                 cand, ok, kk, self.metric)
+        use_segments = os.environ.get("RX_IVF_SEGMENTS", "1") not in (
+            "0", "false")
+        if use_segments:
+            try:
+                if jax.default_backend() == "tpu":
+                    return self._stage2_segments(qd, nprobe, k)
+            except Exception:
+                pass
+            if os.environ.get("RX_IVF_SEGMENTS", "") in ("1", "true"):
+                # explicit opt-in (tests): interpret-mode segments
+                return self._stage2_segments(qd, nprobe, k, interpret=True)
         nlist = self.centroids.shape[0]
         probes = probe_centroids(qd, self.centroids,
                                  min(nprobe, nlist), self.metric)
@@ -203,6 +249,42 @@ class IvfIndex(FloatVectorIndexBase):
         return scan_probed_full(
             qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
             self._d_assign, sel, kk, self.metric)
+
+    def _stage2_segments(self, qd, nprobe: int, k: int, interpret=False):
+        """Probe-proportional stage 2: host expands the probed lists into a
+        query-major block list (tiny), the segment kernel streams exactly
+        those blocks, and segment_topk folds them with original row ids."""
+        from ...ops.ivf_kernels import (SEG_BLK, scan_segments, segment_topk)
+        nlist = self.centroids.shape[0]
+        probes = np.asarray(probe_centroids(
+            qd, self.centroids, min(nprobe, nlist), self.metric))
+        B, P = probes.shape
+        blk_cnt = self._seg_blocks[probes]               # [B, P]
+        lens = np.diff(self._list_start)
+        per_q = blk_cnt.sum(axis=1)
+        sq_ = _pow2(max(int(per_q.max()), 1), 4)
+        starts = np.full((B, sq_), self._pad_block, dtype=np.int32)
+        counts = np.zeros((B, sq_), dtype=np.int32)
+        for b in range(B):
+            o = 0
+            for p in range(P):
+                li = probes[b, p]
+                nb = int(blk_cnt[b, p])
+                fb = int(self._seg_first_block[li])
+                starts[b, o: o + nb] = np.arange(fb, fb + nb,
+                                                 dtype=np.int32)
+                rem = int(lens[li])
+                for j in range(nb):
+                    counts[b, o + j] = min(rem - j * SEG_BLK, SEG_BLK)
+                o += nb
+        qids = np.repeat(np.arange(B, dtype=np.int32), sq_)
+        seg_scores = scan_segments(
+            jnp.asarray(starts.reshape(-1)), jnp.asarray(qids),
+            jnp.asarray(counts.reshape(-1)), qd,
+            self._d_reordered, self.metric, interpret)
+        return segment_topk(seg_scores, jnp.asarray(starts.reshape(-1)),
+                            self._d_perm, qd, min(k, self.keeper.capacity),
+                            self.metric)
 
     def _device_cands(self, qd, nprobe: int):
         """Probe + inverted-list expansion fully on device; only the tiny

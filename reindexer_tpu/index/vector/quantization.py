@@ -96,6 +96,15 @@ def knn_scan_quantized(queries: jnp.ndarray, codes: jnp.ndarray,
     return best_s, jnp.where(best_s > NEG_INF, best_i, -1)
 
 
+@jax.jit
+def _max_abs_err(data, valid, codes, lo, alpha):
+    """Per-dim max dequantization error over valid rows (one fused device
+    sweep). Certifies the SQ8 threshold bound in knn_scan_sq8_v2."""
+    deq = lo[None, :] + alpha[None, :] * codes.astype(jnp.float32)
+    err = jnp.abs(data - deq) * valid[:, None].astype(jnp.float32)
+    return jnp.max(err, axis=0)
+
+
 class QuantizedStore:
     """Quantized mirror of a VectorKeeper's data."""
 
@@ -107,6 +116,10 @@ class QuantizedStore:
         self.codes: Optional[jnp.ndarray] = None
         self.lo: Optional[jnp.ndarray] = None
         self.alpha: Optional[jnp.ndarray] = None
+        # max per-dim |b - dequant(b)| over valid rows: the certified error
+        # bound that lets the v2 scan threshold on quantized block maxima
+        # yet return the EXACT fp32 top-k (ops/pallas_select.knn_scan_sq8_v2)
+        self.err_dims: Optional[jnp.ndarray] = None
         self._quantized_count = 0
 
     @property
@@ -147,6 +160,8 @@ class QuantizedStore:
                 return
         self.codes = _encode(keeper.data, self.lo,
                              jnp.asarray(1.0 / alpha))
+        self.err_dims = _max_abs_err(keeper.data, keeper.valid, self.codes,
+                                     self.lo, self.alpha)
         self._quantized_count = keeper.count
 
     def quantize(self, keeper) -> None:
@@ -166,6 +181,8 @@ class QuantizedStore:
         self.alpha = jnp.asarray(alpha)
         self.codes = _encode(keeper.data, self.lo,
                              jnp.asarray(1.0 / alpha))
+        self.err_dims = _max_abs_err(keeper.data, keeper.valid, self.codes,
+                                     self.lo, self.alpha)
         self._quantized_count = len(rows)
 
     def memstat(self) -> dict:
@@ -190,3 +207,5 @@ class QuantizedStore:
         self._quantized_count = int(state["quantized_count"])
         self.codes = _encode(keeper.data, self.lo,
                              jnp.asarray(1.0 / np.asarray(self.alpha)))
+        self.err_dims = _max_abs_err(keeper.data, keeper.valid, self.codes,
+                                     self.lo, self.alpha)

@@ -230,3 +230,108 @@ def probe_mask(probes: jnp.ndarray, nlist: int) -> jnp.ndarray:
     B = probes.shape[0]
     m = jnp.zeros((B, nlist), jnp.bool_)
     return m.at[jnp.arange(B, dtype=jnp.int32)[:, None], probes].set(True)
+
+
+# ---------------------------------------------------------------------------
+# Segment scan: probe-proportional stage 2 over a LIST-CONTIGUOUS reorder
+# ---------------------------------------------------------------------------
+#
+# The masked full scan reads all N rows regardless of nprobe (an index whose
+# cost ignores the probe count is a scan with extra steps); gathering probed
+# rows moves them at the ~11 GB/s gather unit. The TPU-honest fix is DATA
+# LAYOUT: IvfIndex reorders base rows so every inverted list is a contiguous
+# 128-row-aligned span (ivf.py _rebuild_csr), and this Pallas kernel's grid
+# walks exactly the probed blocks — the scalar-prefetched block index feeds
+# the pipeline's DMA, so probed rows stream at full HBM bandwidth. Cost is
+# now proportional to the probed rows (reference parity: ivf_index.cc
+# 151-261 probes only nprobe lists; ours does too, in array form).
+
+SEG_BLK = 128      # rows per segment block (list starts align to this)
+
+
+def _make_seg_kernel(metric, d):
+    from jax.experimental import pallas as pl
+    from .pallas_scan import _dot3
+    l2 = metric == VectorMetric.L2
+
+    def _kernel(starts_ref, qids_ref, counts_ref, q_ref, base_ref, out_ref):
+        del starts_ref, qids_ref       # consumed by the index maps
+        i = pl.program_id(0)
+        tile = base_ref[:]                       # [SEG_BLK, D]
+        qrow = q_ref[:]                          # [1, D]
+        dots = _dot3(tile, qrow)                 # [SEG_BLK, 1]
+        if l2:
+            sumsq = jnp.sum(tile * tile, axis=1, keepdims=True)
+            s = 2.0 * dots - sumsq
+        else:
+            s = dots
+        # rows past this block's valid count are list/segment padding ->
+        # finite sentinel (explicit counts, NOT a zero-vector heuristic:
+        # a legitimate all-zero vector must stay searchable)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (SEG_BLK, 1), 0)
+        s = jnp.where(rows < counts_ref[i], jnp.maximum(s, -1e30), -1e30)
+        out_ref[:] = s.T                         # [1, SEG_BLK]
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def scan_segments(starts, qids, counts, queries, reordered, metric,
+                  interpret=False):
+    """Score the probed segments. starts i32[NSEG] = BLOCK index (rows /
+    SEG_BLK) into `reordered` [Npad, D]; qids i32[NSEG] = query row per
+    segment; counts i32[NSEG] = valid rows in each block (0 for padding
+    segments); queries f32[B, D]. Returns scores f32[NSEG, SEG_BLK] in
+    s_t-form (L2: 2 q.b - |b|^2; caller adds the rank-invariant -|q|^2)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nseg = starts.shape[0]
+    d = reordered.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nseg,),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda i, st, qi, ct: (qi[i], 0)),
+            pl.BlockSpec((SEG_BLK, d), lambda i, st, qi, ct: (st[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, SEG_BLK),
+                               lambda i, st, qi, ct: (i, 0)),
+    )
+    return pl.pallas_call(
+        _make_seg_kernel(metric, d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nseg, SEG_BLK), jnp.float32),
+        interpret=interpret,
+    )(starts, qids, counts, queries, reordered)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def segment_topk(seg_scores, starts, perm, queries, k, metric):
+    """Fold [B*S_q, SEG_BLK] segment scores to the final per-query top-k
+    with original row ids. starts i32[NSEG] as in scan_segments (NSEG must
+    be B * S_q, query-major); perm i32[Npad] maps reordered positions back
+    to original rows (-1 on padding)."""
+    from .distance import exact_topk_blocks
+    B = queries.shape[0]
+    nseg = seg_scores.shape[0]
+    sq_ = nseg // B
+    width = sq_ * SEG_BLK
+    flat = seg_scores.reshape(B, width)
+    if width > 4096:
+        top_s, top_p = exact_topk_blocks(flat, k, block=SEG_BLK)
+    else:
+        top_s, top_p = jax.lax.top_k(flat, min(k, width))
+    # flat position -> reordered row -> original row id
+    seg_of = top_p // SEG_BLK + (jnp.arange(B, dtype=jnp.int32) * sq_)[:, None]
+    pos = starts[seg_of] * SEG_BLK + top_p % SEG_BLK
+    ids = perm[pos]
+    if metric == VectorMetric.L2:
+        top_s = top_s - jnp.sum(queries * queries, axis=1, keepdims=True)
+    ids = jnp.where(top_s > -5e29, ids, -1)
+    top_s = jnp.where(ids >= 0, top_s, NEG_INF)
+    if top_s.shape[1] < k:
+        pad = k - top_s.shape[1]
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    return top_s, ids

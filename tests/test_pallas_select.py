@@ -1,0 +1,114 @@
+"""v2 fused-selection scan correctness (interpret mode on CPU): exact vs
+NumPy oracles, including the SQ8-thresholded exact path, validity contract,
+few-valid edge cases, and the overflow flag."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from reindexer_tpu.core.type_consts import VectorMetric
+from reindexer_tpu.ops.pallas_scan import SQ_EFF_BIG
+from reindexer_tpu.ops.pallas_select import (TILE, knn_scan_fused_v2,
+                                             knn_scan_sq8_v2, v2_available)
+
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2,
+                                    VectorMetric.INNER_PRODUCT])
+def test_v2_matches_oracle(metric, rng):
+    n, d, Q, k = 2 * TILE, 128, 8, 10
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    base[5] = 0.0                       # zeroed-invalid contract
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    scores, ids, flag = knn_scan_fused_v2(
+        jnp.asarray(q), jnp.asarray(base), k, metric, interpret=True)
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    assert float(flag) <= 0.0
+    if metric == VectorMetric.L2:
+        dm = ((q[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+        dm[:, 5] = np.inf
+        want = np.argsort(dm, axis=1)[:, :k]
+        want_scores = -np.take_along_axis(dm, ids, axis=1)
+    else:
+        sm = q @ base.T
+        sm[:, 5] = -np.inf
+        want = np.argsort(-sm, axis=1)[:, :k]
+        want_scores = np.take_along_axis(sm, ids, axis=1)
+    for b in range(Q):
+        assert set(ids[b].tolist()) == set(want[b].tolist())
+        assert 5 not in ids[b]
+    assert np.allclose(scores, want_scores, rtol=1e-4, atol=1e-3)
+
+
+def test_v2_fewer_valid_than_k(rng):
+    n, d, Q, k = 2 * TILE, 128, 4, 64
+    base = np.zeros((n, d), dtype=np.float32)
+    base[:7] = rng.normal(size=(7, d)).astype(np.float32)
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    scores, ids, flag = knn_scan_fused_v2(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    ids = np.asarray(ids)
+    for b in range(Q):
+        got = [i for i in ids[b].tolist() if i >= 0]
+        assert sorted(got) == list(range(7))
+        assert (ids[b][7:] == -1).all()
+
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2,
+                                    VectorMetric.INNER_PRODUCT])
+def test_v2_sq8_exact(metric, rng):
+    """The SQ8-thresholded path returns the EXACT fp32 top-k (the certified
+    eps bound keeps the quantized block threshold a superset)."""
+    n, d, Q, k = 2 * TILE, 128, 8, 10
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[7] = False
+    base[7] = 0.0
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    lo = np.quantile(base[valid], 0.001, axis=0).astype(np.float32)
+    hi = np.quantile(base[valid], 0.999, axis=0).astype(np.float32)
+    alpha = np.maximum((hi - lo) / 255.0, 1e-12).astype(np.float32)
+    codes = np.clip(np.round((np.clip(base, lo, hi) - lo) / alpha),
+                    0, 255).astype(np.uint8)
+    deq = lo + alpha * codes
+    err = np.abs(base[valid] - deq[valid]).max(axis=0).astype(np.float32)
+    sq = (base * base).sum(1).astype(np.float32)
+    sqe = np.where(valid, sq if metric == VectorMetric.L2 else 0.0,
+                   np.float32(SQ_EFF_BIG)).astype(np.float32)
+    scores, ids, flag = knn_scan_sq8_v2(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(lo),
+        jnp.asarray(alpha), jnp.asarray(err), jnp.asarray(sqe),
+        jnp.asarray(base), k, metric, interpret=True)
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    assert float(flag) <= 0.0
+    if metric == VectorMetric.L2:
+        dm = ((q[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+        dm[:, 7] = np.inf
+        want = np.argsort(dm, axis=1)[:, :k]
+        want_scores = -np.take_along_axis(dm, ids, axis=1)
+    else:
+        sm = q @ base.T
+        sm[:, 7] = -np.inf
+        want = np.argsort(-sm, axis=1)[:, :k]
+        want_scores = np.take_along_axis(sm, ids, axis=1)
+    for b in range(Q):
+        assert set(ids[b].tolist()) == set(want[b].tolist())
+    assert np.allclose(scores, want_scores, rtol=1e-4, atol=1e-3)
+
+
+def test_v2_overflow_flag_on_mass_ties(rng):
+    """Thousands of identical vectors tie every block max — the kernel must
+    RAISE the overflow flag rather than silently truncate."""
+    n, d, Q, k = 2 * TILE, 128, 4, 32
+    one = rng.normal(size=(d,)).astype(np.float32)
+    base = np.tile(one, (n, 1))
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    _, _, flag = knn_scan_fused_v2(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    assert float(flag) > 0.0
+
+
+def test_v2_availability_gate():
+    assert not v2_available(TILE * 2 + 1, 128, 10, 8)     # non-divisible n
+    assert not v2_available(TILE * 8, 96, 10, 8)          # dims not 128-mult
+    assert not v2_available(TILE * 8, 128, 125, 8)        # k too large
