@@ -55,6 +55,7 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     from reindexer_tpu.core.type_consts import VectorMetric
     from reindexer_tpu.ops.distance import knn_scan
     from reindexer_tpu.ops.pallas_scan import fused_available, knn_scan_fused
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v2, v2_available
 
     if smoke:
         n, iters = 10_000, 20
@@ -79,12 +80,18 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     q_all = jnp.asarray(rng.normal(size=(iters, batch, dims)).astype(np.float32))
 
     fused = fused_available(cap, dims, k)
+    v2 = v2_available(cap, dims, k, batch)
 
     # NOTE: pass the base as an ARGUMENT — closed-over device arrays embed
     # into the compile payload (remote compile rejects/slows on >100MB)
     @jax.jit
     def run_all(qs, b, v, s, se):
-        if fused:
+        if v2:
+            # v2 fused-selection scan (in-kernel threshold + compaction +
+            # extraction, no XLA epilogue); drop the overflow flag (exact
+            # for this data; production drains check it)
+            one = lambda q: knn_scan_fused_v2(q, b, k, VectorMetric.L2)[:2]
+        elif fused:
             one = lambda q: knn_scan_fused(q, b, se, k, VectorMetric.L2)
         else:
             one = lambda q: knn_scan(q, b, v, s, k, VectorMetric.L2)
@@ -141,7 +148,7 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
 
     dev = jax.devices()[0]
     print(f"# device={dev} n={n} cap={cap} dims={dims} batch={batch} k={k} "
-          f"lat={dt*1e3:.3f}ms sol={sol*1e3:.3f}ms fused={fused}",
+          f"lat={dt*1e3:.3f}ms sol={sol*1e3:.3f}ms fused={fused} v2={v2}",
           file=sys.stderr)
     return {
         "metric": "bf_knn_qps_per_chip_100k_128_l2_top100",
@@ -162,6 +169,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     from reindexer_tpu.index.vector.quantization import knn_scan_quantized
     from reindexer_tpu.ops.pallas_scan import (SQ_EFF_BIG, fused_available,
                                                knn_scan_fused_sq8)
+    from reindexer_tpu.ops.pallas_select import knn_scan_sq8_v2, v2_available
 
     if smoke:
         n, iters = 10_000, 20
@@ -178,15 +186,24 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     valid[:n] = True
     sq = np.sum(base * base, axis=1).astype(np.float32)
     sq_eff = np.where(valid, sq, np.float32(SQ_EFF_BIG))
+    deq = lo + alpha * codes
+    err = np.abs(base[:n] - deq[:n]).max(axis=0).astype(np.float32)
     codes_d, lo_d, alpha_d = jnp.asarray(codes), jnp.asarray(lo), jnp.asarray(alpha)
     valid_d, sq_d = jnp.asarray(valid), jnp.asarray(sq)
     sqe_d = jnp.asarray(sq_eff)
+    base_d, err_d = jnp.asarray(base), jnp.asarray(err)
     q_all = jnp.asarray(rng.normal(size=(iters, batch, dims)).astype(np.float32))
     fused = fused_available(cap, dims, k)
+    v2 = v2_available(cap, dims, k, batch)
 
     @jax.jit
-    def run_all(qs, c, lo, al, v, s, se):
-        if fused:
+    def run_all(qs, c, lo, al, v, s, se, bd, ed):
+        if v2:
+            # EXACT top-k at SQ8 scan cost: quantized threshold sweep with
+            # the certified eps bound + exact fp32 candidate sweep
+            one = lambda q: knn_scan_sq8_v2(q, c, lo, al, ed, se, bd,
+                                            k, VectorMetric.L2)[:2]
+        elif fused:
             one = lambda q: knn_scan_fused_sq8(q, c, lo, al, se, k,
                                                VectorMetric.L2)
         else:
@@ -198,7 +215,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
                                         x.astype(jnp.float32), 0.0)), outs)
 
     small = max(iters // 16, 1)
-    args = (codes_d, lo_d, alpha_d, valid_d, sq_d, sqe_d)
+    args = (codes_d, lo_d, alpha_d, valid_d, sq_d, sqe_d, base_d, err_d)
     np.asarray(jax.tree_util.tree_leaves(run_all(q_all[:small], *args))[0])
     np.asarray(jax.tree_util.tree_leaves(run_all(q_all, *args))[0])
     # floors differenced separately (see bench_bf estimator note)
@@ -215,7 +232,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     dt = max(tb - ts, 1e-9) / (iters - small)
     sol = roofline_latency_s(cap, dims, batch, 1, V5E_FP32_FLOPS)
     print(f"# sq8_bf qps={batch/dt:.1f} lat={dt*1e3:.3f}ms "
-          f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f} fused={fused}",
+          f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f} fused={fused} v2={v2}",
           file=sys.stderr)
 
 
@@ -299,6 +316,31 @@ def bench_hnsw(n=20_000, dims=96, k=10, ef=64, batch=64, smoke=False):
     dt_p = (time.perf_counter() - t0) / depth
     print(f"# hnsw pipelined depth={depth} ef={ef} "
           f"qps={batch/dt_p:.0f}", file=sys.stderr)
+
+    # streaming KNN continuation throughput (BASELINE.md config #5):
+    # successive next-nearest batches from one device-persistent session
+    # (frontier + visited bitset stay on device across continuations)
+    from reindexer_tpu.index.vector.streaming import KnnStreamingSession
+    sess = KnnStreamingSession(idx, queries[0], initial_ef=ef)
+    sess.next_batch(ef)                       # warm the resume program
+    sess2 = KnnStreamingSession(idx, queries[1], initial_ef=ef)
+    got = 0
+    batches = 0
+    t0 = time.perf_counter()
+    while not sess2.exhausted and batches < 8:
+        ids, _ = sess2.next_batch(ef)
+        got += len(ids)
+        batches += 1
+    dt_s = (time.perf_counter() - t0) / max(batches, 1)
+    # survivor-ratio adaptation: presented vs accepted feeds the batch-size
+    # estimator (reference: StreamingKnnEstimator)
+    ratio = got / max(batches * ef, 1)
+    print(f"# hnsw streaming batches={batches} items={got} "
+          f"lat/batch={dt_s*1e3:.1f}ms items/s={got/max(dt_s*batches,1e-9):.0f} "
+          f"survivor_ratio={ratio:.2f}", file=sys.stderr)
+    if got < min(ef, n) or ratio <= 0.0:
+        print("# WARN streaming regression: too few streamed items",
+              file=sys.stderr)
 
 
 def bench_ft(n_docs=50_000, smoke=False):

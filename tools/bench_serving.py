@@ -1,0 +1,112 @@
+"""Concurrent serving benchmark through the REAL HTTP server.
+
+Measures single-stream vs N concurrent-connection qps for (a) single-query
+KNN via SQL /query (the executor path: dispatch under the namespace lock,
+drain outside it) and (b) hybrid KNN+FT RRF queries. The two-phase
+dispatch/drain split should let N clients overlap their device round trips
+(target: >= 3x single-stream on the tunnel-RTT-bound workload).
+
+Usage: python tools/bench_serving.py [n=65536] [dims=128] [conns=8]
+"""
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def post_sql(port, db, sql):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v1/db/{db}/sqlquery",
+        data=sql.encode(), method="POST",
+        headers={"Content-Type": "text/plain"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def run_clients(port, sqls, conns, seconds=12.0):
+    """Each client loops its SQL queries for `seconds`; returns total qps."""
+    stop = time.time() + seconds
+    counts = [0] * conns
+    errs = []
+
+    def client(ci):
+        i = ci
+        while time.time() < stop:
+            try:
+                post_sql(port, "bench", sqls[i % len(sqls)])
+                counts[ci] += 1
+            except Exception as e:      # pragma: no cover
+                errs.append(e)
+                return
+            i += 1
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(conns)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    return sum(counts) / (time.time() - t0)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    dims = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    conns = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts,
+                               IndexType, VectorMetric)
+    from reindexer_tpu.server.http import ReindexerServer
+
+    srv = ReindexerServer(port=0)
+    srv.start()
+    port = srv.port
+    db = srv.mgr.create("bench")
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(500)]
+    db.open_namespace("items", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+            dims=dims, metric=VectorMetric.L2)),
+        IndexDef("text", "text", "string"),
+    ])
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    t0 = time.time()
+    tx = db.new_transaction("items")
+    for i in range(n):
+        tx.upsert({"id": i, "vec": base[i].tolist(),
+                   "text": " ".join(rng.choice(words, size=6))})
+    tx.commit()
+    print(f"# loaded {n} docs in {time.time()-t0:.1f}s", flush=True)
+
+    qvecs = [rng.normal(size=dims).astype(np.float32) for _ in range(32)]
+    knn_sqls = [
+        "SELECT id FROM items WHERE KNN(vec, [" +
+        ",".join(f"{v:.4f}" for v in q) + "], k=10) LIMIT 10"
+        for q in qvecs]
+    hybrid_sqls = [
+        "SELECT id FROM items WHERE KNN(vec, [" +
+        ",".join(f"{v:.4f}" for v in q) + "], k=50) AND text = '" +
+        words[i % 50] + "' LIMIT 10"
+        for i, q in enumerate(qvecs)]
+
+    for name, sqls in (("knn", knn_sqls), ("hybrid", hybrid_sqls)):
+        post_sql(port, "bench", sqls[0])      # warm
+        q1 = run_clients(port, sqls, 1)
+        qn = run_clients(port, sqls, conns)
+        print(f"# serving {name}: 1-conn {q1:.1f} qps, {conns}-conn "
+              f"{qn:.1f} qps, speedup {qn/max(q1,1e-9):.2f}x", flush=True)
+    srv.stop()
+
+
+if __name__ == "__main__":
+    main()
