@@ -241,7 +241,15 @@ class Reindexer:
                "client": "builtin"}
         self._activity.append(act)
         try:
-            res = self._selecter.select(q)
+            from .. import tracing
+            if tracing.enabled():
+                # span names mirror the Go connector's OTel spans
+                # (reference: tracing.go:10-18 "Reindexer.Query")
+                with tracing.span("Reindexer.Query",
+                                  namespace=q.namespace):
+                    res = self._selecter.select(q)
+            else:
+                res = self._selecter.select(q)
         finally:
             self._activity.remove(act)
         dt_us = (time.perf_counter() - t0) * 1e6

@@ -1,15 +1,24 @@
 """Geometry point index (reference: cpp_src/core/index/rtree/).
 
-The reference builds an R-tree over 2-D points to serve DWithin. TPU-first
-re-design: points live in a dense [N, 2] float64 column and DWithin is a
-single vectorized distance computation over all rows — the batched analog of
-an R-tree range descent, which for in-memory sizes is bandwidth-bound and
-branch-free. (A grid-bucketed variant can replace the full scan if bases get
-very large.)
+The reference builds an R-tree (5 split strategies: linear/quadratic/
+greene/rstar, indexrtree.cc) over 2-D points to serve DWithin. TPU-first
+re-design in two tiers:
+
+- small bases: one vectorized distance computation over all rows — the
+  branch-free batched analog of an R-tree range descent (bandwidth-bound,
+  beats pointer chasing at in-memory N);
+- large bases (>= _GRID_MIN points): a uniform GRID index — points bucket
+  into cells of side `cell`, sorted cell-major into a CSR, and DWithin
+  visits only the cells intersecting the query circle's bounding box, then
+  refines with the exact vectorized predicate. This is the array-friendly
+  equivalent of the R-tree's spatial pruning: contiguous CSR ranges
+  instead of tree nodes, no per-node branching, O(cells visited + output)
+  per query. The grid rebuilds lazily after mutations (same batch-commit
+  model as the vector indexes).
 """
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import numpy as np
 
@@ -18,6 +27,9 @@ from ..core.payload import IndexDef
 from ..core.type_consts import CondType
 from .base import Index, SelectKeyResult
 
+_GRID_MIN = 8192      # below this a single vectorized scan wins
+_TARGET_PER_CELL = 64
+
 
 class RTreeIndex(Index):
     def __init__(self, definition: IndexDef):
@@ -25,6 +37,8 @@ class RTreeIndex(Index):
         self._pts = np.zeros((64, 2), dtype=np.float64)
         self._valid = np.zeros(64, dtype=np.bool_)
         self._size = 0
+        self._grid: Optional[dict] = None
+        self._dirty = True
 
     def _grow(self, need: int) -> None:
         if need <= len(self._pts):
@@ -39,6 +53,7 @@ class RTreeIndex(Index):
     def upsert(self, row_id: int, values: Any) -> None:
         self._grow(row_id + 1)
         self._size = max(self._size, row_id + 1)
+        self._dirty = True
         if values is None:
             self._valid[row_id] = False
             return
@@ -51,14 +66,84 @@ class RTreeIndex(Index):
     def delete(self, row_id: int, values: Any) -> None:
         if row_id < self._size:
             self._valid[row_id] = False
+            self._dirty = True
 
     def supports(self, condition: CondType) -> bool:
         return condition in (CondType.DWITHIN, CondType.ANY, CondType.EMPTY)
+
+    # ------------------------------------------------------------------
+    def _rebuild_grid(self) -> None:
+        """Uniform-grid CSR over valid points: cell side sized so an average
+        cell holds ~_TARGET_PER_CELL points (the R-tree-node-fanout analog;
+        indexrtree.cc uses MAX_ENTRIES-bounded nodes the same way)."""
+        self._dirty = False
+        rows = np.flatnonzero(self._valid[: self._size])
+        if len(rows) < _GRID_MIN:
+            self._grid = None
+            return
+        pts = self._pts[rows]
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        span = np.maximum(hi - lo, 1e-12)
+        n_cells = max(len(rows) // _TARGET_PER_CELL, 1)
+        nx = max(int(np.sqrt(n_cells * span[0] / span[1])), 1)
+        ny = max(n_cells // max(nx, 1), 1)
+        cx = np.minimum(((pts[:, 0] - lo[0]) / span[0] * nx).astype(np.int64),
+                        nx - 1)
+        cy = np.minimum(((pts[:, 1] - lo[1]) / span[1] * ny).astype(np.int64),
+                        ny - 1)
+        cell = cx * ny + cy
+        order = np.argsort(cell, kind="stable")
+        self._grid = {
+            "rows": rows[order],
+            "pts": pts[order],
+            "start": np.searchsorted(cell[order],
+                                     np.arange(nx * ny + 1)),
+            "lo": lo, "span": span, "nx": nx, "ny": ny,
+        }
+
+    def _dwithin_grid(self, center: np.ndarray, distance: float,
+                      ) -> Optional[np.ndarray]:
+        g = self._grid
+        if g is None:
+            return None
+        lo, span, nx, ny = g["lo"], g["span"], g["nx"], g["ny"]
+        x0 = int(np.clip((center[0] - distance - lo[0]) / span[0] * nx,
+                         0, nx - 1))
+        x1 = int(np.clip((center[0] + distance - lo[0]) / span[0] * nx,
+                         0, nx - 1))
+        y0 = int(np.clip((center[1] - distance - lo[1]) / span[1] * ny,
+                         0, ny - 1))
+        y1 = int(np.clip((center[1] + distance - lo[1]) / span[1] * ny,
+                         0, ny - 1))
+        start = g["start"]
+        out = []
+        d2max = float(distance) ** 2
+        # visit each intersecting cell ROW as one contiguous CSR range
+        # (cells with the same x are adjacent in y: one slice per (x, ystrip))
+        for cxi in range(x0, x1 + 1):
+            s = start[cxi * ny + y0]
+            e = start[cxi * ny + y1 + 1]
+            if e <= s:
+                continue
+            pts = g["pts"][s:e]
+            d2 = np.sum((pts - center[None, :]) ** 2, axis=1)
+            hit = d2 <= d2max
+            if hit.any():
+                out.append(g["rows"][s:e][hit])
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(out)).astype(np.int64)
 
     def select_key(self, condition: CondType, values: tuple, **kw) -> SelectKeyResult:
         if condition == CondType.DWITHIN:
             (point, distance) = values
             center = np.asarray(point, dtype=np.float64).reshape(-1)
+            if self._dirty:
+                self._rebuild_grid()
+            ids = self._dwithin_grid(center, float(distance))
+            if ids is not None:
+                return SelectKeyResult(ids)
             d2 = np.sum((self._pts[: self._size] - center[None, :]) ** 2, axis=1)
             mask = self._valid[: self._size] & (d2 <= float(distance) ** 2)
             return SelectKeyResult(np.flatnonzero(mask).astype(np.int64))
@@ -73,6 +158,8 @@ class RTreeIndex(Index):
     def clear(self) -> None:
         self._valid[:] = False
         self._size = 0
+        self._grid = None
+        self._dirty = True
 
     def memstat(self) -> dict:
         return {"name": self.name,

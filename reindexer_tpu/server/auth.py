@@ -23,11 +23,57 @@ def hash_password(password: str, salt: Optional[str] = None) -> str:
     return f"sha256:{salt}:{digest}"
 
 
+_MD5CRYPT_B64 = "./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def md5crypt(password: str, salt: str, magic: str = "$1$") -> str:
+    """FreeBSD md5crypt ($1$salt$hash) — the reference's stored-password
+    scheme when built with openssl (dbmanager.cc ENABLE_OPENSSL,
+    tools/md5crypt.cc). Pure-python port of the published algorithm."""
+    pw = password.encode()
+    sl = salt.encode()[:8]
+    m = hashlib.md5(pw + magic.encode() + sl)
+    mixin = hashlib.md5(pw + sl + pw).digest()
+    for i in range(len(pw)):
+        m.update(bytes([mixin[i % 16]]))
+    i = len(pw)
+    while i:
+        m.update(b"\0" if i & 1 else pw[:1])
+        i >>= 1
+    final = m.digest()
+    for i in range(1000):
+        m2 = hashlib.md5()
+        m2.update(pw if i & 1 else final)
+        if i % 3:
+            m2.update(sl)
+        if i % 7:
+            m2.update(pw)
+        m2.update(final if i & 1 else pw)
+        final = m2.digest()
+    out = []
+    for a, b, c in ((0, 6, 12), (1, 7, 13), (2, 8, 14), (3, 9, 15),
+                    (4, 10, 5)):
+        v = (final[a] << 16) | (final[b] << 8) | final[c]
+        for _ in range(4):
+            out.append(_MD5CRYPT_B64[v & 0x3F])
+            v >>= 6
+    v = final[11]
+    out.append(_MD5CRYPT_B64[v & 0x3F])
+    out.append(_MD5CRYPT_B64[(v >> 6) & 0x3F])
+    return magic + sl.decode() + "$" + "".join(out)
+
+
 def check_password(stored: str, password: str) -> bool:
     if stored.startswith("sha256:"):
         _, salt, digest = stored.split(":", 2)
         return hashlib.sha256(
             (salt + password).encode()).hexdigest() == digest
+    if stored.startswith("$1$"):            # md5crypt (reference parity)
+        parts = stored.split("$")
+        if len(parts) >= 4:
+            return secrets.compare_digest(
+                md5crypt(password, parts[2]), stored)
+        return False
     return secrets.compare_digest(stored, password)
 
 

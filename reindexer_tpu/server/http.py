@@ -312,7 +312,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._err(401, "unauthorized")
             if err is not None:
                 return self._err(403, err)
-            self._dispatch(method, parts, qs)
+            from .. import tracing
+            if tracing.enabled():
+                with tracing.span(f"HTTP {method}",
+                                  http_path=parsed.path,
+                                  http_method=method):
+                    self._dispatch(method, parts, qs)
+            else:
+                self._dispatch(method, parts, qs)
         except _Forbidden as e:
             self._err(403, str(e))
         except NotFoundError as e:
@@ -777,12 +784,22 @@ class ReindexerServer:
     """Standalone server facade (reference: cpp_src/cmd/reindexer_server)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 9088,
-                 storage_root: str = "", auth=None):
+                 storage_root: str = "", auth=None,
+                 certfile: Optional[str] = None,
+                 keyfile: Optional[str] = None):
         self.mgr = DBManager(storage_root)
         self.mgr.auth = auth   # AuthManager or None (reference: dbmanager)
         handler = type("BoundHandler", (_Handler,),
                        {"mgr": self.mgr, "txs": {}})
         self.httpd = ThreadingHTTPServer((host, port), handler)
+        if certfile:
+            # TLS termination (reference: server/ ENABLE_OPENSSL https
+            # listener; stdlib ssl replaces the vendored openssl build)
+            import ssl
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile, keyfile)
+            self.httpd.socket = ctx.wrap_socket(self.httpd.socket,
+                                                server_side=True)
         self._thread: Optional[threading.Thread] = None
 
     @property

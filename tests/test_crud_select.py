@@ -509,3 +509,34 @@ def test_join_vectorized_parity(rng):
         finally:
             ex.Selecter._join_eq_vectorized = orig
         assert fast == slow
+
+
+def test_rtree_grid_parity(rng):
+    """The grid-bucketed DWithin (large bases) must match the exact
+    vectorized scan bit-for-bit, across mutations and re-queries."""
+    from reindexer_tpu.core.payload import IndexDef as _ID
+    from reindexer_tpu.core.type_consts import CondType
+    from reindexer_tpu.index.rtree import RTreeIndex, _GRID_MIN
+
+    idx = RTreeIndex(_ID("pt", "rtree", "point"))
+    n = _GRID_MIN * 2
+    pts = rng.uniform(-50, 50, size=(n, 2))
+    for i in range(n):
+        idx.upsert(i, pts[i])
+    idx.delete(5, None)
+    idx.upsert(7, [200.0, 200.0])          # outlier stretches the extent
+    pts[7] = [200.0, 200.0]
+    for center, dist in ([0.0, 0.0], 5.0), ([40.0, -40.0], 12.0), \
+                        ([200.0, 200.0], 1.0), ([500.0, 0.0], 3.0):
+        center = np.asarray(center)
+        got = np.sort(idx.select_key(CondType.DWITHIN, (center, dist)).ids)
+        assert idx._grid is not None
+        d2 = ((pts - center) ** 2).sum(1)
+        want = np.flatnonzero((d2 <= dist ** 2) & (np.arange(n) != 5))
+        assert np.array_equal(got, want), (center, dist)
+    # mutation invalidates and rebuilds
+    idx.upsert(5, pts[5])
+    got = np.sort(idx.select_key(
+        CondType.DWITHIN, (np.zeros(2), 5.0)).ids)
+    d2 = (pts ** 2).sum(1)
+    assert np.array_equal(got, np.flatnonzero(d2 <= 25.0))

@@ -496,3 +496,87 @@ def test_concurrent_mixed_format_requests(server):
     [t.start() for t in ts]
     [t.join(timeout=60) for t in ts]
     assert not errors, errors
+
+
+def test_tls_and_md5crypt_auth(tmp_path):
+    """HTTPS listener + md5crypt-stored credentials (reference: server
+    ENABLE_OPENSSL https + dbmanager md5crypt passwords)."""
+    import json
+    import ssl
+    import subprocess
+    import urllib.request
+
+    from reindexer_tpu.server.auth import AuthManager, md5crypt
+    from reindexer_tpu.server.http import ReindexerServer
+
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True)
+    auth = AuthManager({"alice": {"hash": md5crypt("s3cret", "somesalt"),
+                                  "roles": {"*": "owner"}}})
+    srv = ReindexerServer(port=0, auth=auth, certfile=str(cert),
+                          keyfile=str(key))
+    srv.start()
+    try:
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        url = f"https://127.0.0.1:{srv.port}/api/v1/db"
+        import base64
+        ok = base64.b64encode(b"alice:s3cret").decode()
+        req = urllib.request.Request(url, headers={
+            "Authorization": f"Basic {ok}"})
+        with urllib.request.urlopen(req, context=ctx) as r:
+            assert r.status == 200
+            json.loads(r.read())
+        bad = base64.b64encode(b"alice:wrong").decode()
+        req = urllib.request.Request(url, headers={
+            "Authorization": f"Basic {bad}"})
+        try:
+            urllib.request.urlopen(req, context=ctx)
+            assert False, "bad password must be rejected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        srv.stop()
+
+
+def test_tracing_spans():
+    """OTel-analog spans (reference: tracing.go): an HTTP request produces
+    a server span with a child Reindexer.Query span sharing its trace."""
+    import json as _json
+    import urllib.request
+
+    from reindexer_tpu import tracing
+    from reindexer_tpu.server.http import ReindexerServer
+
+    exp = tracing.InMemoryExporter()
+    tracing.configure(exp)
+    srv = ReindexerServer(port=0)
+    try:
+        srv.start()
+        db = srv.mgr.create("t")
+        from reindexer_tpu import IndexDef, IndexOpts
+        db.open_namespace("items", [
+            IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+        db.upsert("items", {"id": 1})
+        url = (f"http://127.0.0.1:{srv.port}/api/v1/db/t/sqlquery")
+        req = urllib.request.Request(url, data=b"SELECT * FROM items",
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            _json.loads(r.read())
+    finally:
+        srv.stop()
+        tracing.configure(None)
+    names = [s["name"] for s in exp.spans]
+    assert "Reindexer.Query" in names
+    assert "HTTP POST" in names
+    child = next(s for s in exp.spans if s["name"] == "Reindexer.Query")
+    parent = next(s for s in exp.spans if s["name"] == "HTTP POST")
+    assert child["trace_id"] == parent["trace_id"]
+    assert child["parent_span_id"] == parent["span_id"]
+    assert child["end_time_unix_nano"] >= child["start_time_unix_nano"]

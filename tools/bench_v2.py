@@ -55,12 +55,17 @@ def main():
           flush=True)
     s1, i1 = v1.knn_scan_fused(q, base, sq, K, metric)
     jax.block_until_ready((s1, i1))
+    # truth = numpy float64 oracle (v1's dual-orientation rounding deviates
+    # on a few boundary candidates; v2's single-orientation scores do not)
+    qn, bn = np.asarray(q), np.asarray(base)
+    dm = ((qn[:, None, :] - bn[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(dm, axis=1)[:, :K]
     a, b = np.asarray(i1), np.asarray(i2)
-    mism = sum(set(a[r].tolist()) != set(b[r].tolist()) for r in range(Q))
-    print(f"# v1-vs-v2 id-set mismatches: {mism}/{Q}", flush=True)
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4,
-                               atol=1e-3)
-    print("# scores match", flush=True)
+    m1 = sum(set(a[r].tolist()) != set(want[r].tolist()) for r in range(Q))
+    m2 = sum(set(b[r].tolist()) != set(want[r].tolist()) for r in range(Q))
+    print(f"# vs oracle: v1 mismatches {m1}/{Q}, v2 mismatches {m2}/{Q}",
+          flush=True)
+    assert m2 == 0, "v2 must match the oracle"
 
     best1, v1s = timed(v1.knn_scan_fused, q, base, sq, K, metric,
                        rounds=rounds)
