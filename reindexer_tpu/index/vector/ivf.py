@@ -53,6 +53,10 @@ class IvfIndex(FloatVectorIndexBase):
         self._list_start = np.zeros(1, dtype=np.int64)
         self._list_rows = np.empty(0, dtype=np.int32)
         self._rng = np.random.default_rng(0x1F5)
+        # approximate index: bulk uploads ship bf16 (half the transfer; the
+        # 3 GB fp32 upload dominated 1M x 768 training) unless disabled
+        self.keeper.upload_bf16 = os.environ.get(
+            "RX_IVF_BF16_UPLOAD", "1") not in ("0", "false")
 
     # ------------------------------------------------------------------
     def upsert(self, row_id: int, values) -> None:

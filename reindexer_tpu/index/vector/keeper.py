@@ -77,6 +77,7 @@ class VectorKeeper:
         self.sq = jnp.zeros((cap,), dtype=jnp.float32)
         self.count = 0  # number of valid vectors (maintained incrementally)
         self._pending: dict[int, Optional[np.ndarray]] = {}
+        self.upload_bf16 = False
         self._max_row = -1
         self._sq_eff = None   # (key, array) cache for sq_eff()
 
@@ -224,7 +225,19 @@ class VectorKeeper:
             valid = np.zeros((self.capacity,), dtype=np.bool_)
             data[start_row: start_row + n] = matrix
             valid[start_row: start_row + n] = True
-            self.data = jnp.asarray(data)
+            if self.upload_bf16:
+                # halve the host->device transfer for approximate indexes
+                # (IVF sets this: a 1M x 768 fp32 base is a 3 GB upload
+                # through the tunnel, dominating training time): ship bf16,
+                # widen on device; sq below comes from the ROUNDED data so
+                # stored vectors and cached norms stay consistent
+                import ml_dtypes
+                data = np.asarray(
+                    data.astype(ml_dtypes.bfloat16).astype(np.float32))
+                self.data = jnp.asarray(
+                    data.astype(ml_dtypes.bfloat16)).astype(jnp.float32)
+            else:
+                self.data = jnp.asarray(data)
             self.valid = jnp.asarray(valid)
             self.sq = jnp.asarray(
                 np.sum(data * data, axis=1, dtype=np.float32))
