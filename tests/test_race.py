@@ -2,6 +2,7 @@
 -race): concurrent writers + readers + tx on one namespace must not corrupt
 state or raise internal errors."""
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -239,3 +240,56 @@ def test_hnsw_pipelined_build_vs_searches(rng):
     got = {d["id"] for d in res.docs()}
     oracle = set(np.argsort(((base - q) ** 2).sum(1))[:10].tolist())
     assert len(got & oracle) >= 6, (got, oracle)
+
+
+def test_unlocked_drain_overlap(rng):
+    """The dispatch/drain split releases the namespace lock during device
+    waits (Namespace.unlocked): hammer KNN selects from several threads
+    while writers mutate — no deadlocks, no exceptions, every result a
+    valid row, and the unlocked window actually re-enters (ns.lock is
+    re-acquirable by other threads mid-query)."""
+    db = Reindexer()
+    db.open_namespace("u", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+            dims=8, metric=VectorMetric.L2)),
+    ])
+    for i in range(256):
+        db.upsert("u", {"id": i, "vec": rng.normal(size=8).tolist()})
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader(seed):
+        r = np.random.default_rng(seed)
+        try:
+            while not stop.is_set():
+                q = Query("u").where_knn(
+                    "vec", r.normal(size=8).astype(np.float32),
+                    KnnSearchParams(k=5))
+                for it in db.select(q):
+                    assert it.row_id >= 0
+        except Exception as e:
+            errors.append(e)
+
+    def writer(seed):
+        r = np.random.default_rng(seed)
+        try:
+            while not stop.is_set():
+                rid = int(r.integers(0, 400))
+                db.upsert("u", {"id": rid,
+                                "vec": r.normal(size=8).tolist()})
+        except Exception as e:
+            errors.append(e)
+
+    threads = ([threading.Thread(target=reader, args=(i,), daemon=True)
+                for i in range(4)]
+               + [threading.Thread(target=writer, args=(100 + i,),
+                                   daemon=True) for i in range(2)])
+    for t in threads:
+        t.start()
+    time.sleep(3.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+        assert not t.is_alive(), "thread deadlocked"
+    assert not errors, errors[:1]
