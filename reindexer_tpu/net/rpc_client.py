@@ -32,9 +32,12 @@ _ERR_OF = {Status.QUERY_ERROR: QueryError, Status.PARAMS_ERROR: ParamsError,
            Status.NOT_FOUND: NotFoundError, Status.CONFLICT: ConflictError}
 
 
-def _page_docs(page) -> list:
-    """Result page: CJSON blob (one shared tag table) or legacy JSON list."""
+def _page_docs(page, tag_state=None) -> list:
+    """Result page: stateful CJSON blob (per-connection delta tag table)
+    or legacy JSON list."""
     if isinstance(page, (bytes, bytearray)):
+        if tag_state is not None:
+            return cjson.decode_docs_stateful(bytes(page), tag_state)
         return cjson.decode_docs(bytes(page))
     return [json.loads(p) for p in page]
 
@@ -48,6 +51,7 @@ class _ConnSlot:
         self.sock = socket.create_connection(addr, timeout=30)
         self.seq = 0
         self.dead = False
+        self.tag_state = cjson.TagState()   # mirrors the server connection
         user, password, db = creds
         self.call(Cmd.LOGIN, [user, password, db])
 
@@ -248,7 +252,7 @@ class RpcReindexer:
                               self.fetch_limit, 1], slot=slot)
             ns = q.namespace
         req_id, total, count, page, ranks, aggs_json = out
-        docs = _page_docs(page)
+        docs = _page_docs(page, slot.tag_state)
         items = [ResultItem(doc=d, row_id=i, ns_name=ns,
                             rank=(ranks[i] if ranks[i] else None))
                  for i, d in enumerate(docs)]
@@ -258,7 +262,7 @@ class RpcReindexer:
             fpage, franks = self._call(
                 Cmd.FETCH_RESULTS, [req_id, offset, self.fetch_limit, 1],
                 slot=slot)
-            fdocs = _page_docs(fpage)
+            fdocs = _page_docs(fpage, slot.tag_state)
             for j, d in enumerate(fdocs):
                 items.append(ResultItem(
                     doc=d, row_id=offset + j, ns_name=ns,

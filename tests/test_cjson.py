@@ -58,3 +58,31 @@ def test_property_roundtrip_random(rng):
     for _ in range(50):
         doc = {f"f{j}": rand_value(0) for j in range(rng.integers(1, 8))}
         assert cjson.decode_doc(cjson.encode_doc(doc)) == doc
+
+
+def test_stateful_tag_table_delta_pages():
+    """Per-connection delta tag tables (reference: tagsmatcher.h
+    stateToken_): the second page with the same field names carries ZERO
+    name bytes, later pages only genuinely new names; desync raises."""
+    from reindexer_tpu.core.cjson import (TagState, decode_docs_stateful,
+                                          encode_docs, encode_docs_stateful)
+
+    docs1 = [{"alpha": 1, "beta": [1, 2], "gamma": {"delta": "x"}}]
+    docs2 = [{"alpha": 7, "beta": [], "gamma": {"delta": "y"}}]
+    docs3 = [{"alpha": 0, "epsilon": 3.5}]
+
+    enc, dec = TagState(), TagState()
+    p1 = encode_docs_stateful(docs1, enc)
+    p2 = encode_docs_stateful(docs2, enc)
+    p3 = encode_docs_stateful(docs3, enc)
+    assert decode_docs_stateful(p1, dec) == docs1
+    assert decode_docs_stateful(p2, dec) == docs2
+    assert decode_docs_stateful(p3, dec) == docs3
+    # page 2 must be smaller than a stateless page (no table resend)
+    assert len(p2) < len(encode_docs(docs2))
+    # only 'epsilon' is new on page 3
+    assert b"epsilon" in p3 and b"alpha" not in p3
+    # desync detection
+    import pytest
+    with pytest.raises(ValueError):
+        decode_docs_stateful(p2, TagState())
