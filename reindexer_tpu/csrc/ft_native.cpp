@@ -548,22 +548,23 @@ PyObject* score_merge_runs(PyObject* /*self*/, PyObject* args) {
     PyObject *post_doc_o, *post_field_o, *post_tf_o, *post_minpos_o;
     PyObject *doc_words_o, *fb_o, *bb_o, *bw_o, *pb_o, *pw_o;
     PyObject *term_boost_o, *term_lenb_o, *must_o, *notm_o, *field_words_o;
+    PyObject *pa_o = Py_None, *pb2_o = Py_None;
     double k1, b, avg_len, dist_w, dist_b, fm_boost;
     long bm25_type, use_prox, n_fields, cap, n_terms, use_fm, merge_k;
     if (!PyArg_ParseTuple(
-            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl",
+            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl|OO",
             &run_start_o, &run_len_o, &run_term_o, &run_w_o, &run_idf_o,
             &post_doc_o, &post_field_o, &post_tf_o, &post_minpos_o,
             &doc_words_o, &fb_o, &bb_o, &bw_o, &pb_o, &pw_o,
             &term_boost_o, &term_lenb_o, &must_o, &notm_o,
             &k1, &b, &avg_len, &bm25_type, &dist_w, &dist_b, &use_prox,
             &field_words_o, &n_fields, &cap, &n_terms, &use_fm, &fm_boost,
-            &merge_k)) {
+            &merge_k, &pa_o, &pb2_o)) {
         return nullptr;
     }
     PhraseBuf rs_b, rl_b, rt_b, rw_b, ri_b, post_doc_b, post_field_b,
         post_tf_b, post_minpos_b, doc_words_b, fb_b, bb_b, bw_b, pb_b, pw_b,
-        tb_b, tl_b, must_b, notm_b, fw_b;
+        tb_b, tl_b, must_b, notm_b, fw_b, pa_b, pb2_b;
     if (!rs_b.get(run_start_o) || !rl_b.get(run_len_o) ||
         !rt_b.get(run_term_o) || !rw_b.get(run_w_o) || !ri_b.get(run_idf_o) ||
         !post_doc_b.get(post_doc_o) || !post_field_b.get(post_field_o) ||
@@ -576,6 +577,12 @@ PyObject* score_merge_runs(PyObject* /*self*/, PyObject* args) {
     }
     bool have_fw = field_words_o != Py_None;
     if (have_fw && !fw_b.get(field_words_o)) return nullptr;
+    // precomputed per-posting affine score parts: sr = w*(A[p] + beta*B[p])
+    // with beta in run_idf (query-independent A/B built by the selector)
+    bool have_ab = pa_o != Py_None && pb2_o != Py_None;
+    if (have_ab && (!pa_b.get(pa_o) || !pb2_b.get(pb2_o))) return nullptr;
+    const float* PA = have_ab ? (const float*)pa_b.view.buf : nullptr;
+    const float* PB = have_ab ? (const float*)pb2_b.view.buf : nullptr;
 
     const int64_t* run_start = (const int64_t*)rs_b.view.buf;
     const int64_t* run_len = (const int64_t*)rl_b.view.buf;
@@ -817,22 +824,23 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     PyObject *post_doc_o, *post_field_o, *post_tf_o, *post_minpos_o;
     PyObject *doc_words_o, *fb_o, *bb_o, *bw_o, *pb_o, *pw_o;
     PyObject *term_boost_o, *term_lenb_o, *must_o, *notm_o, *field_words_o;
+    PyObject *pa_o = Py_None, *pb2_o = Py_None;
     double k1, b, avg_len, dist_w, dist_b, fm_boost;
     long bm25_type, use_prox, n_fields, cap, n_terms, use_fm, merge_k;
     if (!PyArg_ParseTuple(
-            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl",
+            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl|OO",
             &run_start_o, &run_len_o, &run_term_o, &run_w_o, &run_idf_o,
             &post_doc_o, &post_field_o, &post_tf_o, &post_minpos_o,
             &doc_words_o, &fb_o, &bb_o, &bw_o, &pb_o, &pw_o,
             &term_boost_o, &term_lenb_o, &must_o, &notm_o,
             &k1, &b, &avg_len, &bm25_type, &dist_w, &dist_b, &use_prox,
             &field_words_o, &n_fields, &cap, &n_terms, &use_fm, &fm_boost,
-            &merge_k)) {
+            &merge_k, &pa_o, &pb2_o)) {
         return nullptr;
     }
     PhraseBuf rs_b, rl_b, rt_b, rw_b, ri_b, post_doc_b, post_field_b,
         post_tf_b, post_minpos_b, doc_words_b, fb_b, bb_b, bw_b, pb_b, pw_b,
-        tb_b, tl_b, must_b, notm_b, fw_b;
+        tb_b, tl_b, must_b, notm_b, fw_b, pa_b, pb2_b;
     if (!rs_b.get(run_start_o) || !rl_b.get(run_len_o) ||
         !rt_b.get(run_term_o) || !rw_b.get(run_w_o) || !ri_b.get(run_idf_o) ||
         !post_doc_b.get(post_doc_o) || !post_field_b.get(post_field_o) ||
@@ -845,6 +853,12 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     }
     bool have_fw = field_words_o != Py_None;
     if (have_fw && !fw_b.get(field_words_o)) return nullptr;
+    // precomputed per-posting affine score parts: sr = w*(A[p] + beta*B[p])
+    // with beta in run_idf (query-independent A/B built by the selector)
+    bool have_ab = pa_o != Py_None && pb2_o != Py_None;
+    if (have_ab && (!pa_b.get(pa_o) || !pb2_b.get(pb2_o))) return nullptr;
+    const float* PA = have_ab ? (const float*)pa_b.view.buf : nullptr;
+    const float* PB = have_ab ? (const float*)pb2_b.view.buf : nullptr;
 
     const int64_t* run_start = (const int64_t*)rs_b.view.buf;
     const int64_t* run_len = (const int64_t*)rl_b.view.buf;
@@ -890,6 +904,21 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
         const float rboost = run_w[r] * term_boost[t] * term_lenb[t];
         const float idf = run_idf[r];
         const int64_t s0 = run_start[r], e0 = s0 + run_len[r];
+        if (have_ab) {
+            // 2 loads + 2 FMAs per posting (A/B precomputed at build time;
+            // per-posting bm25/pos2rank fully factored out)
+            const float wB = rboost * idf;
+            for (int64_t pi = s0; pi < e0; pi++) {
+                int32_t d = post_doc[pi];
+                float sr = rboost * PA[pi] + wB * PB[pi];
+                at[d] = sr > at[d] ? sr : at[d];
+                if (mt) {
+                    float mpf = (float)post_minpos[pi];
+                    mt[d] = mpf < mt[d] ? mpf : mt[d];
+                }
+            }
+            continue;
+        }
         for (int64_t pi = s0; pi < e0; pi++) {
             int32_t d = post_doc[pi];
             int32_t fld = post_field[pi];
@@ -919,6 +948,41 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     std::vector<float> out_scores;
     out_docs.reserve(65536);
     out_scores.reserve(65536);
+    if (T == 2 && n_must == 0 && !notm[0] && !notm[1]) {
+        // frequent two-term OR (the common zipf-head query): hoisted
+        // pointers, no inner term loop
+        const float* a0 = acc.data();
+        const float* a1 = acc.data() + cap;
+        const float* m0 = use_prox ? mp.data() : nullptr;
+        const float* m1 = use_prox ? mp.data() + cap : nullptr;
+        const float c1 = (float)(1.0 - dist_w);
+        const float c2 = (float)(dist_b * dist_w);
+        for (long d = 0; d < cap; d++) {
+            float s0v = a0[d], s1v = a1[d];
+            if (s0v <= 0.f && s1v <= 0.f) continue;
+            float att1 = s1v;
+            bool both = s0v > 0.f && s1v > 0.f;
+            if (use_prox && both) {
+                float dist = m1[d] > m0[d] ? m1[d] - m0[d] : m0[d] - m1[d];
+                if (dist < 1.f) dist = 1.f;
+                att1 = s1v * (c1 + c2 / dist);
+            }
+            float docsum = (s0v > 0.f ? s0v : 0.f)
+                           + (s1v > 0.f ? att1 : 0.f);
+            if (docsum <= 0.f) continue;
+            if (use_fm && have_fw && both && (int)n_terms == 2) {
+                for (long f = 0; f < n_fields; f++) {
+                    if (fb[f] > 0.f && field_words[f * cap + d] == 2) {
+                        docsum *= fm_boost;
+                        break;
+                    }
+                }
+            }
+            out_docs.push_back((int32_t)d);
+            out_scores.push_back(docsum);
+        }
+        goto select_topk;
+    }
     for (long d = 0; d < cap; d++) {
         double docsum = 0.0;
         bool excl = false;
@@ -962,6 +1026,7 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
         out_scores.push_back((float)docsum);
     }
 
+select_topk: {
     size_t n_out = out_docs.size();
     std::vector<uint64_t> keys(n_out);
     for (size_t i = 0; i < n_out; i++) {
@@ -996,6 +1061,7 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     Py_XDECREF(docs_b2);
     Py_XDECREF(scores_b2);
     return tup;
+}
 }
 
 PyMethodDef methods[] = {

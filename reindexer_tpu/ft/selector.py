@@ -336,6 +336,47 @@ class FtSelector:
     # streaming writes ~5ns + an O(cap) combine pass)
     DENSE_MIN = int(os.environ.get("RX_FT_DENSE_MIN", str(1 << 17)))
 
+    def _ab_arrays(self, fb, bb, bw, pb, pw):
+        """Query-independent per-posting affine score parts (cached on the
+        holder): subTermRank = w*tb*tlb * (A[p] + beta*B[p]) with
+        A = fb*(1-bw)*posrank, B = fb*bb*bw*X*posrank, beta = idf (rx/
+        classic) or 1 (word_count). One vectorized pass over the postings
+        at first use (~0.3s at 18M) turns the merge's per-posting math into
+        two fused multiply-adds."""
+        h, cfg = self.holder, self.cfg
+        key = (tuple(fb), tuple(bb), tuple(bw), tuple(pb), tuple(pw),
+               cfg.bm25.k1, cfg.bm25.b, round(h.avg_doc_len, 6),
+               cfg.bm25.bm25_type, h.num_postings)
+        cached = getattr(h, "_ab_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2]
+        fld = h.post_field
+        minpos = h.post_minpos.astype(np.float32)
+        # pos2rank piecewise (ftconfig.h:126-144), vectorized
+        p = minpos
+        p2r = np.where(
+            p <= 10, 1.0 - p / 100.0,
+            np.where(p <= 100, 0.9 - p / 1000.0,
+                     np.where(p <= 1000, 0.8 - p / 10000.0,
+                              np.where(p <= 10000, 0.7 - p / 100000.0,
+                                       np.where(p <= 100000, 0.6 - p / 1e6,
+                                                0.5))))).astype(np.float32)
+        fbv, bbv, bwv = fb[fld], bb[fld], bw[fld]
+        posrank = (1.0 - pw[fld]) + p2r * pb[fld] * pw[fld]
+        k1, b = cfg.bm25.k1, cfg.bm25.b
+        wdoc = np.maximum(h.doc_words[h.post_doc], 1.0)
+        if cfg.bm25.bm25_type == "word_count":
+            X = h.post_tf
+        else:
+            tfq = (h.post_tf / wdoc if cfg.bm25.bm25_type == "classic"
+                   else h.post_tf)
+            X = tfq * (k1 + 1.0) / (tfq + k1 * (1.0 - b
+                                                + b * wdoc / h.avg_doc_len))
+        A = np.ascontiguousarray(fbv * (1.0 - bwv) * posrank, np.float32)
+        B = np.ascontiguousarray(fbv * bbv * bwv * X * posrank, np.float32)
+        h._ab_cache = (key, A, B)
+        return A, B
+
     def _score_host(self, q, prep, merge_k: int, use_prox: bool,
                     use_fm: bool, n_pos_terms: int):
         from .dataholder import _native_module
@@ -349,21 +390,29 @@ class FtSelector:
         # and the [T, cap] accumulator stays modest
         t_real = len(prep["must"])
         entry = native.score_merge_runs
-        if (prep["G"] >= self.DENSE_MIN
-                and hasattr(native, "score_merge_dense")
-                and prep["G"] >= h.total_docs // 4
-                and t_real * h.total_docs <= (1 << 26)):
+        dense = (prep["G"] >= self.DENSE_MIN
+                 and hasattr(native, "score_merge_dense")
+                 and prep["G"] >= h.total_docs // 4
+                 and t_real * h.total_docs <= (1 << 26))
+        if dense:
             entry = native.score_merge_dense
         fb, bb, bw, pb, pw = self._field_params(q)
         bm25_code = {"rx": 0, "classic": 1, "word_count": 2}.get(
             cfg.bm25.bm25_type, 0)
         fw = np.ascontiguousarray(h.field_words, dtype=np.int32)
+        extra = ()
+        run_idf = np.ascontiguousarray(prep["run_idf"], np.float32)
+        if dense:
+            A, B = self._ab_arrays(fb, bb, bw, pb, pw)
+            if cfg.bm25.bm25_type == "word_count":
+                run_idf = np.ones_like(run_idf)    # beta=1: B carries tf
+            extra = (A, B)
         docs_raw, scores_raw = entry(
             np.ascontiguousarray(prep["run_start"], np.int64),
             np.ascontiguousarray(prep["run_len"], np.int64),
             np.ascontiguousarray(prep["run_term"], np.int32),
             np.ascontiguousarray(prep["run_w"], np.float32),
-            np.ascontiguousarray(prep["run_idf"], np.float32),
+            run_idf,
             h.post_doc, h.post_field, h.post_tf, h.post_minpos,
             h.doc_words,
             np.ascontiguousarray(fb, np.float32),
@@ -381,7 +430,7 @@ class FtSelector:
             1 if use_prox else 0,
             fw, int(fw.shape[0]), int(fw.shape[1]),
             int(n_pos_terms), 1 if use_fm else 0,
-            float(cfg.full_match_boost), int(merge_k))
+            float(cfg.full_match_boost), int(merge_k), *extra)
         docs = np.frombuffer(docs_raw, dtype=np.int32)
         scores = np.frombuffer(scores_raw, dtype=np.float32)
         return scores, docs
