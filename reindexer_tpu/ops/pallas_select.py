@@ -49,7 +49,7 @@ SENT = -1e30                 # in-kernel invalid/empty sentinel (NEVER -inf:
                              # 0 * -inf = NaN in the one-hot contractions)
 SENT_HALF = -5e29
 BLK = 64                     # selection block (rows per bmax entry)
-TILE = 2048                  # base rows per grid step
+TILE = 4096                  # base rows per grid step
 GL = TILE // BLK             # blocks per tile
 S_SLOTS = 128                # compacted block capacity (>= k + margin)
 S2 = 128                     # fine-stage slot capacity
@@ -241,39 +241,60 @@ def _make_select_kernel(n, k, metric, Qn):
             cand[:] = jnp.zeros_like(cand)
             kid[:] = jnp.zeros_like(kid)
 
-        # ---- every step: exact scores + rank-one-hot compaction
+        # ---- every step: exact scores + rank-one-hot compaction.
+        # ONE batched dot per step: the 3 exact bf16 limbs concatenate
+        # along the CONTRACTION axis (hi|mid|lo x sel|sel|sel sums the
+        # three limb products in a single MXU pass) — per-q batched small
+        # matmuls are issue-bound, so dot COUNT, not FLOPs, is the cost
+        # (5 dots/step at TILE 2048 measured v2 1.7x slower than v1)
         s_t = _scores_tile(base_ref[:], q_ref[:], metric)      # [T, Q]
         x = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))  # [Q, c, gl]
         rk = rank_gq[pl.ds(i * GL, GL), :].T                   # [Q, GL]
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (Qn, GL, S_SLOTS), 2)
-        sel_f = (rk[:, :, None].astype(jnp.int32) == s_iota).astype(
-            jnp.float32)                                       # [Q, GL, S]
-        sel_b = sel_f.astype(jnp.bfloat16)
+        sel_b = (rk[:, :, None].astype(jnp.int32) == s_iota).astype(
+            jnp.bfloat16)                                      # [Q, GL, S]
         dn = (((2,), (1,)), ((0,), (0,)))
-        for limb in _split3_bf16(x):
-            cand[:] += jax.lax.dot_general(
-                limb, sel_b, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
-        # integer-carrying dots MUST run with explicitly bf16-exact
-        # pieces: TPU's DEFAULT matmul precision computes f32-operand dots
-        # at bf16, silently rounding block ids > 255 (measured: every
-        # returned id snapped to a multiple of its bf16 ulp)
-        gval = (jnp.float32(i * GL)
-                + jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, GL), 2
-                                           ).astype(jnp.float32))
-        ghi = jnp.floor(gval * (1.0 / 256.0))           # <= 7, bf16-exact
-        glo = gval - 256.0 * ghi                        # <= 255, bf16-exact
-        kid[:] += 256.0 * jax.lax.dot_general(
-            ghi.astype(jnp.bfloat16), sel_b, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
-        kid[:] += jax.lax.dot_general(
-            glo.astype(jnp.bfloat16), sel_b, dimension_numbers=dn,
+        hi, mid, lo = _split3_bf16(x)
+        x3 = jnp.concatenate([hi, mid, lo], axis=2)            # [Q, c, 3GL]
+        sel3 = jnp.concatenate([sel_b] * 3, axis=1)            # [Q, 3GL, S]
+        cand[:] += jax.lax.dot_general(
+            x3, sel3, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
 
         # ---- last step: fine stage + extraction
         @pl.when(i == n_tiles - 1)
         def _():
             count = count_s[:]                                  # [Q, 1]
+            dn_e = (((2,), (1,)), ((0,), (0,)))
+            # kept-block ids from the rank scratch, once (16 chunked dots
+            # instead of 2 per sweep step); integer-carrying dots use
+            # bf16-exact pieces (TPU DEFAULT precision runs f32 dots at
+            # bf16 — ids silently snap to bf16 ulps otherwise)
+            CH = 64 if G < 128 else 128     # must divide G (G % 64 == 0)
+            si_k = jax.lax.broadcasted_iota(
+                jnp.int32, (Qn, CH, S_SLOTS), 2)
+
+            def kid_chunk(ch, acc_kid):
+                rk_c = rank_gq[pl.ds(ch * CH, CH), :].T         # [Q, CH]
+                sel_c = (rk_c[:, :, None].astype(jnp.int32) == si_k
+                         ).astype(jnp.bfloat16)
+                gid = (ch * CH
+                       + jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, CH), 2)
+                       ).astype(jnp.float32)
+                ghi = jnp.floor(gid * (1.0 / 256.0))
+                glo = gid - 256.0 * ghi
+                g2 = jnp.concatenate([ghi.astype(jnp.bfloat16),
+                                      glo.astype(jnp.bfloat16)], axis=2)
+                s2c = jnp.concatenate([256.0 * sel_c.astype(jnp.float32),
+                                       sel_c.astype(jnp.float32)], axis=1
+                                      ).astype(jnp.bfloat16)
+                return acc_kid + jax.lax.dot_general(
+                    g2, s2c, dimension_numbers=dn_e,
+                    preferred_element_type=jnp.float32)
+
+            kid[:] = jax.lax.fori_loop(
+                0, G // CH, kid_chunk,
+                jnp.zeros((Qn, 1, S_SLOTS), jnp.float32))
             # fine layout: group g2 = ch*S + s holds cand[:, ch*8:(ch+1)*8,
             # s] — chunk ch of the fine lanes is EXACTLY a static sublane
             # slice of cand, so nothing [Q, 8, 8S]-shaped ever materializes
