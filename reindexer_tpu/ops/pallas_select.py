@@ -214,7 +214,7 @@ def sweep_bmax_sq8(q_alpha, shift, codes, sq_eff, metric, interpret=False):
 # sweep B: threshold + compaction + fine select + extraction, one kernel
 # ---------------------------------------------------------------------------
 
-def _make_select_kernel(n, k, metric, Qn):
+def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
     G = n // BLK
     n_tiles = n // TILE
     kb = float(min(k + MARGIN, G))      # blocks to keep (threshold rank)
@@ -264,6 +264,11 @@ def _make_select_kernel(n, k, metric, Qn):
         # ---- last step: fine stage + extraction
         @pl.when(i == n_tiles - 1)
         def _():
+            if ablate == "noepi":      # measurement ablation: sweep only
+                out_s_ref[:] = jnp.zeros_like(out_s_ref)
+                out_i_ref[:] = jnp.zeros_like(out_i_ref)
+                flag_ref[:] = count_s[:1, :1] * 0.0
+                return
             count = count_s[:]                                  # [Q, 1]
             dn_e = (((2,), (1,)), ((0,), (0,)))
             # kept-block ids from the rank scratch, once (16 chunked dots
@@ -363,6 +368,16 @@ def _make_select_kernel(n, k, metric, Qn):
             s2r = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, S2), 2)
             valid2_r = s2r.astype(jnp.float32) < count2
             out2 = jnp.where(valid2_r, out2, SENT)
+            over = jnp.maximum(count - float(S_SLOTS),
+                               count2[:, :, 0] - float(S2))    # [Q, 1]
+            if xla_tail:
+                # export the [Q, 8, S2] compacted candidates + row ids; the
+                # caller's lax.top_k over 8*S2 lanes replaces the serial
+                # in-kernel extraction (k fori iterations of reduce+mask)
+                out_s_ref[:] = out2
+                out_i_ref[:] = ridc.astype(jnp.int32)
+                flag_ref[:] = jnp.max(over, axis=0, keepdims=True)
+                return
             s2l = jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 2)
 
             # iterative top-k extraction (lowest flat position on ties)
@@ -395,28 +410,33 @@ def _make_select_kernel(n, k, metric, Qn):
             _, rs, ri = jax.lax.fori_loop(0, k, ext, (out2, rs0, ri0))
             out_s_ref[:] = rs
             out_i_ref[:] = ri.astype(jnp.int32)
-            over = jnp.maximum(count - float(S_SLOTS),
-                               count2[:, :, 0] - float(S2))    # [Q, 1]
             flag_ref[:] = jnp.max(over, axis=0, keepdims=True)
 
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret"))
-def select_sweep(queries, base, bmax, eps, k, metric, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "interpret", "xla_tail",
+                                    "ablate"))
+def select_sweep(queries, base, bmax, eps, k, metric, interpret=False,
+                 xla_tail=True, ablate=""):
     """Exact top-k from (bmax, eps) candidates + one fp32 base sweep.
 
     queries f32[Qn, D] (pow2-padded), base f32[N, D] (invalid rows zeroed),
     bmax f32[N/64, Qn] from sweep_bmax / sweep_bmax_sq8, eps f32[Qn, 1]
     (0 when bmax is exact; the certified score-error bound otherwise).
-    Returns (scores f32[Qn, KPAD], ids i32[Qn, KPAD], flag f32[1, 1]);
-    flag > 0 => slot capacity overflow, caller must use the v1 path.
-    Scores are the uncorrected s_t form (L2: 2 q.b - |b|^2)."""
+    xla_tail=True (default): the kernel exports the compacted [Qn, 8, S2]
+    candidate scores + row ids and the caller's tiny lax.top_k finishes —
+    the serial in-kernel extraction (k fori rounds) costs more than one
+    XLA top_k over 8*S2 lanes. Returns (scores, ids, flag f32[1,1]);
+    flag > 0 => slot overflow, caller must rerun the v1 path. Scores are
+    the uncorrected s_t form (L2: 2 q.b - |b|^2)."""
     n, d = base.shape
     Qn = queries.shape[0]
     kpad = 128
+    oshape = (Qn, 8, S2) if xla_tail else (Qn, 1, kpad)
     return pl.pallas_call(
-        _make_select_kernel(n, k, metric, Qn),
+        _make_select_kernel(n, k, metric, Qn, xla_tail, ablate),
         grid=(n // TILE,),
         in_specs=[
             pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -427,15 +447,15 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Qn, 1, kpad), lambda i: (0, 0, 0),
+            pl.BlockSpec(oshape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Qn, 1, kpad), lambda i: (0, 0, 0),
+            pl.BlockSpec(oshape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Qn, 1, kpad), jnp.float32),
-            jax.ShapeDtypeStruct((Qn, 1, kpad), jnp.int32),
+            jax.ShapeDtypeStruct(oshape, jnp.float32),
+            jax.ShapeDtypeStruct(oshape, jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=[
@@ -459,8 +479,15 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _finish_v2(s3, i3, flag, k, Q_in, corr):
-    s = s3[:, 0, :k]
-    ids = i3[:, 0, :k]
+    if s3.shape[1] == 8:               # xla_tail: compacted [Q, 8, S2]
+        Qn = s3.shape[0]
+        flat = s3.reshape(Qn, 8 * S2)
+        rid = i3.reshape(Qn, 8 * S2)
+        s, pos = jax.lax.top_k(flat, k)
+        ids = jnp.take_along_axis(rid, pos, axis=1)
+    else:
+        s = s3[:, 0, :k]
+        ids = i3[:, 0, :k]
     ids = jnp.where(s > SENT_HALF, ids, -1)
     s = jnp.where(ids >= 0, s + corr, -jnp.inf)
     return s[:Q_in], ids[:Q_in], flag[0, 0]
