@@ -195,6 +195,18 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     q_all = jnp.asarray(rng.normal(size=(iters, batch, dims)).astype(np.float32))
     fused = fused_available(cap, dims, k)
     v2 = v2_available(cap, dims, k, batch)
+    if v2:
+        # the certified-eps threshold can overflow the slot capacity on
+        # weakly-structured data (isotropic noise) — the kernel flags it
+        # and production reruns the exact fp32 scan; the BENCH must not
+        # time a flagged (truncated) program
+        _, _, fl = knn_scan_sq8_v2(
+            q_all[0], codes_d, lo_d, alpha_d, err_d, sqe_d, base_d, k,
+            VectorMetric.L2)
+        if float(fl) > 0.0:
+            print(f"# sq8_bf: v2 flagged overflow ({float(fl):.0f}) on this "
+                  "data — using the v1 quantized path", file=sys.stderr)
+            v2 = False
 
     @jax.jit
     def run_all(qs, c, lo, al, v, s, se, bd, ed):

@@ -85,10 +85,15 @@ class BruteForceIndex(FloatVectorIndexBase):
         s, i = self._scan_fallback(q, k)
         return s, i, None
 
-    def _scan_fallback(self, q: jnp.ndarray, k: int):
-        """v1 scan paths (also the overflow fallback for v2)."""
+    def _scan_fallback(self, q: jnp.ndarray, k: int, exact: bool = False):
+        """v1 scan paths (also the overflow fallback for v2). With
+        exact=True the quantized formulation is skipped: the sq8-v2
+        overflow flag means the certified quantization-error bound could
+        not prove a bounded candidate set, so the engine keeps its
+        exactness contract by scanning the fp32 base instead (cost of an
+        fp32 scan, correctness of the exact engine)."""
         kp = self.keeper
-        if self._quant is not None and self._quant.active:
+        if not exact and self._quant is not None and self._quant.active:
             return self._scan_quantized(q, k)
         from ...ops.pallas_scan import fused_available, knn_scan_fused
         if fused_available(kp.capacity, kp.dims, k):
@@ -117,8 +122,9 @@ class BruteForceIndex(FloatVectorIndexBase):
         def drain() -> list[SelectKeyResult]:
             if flag is not None:
                 s, i, fl = jax.device_get((scores, idx, flag))
-                if float(fl) > 0.0:        # v2 slot overflow: rerun v1
-                    s, i = jax.device_get(self._scan_fallback(qd, k))
+                if float(fl) > 0.0:        # v2 slot overflow: exact rerun
+                    s, i = jax.device_get(
+                        self._scan_fallback(qd, k, exact=True))
             else:
                 s, i = jax.device_get((scores, idx))
             s, i = np.asarray(s), np.asarray(i)
@@ -159,8 +165,9 @@ class BruteForceIndex(FloatVectorIndexBase):
                 # per single-query select, measured in the hybrid profile)
                 if flag is not None:
                     s, i, fl = jax.device_get((scores, idx, flag))
-                    if float(fl) > 0.0:    # v2 slot overflow: rerun v1
-                        s, i = jax.device_get(self._scan_fallback(q, k))
+                    if float(fl) > 0.0:    # v2 slot overflow: exact rerun
+                        s, i = jax.device_get(
+                            self._scan_fallback(q, k, exact=True))
                 else:
                     s, i = jax.device_get((scores, idx))
                 s, i = np.asarray(s[0]), np.asarray(i[0])

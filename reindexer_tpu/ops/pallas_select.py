@@ -49,7 +49,7 @@ SENT = -1e30                 # in-kernel invalid/empty sentinel (NEVER -inf:
                              # 0 * -inf = NaN in the one-hot contractions)
 SENT_HALF = -5e29
 BLK = 64                     # selection block (rows per bmax entry)
-TILE = 4096                  # base rows per grid step
+TILE = 8192                  # base rows per grid step
 GL = TILE // BLK             # blocks per tile
 S_SLOTS = 128                # compacted block capacity (>= k + margin)
 S2 = 128                     # fine-stage slot capacity
@@ -68,10 +68,18 @@ def _unkey_f32(m):
     return pltpu.bitcast(s, jnp.float32)
 
 
-def _radix_kth(keys, kth, axis):
+RADIX_BITS = 20    # threshold resolution: truncating the low bits only
+#                    LOWERS tau (count >= kth still holds -> still a
+#                    superset); inflation is bounded by the slot capacity,
+#                    whose overflow raises the kernel flag
+
+
+def _radix_kth(keys, kth, axis, bits=32):
     """Value of the `kth`-largest element of `keys` (f32) along `axis`
-    (keepdims), via 32-step bisection on the monotone-int image. Exact:
-    count(keys >= result) >= kth, and result is the largest such value."""
+    (keepdims), via high-bit bisection on the monotone-int image:
+    count(keys >= result) >= kth always; with bits=32 the result is
+    exactly the kth-largest value, with fewer bits a slightly smaller
+    threshold (serial in-kernel iterations cost ~1us each)."""
     m = _key_i32(keys)
     shape = list(keys.shape)
     shape[axis] = 1
@@ -85,7 +93,7 @@ def _radix_kth(keys, kth, axis):
                       keepdims=True)
         return jnp.where(cnt >= kth, u_try, u)
 
-    u = jax.lax.fori_loop(0, 32, step, u0)
+    u = jax.lax.fori_loop(0, bits, step, u0)
     return _unkey_f32(jnp.bitwise_xor(u, INT_MIN))
 
 
@@ -221,15 +229,18 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
     kf = float(min(k + MARGIN, 8 * S_SLOTS))
     log_s = S_SLOTS.bit_length() - 1
 
+    # cand rows: BLK score rows + 2 block-id rows (ghi/glo) + pad to 8-mult
+    CR = BLK + 8
+
     def _kernel(q_ref, eps_ref, bmaxf_ref, base_ref, out_s_ref, out_i_ref,
-                flag_ref, rank_gq, count_s, cand, kid, rank2_s):
+                flag_ref, rank_gq, count_s, cand, rank2_s):
         i = pl.program_id(0)
 
         # ---- step 0: threshold + global block ranks (VMEM only)
         @pl.when(i == 0)
         def _():
             bm = bmaxf_ref[:].T                                # [Q, G]
-            tau = _radix_kth(bm, kb, axis=1)                   # [Q, 1]
+            tau = _radix_kth(bm, kb, axis=1, bits=RADIX_BITS)  # [Q, 1]
             mask = jnp.where(
                 (bm >= tau - eps_ref[:]) & (bm > SENT_HALF), 1.0, 0.0)
             incl = _prefix_lanes(mask, axis=1)
@@ -239,14 +250,15 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
                              jnp.float32(S_SLOTS))
             rank_gq[:] = rank.T                                # [G, Q]
             cand[:] = jnp.zeros_like(cand)
-            kid[:] = jnp.zeros_like(kid)
 
         # ---- every step: exact scores + rank-one-hot compaction.
         # ONE batched dot per step: the 3 exact bf16 limbs concatenate
         # along the CONTRACTION axis (hi|mid|lo x sel|sel|sel sums the
-        # three limb products in a single MXU pass) — per-q batched small
-        # matmuls are issue-bound, so dot COUNT, not FLOPs, is the cost
-        # (5 dots/step at TILE 2048 measured v2 1.7x slower than v1)
+        # three limb products in one pass), and two AUGMENTED ROWS carry
+        # the block-id pieces (ghi/glo <= 255, bf16-exact) through the
+        # same contraction — per-q batched small matmuls are issue-bound,
+        # so dot COUNT, not FLOPs, is the cost (5 dots/step at TILE 2048
+        # measured v2 1.7x slower than v1).
         s_t = _scores_tile(base_ref[:], q_ref[:], metric)      # [T, Q]
         x = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))  # [Q, c, gl]
         rk = rank_gq[pl.ds(i * GL, GL), :].T                   # [Q, GL]
@@ -255,8 +267,21 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
             jnp.bfloat16)                                      # [Q, GL, S]
         dn = (((2,), (1,)), ((0,), (0,)))
         hi, mid, lo = _split3_bf16(x)
-        x3 = jnp.concatenate([hi, mid, lo], axis=2)            # [Q, c, 3GL]
-        sel3 = jnp.concatenate([sel_b] * 3, axis=1)            # [Q, 3GL, S]
+        gid = (jnp.float32(i * GL)
+               + jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, GL), 2
+                                          ).astype(jnp.float32))
+        ghi = jnp.floor(gid * (1.0 / 256.0))            # <= 7
+        glo = gid - 256.0 * ghi                         # <= 255
+        aug = jnp.concatenate([ghi, glo,
+                               jnp.zeros((Qn, CR - BLK - 2, GL),
+                                         jnp.float32)],
+                              axis=1).astype(jnp.bfloat16)   # [Q, CR-BLK, GL]
+        zpad = jnp.zeros((Qn, CR - BLK, GL), jnp.bfloat16)
+        x3 = jnp.concatenate(
+            [jnp.concatenate([hi, aug], axis=1),
+             jnp.concatenate([mid, zpad], axis=1),
+             jnp.concatenate([lo, zpad], axis=1)], axis=2)  # [Q, CR, 3GL]
+        sel3 = jnp.concatenate([sel_b] * 3, axis=1)         # [Q, 3GL, S]
         cand[:] += jax.lax.dot_general(
             x3, sel3, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
@@ -270,42 +295,14 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
                 flag_ref[:] = count_s[:1, :1] * 0.0
                 return
             count = count_s[:]                                  # [Q, 1]
-            dn_e = (((2,), (1,)), ((0,), (0,)))
-            # kept-block ids from the rank scratch, once (16 chunked dots
-            # instead of 2 per sweep step); integer-carrying dots use
-            # bf16-exact pieces (TPU DEFAULT precision runs f32 dots at
-            # bf16 — ids silently snap to bf16 ulps otherwise)
-            CH = 64 if G < 128 else 128     # must divide G (G % 64 == 0)
-            si_k = jax.lax.broadcasted_iota(
-                jnp.int32, (Qn, CH, S_SLOTS), 2)
-
-            def kid_chunk(ch, acc_kid):
-                rk_c = rank_gq[pl.ds(ch * CH, CH), :].T         # [Q, CH]
-                sel_c = (rk_c[:, :, None].astype(jnp.int32) == si_k
-                         ).astype(jnp.bfloat16)
-                gid = (ch * CH
-                       + jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, CH), 2)
-                       ).astype(jnp.float32)
-                ghi = jnp.floor(gid * (1.0 / 256.0))
-                glo = gid - 256.0 * ghi
-                g2 = jnp.concatenate([ghi.astype(jnp.bfloat16),
-                                      glo.astype(jnp.bfloat16)], axis=2)
-                s2c = jnp.concatenate([256.0 * sel_c.astype(jnp.float32),
-                                       sel_c.astype(jnp.float32)], axis=1
-                                      ).astype(jnp.bfloat16)
-                return acc_kid + jax.lax.dot_general(
-                    g2, s2c, dimension_numbers=dn_e,
-                    preferred_element_type=jnp.float32)
-
-            kid[:] = jax.lax.fori_loop(
-                0, G // CH, kid_chunk,
-                jnp.zeros((Qn, 1, S_SLOTS), jnp.float32))
+            # kept-block id per slot, FREE from the augmented rows
+            kid2d = (256.0 * cand[:, BLK:BLK + 1, :]
+                     + cand[:, BLK + 1:BLK + 2, :])             # [Q, 1, S]
             # fine layout: group g2 = ch*S + s holds cand[:, ch*8:(ch+1)*8,
             # s] — chunk ch of the fine lanes is EXACTLY a static sublane
             # slice of cand, so nothing [Q, 8, 8S]-shaped ever materializes
-            # (the first cut concatenated cand into [Q,8,8S] + built a rid
-            # array of the same size; with the 8x-unrolled chunk loop Mosaic
-            # allocated every iteration's temporaries -> 29 MB VMEM OOM).
+            # (an 8x-unrolled chunk loop allocated per-iteration
+            # temporaries -> 29 MB VMEM OOM; fori reuses buffers).
             # Mosaic also cannot broadcast [Q,1,1] over sublanes AND lanes
             # in one op — predicates build on [Q,1,L] rows first, and the
             # consumer broadcasts over sublanes only.
@@ -316,7 +313,7 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
                 [jnp.max(jnp.where(valid_r, cand[:, ch * 8:(ch + 1) * 8, :],
                                    SENT), axis=1, keepdims=True)
                  for ch in range(8)], axis=2)                  # [Q, 1, 8S]
-            tau2 = _radix_kth(fgm, kf, axis=2)                 # [Q, 1, 1]
+            tau2 = _radix_kth(fgm, kf, axis=2, bits=RADIX_BITS)
             mask2 = jnp.where((fgm >= tau2) & (fgm > SENT_HALF), 1.0, 0.0)
             incl2 = _prefix_lanes(mask2, axis=2)
             count2 = incl2[:, :, 8 * S_SLOTS - 1:]             # [Q, 1, 1]
@@ -325,46 +322,48 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
             rank2_s[:] = jnp.where(mask2 > 0.0, incl2 - mask2,
                                    jnp.float32(S2))            # [Q, 1, 8S]
 
-            # second compaction: fori so chunk temporaries are reused
+            # second compaction: fori so chunk temporaries are reused; the
+            # same augmented-row trick folds the rid pieces into the ONE
+            # dot: rows 8..11 carry khi, klo, occupancy and chunk weight
             s2_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (Qn, S_SLOTS, S2), 2)
-            c2_sub = jax.lax.broadcasted_iota(
-                jnp.int32, (Qn, 8, S_SLOTS), 1).astype(jnp.float32)
+            khi_a = jnp.floor(kid2d * (1.0 / 256.0))           # [Q, 1, S]
+            klo_a = kid2d - 256.0 * khi_a
+            ones_a = jnp.ones((Qn, 1, S_SLOTS), jnp.float32)
 
-            def chunk(ch, carry):
-                out2, ridc = carry
+            def chunk(ch, out2a):
                 r2c = rank2_s[:, :, pl.ds(ch * S_SLOTS, S_SLOTS)]
                 sel2b = (jnp.transpose(r2c, (0, 2, 1)).astype(jnp.int32)
                          == s2_iota).astype(jnp.bfloat16)      # [Q, S, S2]
                 xc = jnp.where(valid_r, cand[pl.ds(0, Qn),
                                              pl.ds(ch * 8, 8), :], SENT)
-                for limb in _split3_bf16(xc):
-                    out2 = out2 + jax.lax.dot_general(
-                        limb, sel2b, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32)
-                # rid = kid*64 + ch*8 + c2 can reach 2^17 — decompose into
-                # bf16-exact dots (same DEFAULT-precision trap as kid):
-                # rid = 16384*khi + 64*klo + off, each piece <= 255
-                khi = jnp.floor(kid[:] * (1.0 / 256.0))
-                klo = kid[:] - 256.0 * khi
-                off = ch.astype(jnp.float32) * 8.0 + c2_sub
-                zb = jnp.zeros((Qn, 8, S_SLOTS), jnp.float32)
-                khi_r = (khi + zb).astype(jnp.bfloat16)
-                klo_r = (klo + zb).astype(jnp.bfloat16)
-                ridc = ridc + 16384.0 * jax.lax.dot_general(
-                    khi_r, sel2b, dimension_numbers=dn,
+                h2, m2, l2 = _split3_bf16(xc)
+                chrow = ch.astype(jnp.float32) + jnp.zeros(
+                    (Qn, 1, S_SLOTS), jnp.float32)
+                aug2 = jnp.concatenate(
+                    [khi_a, klo_a, ones_a, chrow,
+                     jnp.zeros((Qn, 4, S_SLOTS), jnp.float32)],
+                    axis=1).astype(jnp.bfloat16)               # [Q, 8, S]
+                zp2 = jnp.zeros((Qn, 8, S_SLOTS), jnp.bfloat16)
+                x2 = jnp.concatenate(
+                    [jnp.concatenate([h2, aug2], axis=1),
+                     jnp.concatenate([m2, zp2], axis=1),
+                     jnp.concatenate([l2, zp2], axis=1)], axis=2)
+                sel23 = jnp.concatenate([sel2b] * 3, axis=1)   # [Q, 3S, S2]
+                return out2a + jax.lax.dot_general(
+                    x2, sel23, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
-                ridc = ridc + 64.0 * jax.lax.dot_general(
-                    klo_r, sel2b, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32)
-                ridc = ridc + jax.lax.dot_general(
-                    off.astype(jnp.bfloat16), sel2b, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32)
-                return out2, ridc
 
-            out2, ridc = jax.lax.fori_loop(
-                0, 8, chunk, (jnp.zeros((Qn, 8, S2), jnp.float32),
-                              jnp.zeros((Qn, 8, S2), jnp.float32)))
+            out2a = jax.lax.fori_loop(
+                0, 8, chunk, jnp.zeros((Qn, 16, S2), jnp.float32))
+            out2 = out2a[:, :8, :]
+            kidc = (256.0 * out2a[:, 8:9, :] + out2a[:, 9:10, :])
+            occ = out2a[:, 10:11, :]
+            chw = out2a[:, 11:12, :]
+            c2b = (jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 1)
+                   .astype(jnp.float32))
+            ridc = (64.0 * kidc + 8.0 * chw) * occ + c2b * (
+                occ + jnp.zeros((Qn, 1, S2), jnp.float32))
             s2r = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, S2), 2)
             valid2_r = s2r.astype(jnp.float32) < count2
             out2 = jnp.where(valid2_r, out2, SENT)
@@ -461,8 +460,7 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False,
         scratch_shapes=[
             pltpu.VMEM((n // BLK, Qn), jnp.float32),   # rank_gq
             pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
-            pltpu.VMEM((Qn, BLK, S_SLOTS), jnp.float32),  # cand
-            pltpu.VMEM((Qn, 1, S_SLOTS), jnp.float32),    # kid
+            pltpu.VMEM((Qn, BLK + 8, S_SLOTS), jnp.float32),  # cand (+ids)
             pltpu.VMEM((Qn, 1, 8 * S_SLOTS), jnp.float32),  # rank2_s
         ],
         # the one-kernel design trades scratch residency for zero HBM
