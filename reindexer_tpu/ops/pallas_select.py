@@ -49,7 +49,9 @@ SENT = -1e30                 # in-kernel invalid/empty sentinel (NEVER -inf:
                              # 0 * -inf = NaN in the one-hot contractions)
 SENT_HALF = -5e29
 BLK = 64                     # selection block (rows per bmax entry)
-TILE = 8192                  # base rows per grid step
+TILE = 8192                  # base rows per grid step (16384 measured no
+#                              better in a clean window; 8192 keeps DMA
+#                              pipelining granularity)
 GL = TILE // BLK             # blocks per tile
 S_SLOTS = 128                # compacted block capacity (>= k + margin)
 S2 = 128                     # fine-stage slot capacity
@@ -175,6 +177,8 @@ def sweep_bmax(queries, base, metric, interpret=False):
         out_specs=pl.BlockSpec((GL, Qn), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n // BLK, Qn), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(queries, base)
 
@@ -214,6 +218,8 @@ def sweep_bmax_sq8(q_alpha, shift, codes, sq_eff, metric, interpret=False):
         out_specs=pl.BlockSpec((GL, Qn), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n // BLK, Qn), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(q_alpha, shift, codes, sq_eff[:, None])
 
