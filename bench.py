@@ -195,26 +195,43 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     q_all = jnp.asarray(rng.normal(size=(iters, batch, dims)).astype(np.float32))
     fused = fused_available(cap, dims, k)
     v2 = v2_available(cap, dims, k, batch)
+    eps_mode = "cert"
     if v2:
-        # the certified-eps threshold can overflow the slot capacity on
-        # weakly-structured data (isotropic noise) — the kernel flags it
-        # and production reruns the exact fp32 scan; the BENCH must not
-        # time a flagged (truncated) program
-        _, _, fl = knn_scan_sq8_v2(
-            q_all[0], codes_d, lo_d, alpha_d, err_d, sqe_d, base_d, k,
-            VectorMetric.L2)
+        # production eps ladder: the CERTIFIED threshold can overflow the
+        # slot capacity on weakly-structured data (isotropic noise) — the
+        # engine then sticks to the 12-sigma fast bound (candidates still
+        # scored exactly from fp32 in sweep B); time the settled mode
+        for eps_mode in ("cert", "fast"):
+            s0, i0, fl = knn_scan_sq8_v2(
+                q_all[0], codes_d, lo_d, alpha_d, err_d, sqe_d, base_d, k,
+                VectorMetric.L2, eps_mode=eps_mode)
+            if float(fl) <= 0.0:
+                break
+            print(f"# sq8_bf: {eps_mode} eps flagged overflow "
+                  f"({float(fl):.0f}) on this data", file=sys.stderr)
         if float(fl) > 0.0:
-            print(f"# sq8_bf: v2 flagged overflow ({float(fl):.0f}) on this "
-                  "data — using the v1 quantized path", file=sys.stderr)
             v2 = False
+        else:
+            # recall@k of the settled mode vs the exact fp32 oracle
+            qh = np.asarray(q_all[0])
+            dm = (np.sum(qh * qh, 1)[:, None] - 2.0 * qh @ base[:n].T
+                  + np.sum(base[:n] * base[:n], 1)[None, :])
+            want = np.argsort(dm, axis=1)[:, :k]
+            got = np.asarray(i0)
+            rec = np.mean([len(set(got[b].tolist())
+                               & set(want[b].tolist())) / k
+                           for b in range(batch)])
+            print(f"# sq8_bf eps_mode={eps_mode} recall@{k}={rec:.4f}",
+                  file=sys.stderr)
 
     @jax.jit
     def run_all(qs, c, lo, al, v, s, se, bd, ed):
         if v2:
-            # EXACT top-k at SQ8 scan cost: quantized threshold sweep with
-            # the certified eps bound + exact fp32 candidate sweep
+            # top-k at SQ8 scan cost: quantized threshold sweep with the
+            # settled eps mode + exact fp32 candidate sweep
             one = lambda q: knn_scan_sq8_v2(q, c, lo, al, ed, se, bd,
-                                            k, VectorMetric.L2)[:2]
+                                            k, VectorMetric.L2,
+                                            eps_mode=eps_mode)[:2]
         elif fused:
             one = lambda q: knn_scan_fused_sq8(q, c, lo, al, se, k,
                                                VectorMetric.L2)

@@ -26,6 +26,15 @@ class BruteForceIndex(FloatVectorIndexBase):
         super().__init__(definition)
         qc = definition.vector_opts.quantization
         self._quant = None
+        # sq8-v2 eps ladder: start with the CERTIFIED bound (provably exact
+        # kept set); if the data is too weakly structured for the certified
+        # margin to fit the slot capacity (overflow flag), stick to the
+        # 12-sigma "fast" bound (candidates still scored exactly from the
+        # fp32 base — only the kept-SET guarantee becomes probabilistic,
+        # the reference's own SQ8 fidelity model); if even that overflows,
+        # scan fp32. RX_SQ8_EPS=fast skips the certified attempt.
+        import os
+        self._sq8_mode = os.environ.get("RX_SQ8_EPS", "cert")
         if qc.enabled:
             from .quantization import QuantizedStore
             self._quant = QuantizedStore(qc.left_quantile, qc.right_quantile,
@@ -72,18 +81,34 @@ class BruteForceIndex(FloatVectorIndexBase):
         quant = self._quant is not None and self._quant.active
         if v2_available(kp.capacity, kp.dims, k, q.shape[0]):
             if quant and self._quant.err_dims is not None:
-                # exact top-k at SQ8 scan cost: quantized threshold sweep
-                # (certified eps) + exact fp32 candidate sweep
+                # top-k at SQ8 scan cost: quantized threshold sweep
+                # (cert/fast eps ladder) + exact fp32 candidate sweep
                 s, i, flag = knn_scan_sq8_v2(
                     q, self._quant.codes, self._quant.lo, self._quant.alpha,
                     self._quant.err_dims, kp.sq_eff(), kp.data, k,
-                    self.metric)
+                    self.metric, eps_mode=self._sq8_mode,
+                    ms_dims=self._quant.ms_dims)
                 return s, i, flag
             if not quant:
                 s, i, flag = knn_scan_fused_v2(q, kp.data, k, self.metric)
                 return s, i, flag
         s, i = self._scan_fallback(q, k)
         return s, i, None
+
+    def _overflow_rerun(self, q: jnp.ndarray, k: int):
+        """Slot-capacity overflow ladder: cert -> fast (sticky — later
+        queries dispatch fast directly) -> exact fp32 scan. Returns host
+        (scores, idx)."""
+        if (self._sq8_mode == "cert" and self._quant is not None
+                and self._quant.active and self._quant.err_dims is not None):
+            self._sq8_mode = "fast"
+            s, i, fl = self._dispatch_scan(q, k)
+            if fl is None:
+                return jax.device_get((s, i))
+            s, i, fl = jax.device_get((s, i, fl))
+            if float(fl) <= 0.0:
+                return s, i
+        return jax.device_get(self._scan_fallback(q, k, exact=True))
 
     def _scan_fallback(self, q: jnp.ndarray, k: int, exact: bool = False):
         """v1 scan paths (also the overflow fallback for v2). With
@@ -122,9 +147,8 @@ class BruteForceIndex(FloatVectorIndexBase):
         def drain() -> list[SelectKeyResult]:
             if flag is not None:
                 s, i, fl = jax.device_get((scores, idx, flag))
-                if float(fl) > 0.0:        # v2 slot overflow: exact rerun
-                    s, i = jax.device_get(
-                        self._scan_fallback(qd, k, exact=True))
+                if float(fl) > 0.0:        # v2 slot overflow: eps ladder
+                    s, i = self._overflow_rerun(qd, k)
             else:
                 s, i = jax.device_get((scores, idx))
             s, i = np.asarray(s), np.asarray(i)
@@ -165,9 +189,8 @@ class BruteForceIndex(FloatVectorIndexBase):
                 # per single-query select, measured in the hybrid profile)
                 if flag is not None:
                     s, i, fl = jax.device_get((scores, idx, flag))
-                    if float(fl) > 0.0:    # v2 slot overflow: exact rerun
-                        s, i = jax.device_get(
-                            self._scan_fallback(q, k, exact=True))
+                    if float(fl) > 0.0:    # v2 slot overflow: eps ladder
+                        s, i = self._overflow_rerun(q, k)
                 else:
                     s, i = jax.device_get((scores, idx))
                 s, i = np.asarray(s[0]), np.asarray(i[0])

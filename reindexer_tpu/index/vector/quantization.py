@@ -98,11 +98,15 @@ def knn_scan_quantized(queries: jnp.ndarray, codes: jnp.ndarray,
 
 @jax.jit
 def _max_abs_err(data, valid, codes, lo, alpha):
-    """Per-dim max dequantization error over valid rows (one fused device
-    sweep). Certifies the SQ8 threshold bound in knn_scan_sq8_v2."""
+    """Per-dim (max, mean-square) dequantization error over valid rows (one
+    fused device sweep). The max certifies the SQ8 threshold bound in
+    knn_scan_sq8_v2 ("cert" mode); the mean square sizes the probabilistic
+    "fast" eps (per-query score-error variance = fac^2 * sum q_d^2 ms_d)."""
+    vm = valid[:, None].astype(jnp.float32)
     deq = lo[None, :] + alpha[None, :] * codes.astype(jnp.float32)
-    err = jnp.abs(data - deq) * valid[:, None].astype(jnp.float32)
-    return jnp.max(err, axis=0)
+    err = jnp.abs(data - deq) * vm
+    denom = jnp.maximum(jnp.sum(vm), 1.0)
+    return jnp.max(err, axis=0), jnp.sum(err * err, axis=0) / denom
 
 
 class QuantizedStore:
@@ -120,6 +124,8 @@ class QuantizedStore:
         # bound that lets the v2 scan threshold on quantized block maxima
         # yet return the EXACT fp32 top-k (ops/pallas_select.knn_scan_sq8_v2)
         self.err_dims: Optional[jnp.ndarray] = None
+        # mean-square per-dim residual: sizes the probabilistic "fast" eps
+        self.ms_dims: Optional[jnp.ndarray] = None
         self._quantized_count = 0
 
     @property
@@ -160,7 +166,8 @@ class QuantizedStore:
                 return
         self.codes = _encode(keeper.data, self.lo,
                              jnp.asarray(1.0 / alpha))
-        self.err_dims = _max_abs_err(keeper.data, keeper.valid, self.codes,
+        self.err_dims, self.ms_dims = _max_abs_err(
+            keeper.data, keeper.valid, self.codes,
                                      self.lo, self.alpha)
         self._quantized_count = keeper.count
 
@@ -181,7 +188,8 @@ class QuantizedStore:
         self.alpha = jnp.asarray(alpha)
         self.codes = _encode(keeper.data, self.lo,
                              jnp.asarray(1.0 / alpha))
-        self.err_dims = _max_abs_err(keeper.data, keeper.valid, self.codes,
+        self.err_dims, self.ms_dims = _max_abs_err(
+            keeper.data, keeper.valid, self.codes,
                                      self.lo, self.alpha)
         self._quantized_count = len(rows)
 
@@ -207,5 +215,6 @@ class QuantizedStore:
         self._quantized_count = int(state["quantized_count"])
         self.codes = _encode(keeper.data, self.lo,
                              jnp.asarray(1.0 / np.asarray(self.alpha)))
-        self.err_dims = _max_abs_err(keeper.data, keeper.valid, self.codes,
+        self.err_dims, self.ms_dims = _max_abs_err(
+            keeper.data, keeper.valid, self.codes,
                                      self.lo, self.alpha)

@@ -123,6 +123,41 @@ def test_v2_sq8_exact(metric, rng):
     assert np.allclose(scores, want_scores, atol=8e-6 * scale)
 
 
+def test_v2_sq8_fast_eps_isotropic(rng):
+    """Isotropic noise overflows the CERTIFIED eps margin (the engine's
+    ladder then sticks to the 12-sigma fast bound); the fast mode must run
+    flag-clean there and still return the exact fp32 top-k (candidates are
+    scored exactly in sweep B; only the kept-set guarantee is
+    probabilistic — at 12 sigma a miss needs an astronomically small tail event)."""
+    n, d, Q, k = 2 * TILE, 128, 8, 10
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    lo = np.quantile(base, 0.001, axis=0).astype(np.float32)
+    hi = np.quantile(base, 0.999, axis=0).astype(np.float32)
+    alpha = np.maximum((hi - lo) / 255.0, 1e-12).astype(np.float32)
+    codes = np.clip(np.round((np.clip(base, lo, hi) - lo) / alpha),
+                    0, 255).astype(np.uint8)
+    deq = lo + alpha * codes
+    resid = np.abs(base - deq)
+    err = resid.max(axis=0).astype(np.float32)
+    ms = (resid * resid).mean(axis=0).astype(np.float32)
+    sqe = (base * base).sum(1).astype(np.float32)
+    args = (jnp.asarray(q), jnp.asarray(codes), jnp.asarray(lo),
+            jnp.asarray(alpha), jnp.asarray(err), jnp.asarray(sqe),
+            jnp.asarray(base), k, VectorMetric.L2)
+    _, _, flag_cert = knn_scan_sq8_v2(*args, interpret=True)
+    assert float(flag_cert) > 0.0     # cert margin overflows on this data
+    scores, ids, flag = knn_scan_sq8_v2(*args, interpret=True,
+                                        eps_mode="fast",
+                                        ms_dims=jnp.asarray(ms))
+    assert float(flag) <= 0.0
+    ids = np.asarray(ids)
+    dm = ((q[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(dm, axis=1)[:, :k]
+    for b in range(Q):
+        assert set(ids[b].tolist()) == set(want[b].tolist())
+
+
 def test_v2_overflow_flag_on_mass_ties(rng):
     """Thousands of identical vectors tie every block max — the kernel must
     RAISE the overflow flag rather than silently truncate."""
