@@ -300,124 +300,135 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
                 out_i_ref[:] = jnp.zeros_like(out_i_ref)
                 flag_ref[:] = count_s[:1, :1] * 0.0
                 return
-            count = count_s[:]                                  # [Q, 1]
-            # kept-block id per slot, FREE from the augmented rows
-            kid2d = (256.0 * cand[:, BLK:BLK + 1, :]
-                     + cand[:, BLK + 1:BLK + 2, :])             # [Q, 1, S]
-            # fine layout: group g2 = ch*S + s holds cand[:, ch*8:(ch+1)*8,
-            # s] — chunk ch of the fine lanes is EXACTLY a static sublane
-            # slice of cand, so nothing [Q, 8, 8S]-shaped ever materializes
-            # (an 8x-unrolled chunk loop allocated per-iteration
-            # temporaries -> 29 MB VMEM OOM; fori reuses buffers).
-            # Mosaic also cannot broadcast [Q,1,1] over sublanes AND lanes
-            # in one op — predicates build on [Q,1,L] rows first, and the
-            # consumer broadcasts over sublanes only.
-            s_r = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, S_SLOTS), 2)
-            valid_r = s_r.astype(jnp.float32) < count[:, :, None]
-
-            fgm = jnp.concatenate(
-                [jnp.max(jnp.where(valid_r, cand[:, ch * 8:(ch + 1) * 8, :],
-                                   SENT), axis=1, keepdims=True)
-                 for ch in range(8)], axis=2)                  # [Q, 1, 8S]
-            tau2 = _radix_kth(fgm, kf, axis=2, bits=RADIX_BITS)
-            mask2 = jnp.where((fgm >= tau2) & (fgm > SENT_HALF), 1.0, 0.0)
-            incl2 = _prefix_lanes(mask2, axis=2)
-            count2 = incl2[:, :, 8 * S_SLOTS - 1:]             # [Q, 1, 1]
-            # staged through scratch: Mosaic lacks dynamic_slice on VALUES,
-            # but ref reads at 128-multiple lane offsets are fine
-            rank2_s[:] = jnp.where(mask2 > 0.0, incl2 - mask2,
-                                   jnp.float32(S2))            # [Q, 1, 8S]
-
-            # second compaction: fori so chunk temporaries are reused; the
-            # same augmented-row trick folds the rid pieces into the ONE
-            # dot: rows 8..11 carry khi, klo, occupancy and chunk weight
-            s2_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (Qn, S_SLOTS, S2), 2)
-            khi_a = jnp.floor(kid2d * (1.0 / 256.0))           # [Q, 1, S]
-            klo_a = kid2d - 256.0 * khi_a
-            ones_a = jnp.ones((Qn, 1, S_SLOTS), jnp.float32)
-
-            def chunk(ch, out2a):
-                r2c = rank2_s[:, :, pl.ds(ch * S_SLOTS, S_SLOTS)]
-                sel2b = (jnp.transpose(r2c, (0, 2, 1)).astype(jnp.int32)
-                         == s2_iota).astype(jnp.bfloat16)      # [Q, S, S2]
-                xc = jnp.where(valid_r, cand[pl.ds(0, Qn),
-                                             pl.ds(ch * 8, 8), :], SENT)
-                h2, m2, l2 = _split3_bf16(xc)
-                chrow = ch.astype(jnp.float32) + jnp.zeros(
-                    (Qn, 1, S_SLOTS), jnp.float32)
-                aug2 = jnp.concatenate(
-                    [khi_a, klo_a, ones_a, chrow,
-                     jnp.zeros((Qn, 4, S_SLOTS), jnp.float32)],
-                    axis=1).astype(jnp.bfloat16)               # [Q, 8, S]
-                zp2 = jnp.zeros((Qn, 8, S_SLOTS), jnp.bfloat16)
-                x2 = jnp.concatenate(
-                    [jnp.concatenate([h2, aug2], axis=1),
-                     jnp.concatenate([m2, zp2], axis=1),
-                     jnp.concatenate([l2, zp2], axis=1)], axis=2)
-                sel23 = jnp.concatenate([sel2b] * 3, axis=1)   # [Q, 3S, S2]
-                return out2a + jax.lax.dot_general(
-                    x2, sel23, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32)
-
-            out2a = jax.lax.fori_loop(
-                0, 8, chunk, jnp.zeros((Qn, 16, S2), jnp.float32))
-            out2 = out2a[:, :8, :]
-            kidc = (256.0 * out2a[:, 8:9, :] + out2a[:, 9:10, :])
-            occ = out2a[:, 10:11, :]
-            chw = out2a[:, 11:12, :]
-            c2b = (jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 1)
-                   .astype(jnp.float32))
-            ridc = (64.0 * kidc + 8.0 * chw) * occ + c2b * (
-                occ + jnp.zeros((Qn, 1, S2), jnp.float32))
-            s2r = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, S2), 2)
-            valid2_r = s2r.astype(jnp.float32) < count2
-            out2 = jnp.where(valid2_r, out2, SENT)
-            over = jnp.maximum(count - float(S_SLOTS),
-                               count2[:, :, 0] - float(S2))    # [Q, 1]
-            if xla_tail:
-                # export the [Q, 8, S2] compacted candidates + row ids; the
-                # caller's lax.top_k over 8*S2 lanes replaces the serial
-                # in-kernel extraction (k fori iterations of reduce+mask)
-                out_s_ref[:] = out2
-                out_i_ref[:] = ridc.astype(jnp.int32)
-                flag_ref[:] = jnp.max(over, axis=0, keepdims=True)
-                return
-            s2l = jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 2)
-
-            # iterative top-k extraction (lowest flat position on ties)
-            pos = (jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 1) * S2
-                   + s2l)
-            kl = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, out_s_ref.shape[2]), 2)
-
-            def ext(j, carry):
-                o2, rs, ri = carry
-                m1 = jnp.max(o2, axis=1, keepdims=True)
-                m = jnp.max(m1, axis=2, keepdims=True)         # [Q, 1, 1]
-                # (o2 == m) decomposed so no op broadcasts both axes:
-                # column holds the max AND element equals the column max
-                hit = (o2 == m1) & (m1 == m)
-                p1 = jnp.min(jnp.where(hit, pos, jnp.int32(1 << 30)),
-                             axis=1, keepdims=True)
-                p = jnp.min(p1, axis=2, keepdims=True)         # [Q, 1, 1]
-                at = (pos == p1) & (p1 == p) & (m1 == m)
-                rv1 = jnp.sum(jnp.where(at, ridc, 0.0), axis=1,
-                              keepdims=True)
-                rv = jnp.sum(rv1, axis=2, keepdims=True)       # [Q, 1, 1]
-                sel_j = kl == j
-                rs = jnp.where(sel_j, m, rs)
-                ri = jnp.where(sel_j, rv, ri)
-                o2 = jnp.where(at, SENT, o2)
-                return o2, rs, ri
-
-            rs0 = jnp.full((Qn, 1, out_s_ref.shape[2]), SENT, jnp.float32)
-            ri0 = jnp.zeros((Qn, 1, out_s_ref.shape[2]), jnp.float32)
-            _, rs, ri = jax.lax.fori_loop(0, k, ext, (out2, rs0, ri0))
-            out_s_ref[:] = rs
-            out_i_ref[:] = ri.astype(jnp.int32)
-            flag_ref[:] = jnp.max(over, axis=0, keepdims=True)
+            _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref,
+                       flag_ref, k, kf, Qn, xla_tail)
 
     return _kernel
+
+
+def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
+               k, kf, Qn, xla_tail):
+    """Fine per-8 selection + emission from the compacted candidate buffer
+    (`cand` scratch ref [Qn, BLK+8, S_SLOTS], block ids in the augmented
+    rows). Shared between the v2 select kernel and the v3 one-sweep
+    kernel — both reach their last grid step holding the same buffer."""
+    dn = (((2,), (1,)), ((0,), (0,)))
+    count = count_s[:]                                  # [Q, 1]
+    # kept-block id per slot, FREE from the augmented rows
+    kid2d = (256.0 * cand[:, BLK:BLK + 1, :]
+             + cand[:, BLK + 1:BLK + 2, :])             # [Q, 1, S]
+    # fine layout: group g2 = ch*S + s holds cand[:, ch*8:(ch+1)*8,
+    # s] — chunk ch of the fine lanes is EXACTLY a static sublane
+    # slice of cand, so nothing [Q, 8, 8S]-shaped ever materializes
+    # (an 8x-unrolled chunk loop allocated per-iteration
+    # temporaries -> 29 MB VMEM OOM; fori reuses buffers).
+    # Mosaic also cannot broadcast [Q,1,1] over sublanes AND lanes
+    # in one op — predicates build on [Q,1,L] rows first, and the
+    # consumer broadcasts over sublanes only.
+    s_r = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, S_SLOTS), 2)
+    valid_r = s_r.astype(jnp.float32) < count[:, :, None]
+
+    fgm = jnp.concatenate(
+        [jnp.max(jnp.where(valid_r, cand[:, ch * 8:(ch + 1) * 8, :],
+                           SENT), axis=1, keepdims=True)
+         for ch in range(8)], axis=2)                  # [Q, 1, 8S]
+    tau2 = _radix_kth(fgm, kf, axis=2, bits=RADIX_BITS)
+    mask2 = jnp.where((fgm >= tau2) & (fgm > SENT_HALF), 1.0, 0.0)
+    incl2 = _prefix_lanes(mask2, axis=2)
+    count2 = incl2[:, :, 8 * S_SLOTS - 1:]             # [Q, 1, 1]
+    # staged through scratch: Mosaic lacks dynamic_slice on VALUES,
+    # but ref reads at 128-multiple lane offsets are fine
+    rank2_s[:] = jnp.where(mask2 > 0.0, incl2 - mask2,
+                           jnp.float32(S2))            # [Q, 1, 8S]
+
+    # second compaction: fori so chunk temporaries are reused; the
+    # same augmented-row trick folds the rid pieces into the ONE
+    # dot: rows 8..11 carry khi, klo, occupancy and chunk weight
+    s2_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (Qn, S_SLOTS, S2), 2)
+    khi_a = jnp.floor(kid2d * (1.0 / 256.0))           # [Q, 1, S]
+    klo_a = kid2d - 256.0 * khi_a
+    ones_a = jnp.ones((Qn, 1, S_SLOTS), jnp.float32)
+
+    def chunk(ch, out2a):
+        r2c = rank2_s[:, :, pl.ds(ch * S_SLOTS, S_SLOTS)]
+        sel2b = (jnp.transpose(r2c, (0, 2, 1)).astype(jnp.int32)
+                 == s2_iota).astype(jnp.bfloat16)      # [Q, S, S2]
+        xc = jnp.where(valid_r, cand[pl.ds(0, Qn),
+                                     pl.ds(ch * 8, 8), :], SENT)
+        h2, m2, l2 = _split3_bf16(xc)
+        chrow = ch.astype(jnp.float32) + jnp.zeros(
+            (Qn, 1, S_SLOTS), jnp.float32)
+        aug2 = jnp.concatenate(
+            [khi_a, klo_a, ones_a, chrow,
+             jnp.zeros((Qn, 4, S_SLOTS), jnp.float32)],
+            axis=1).astype(jnp.bfloat16)               # [Q, 8, S]
+        zp2 = jnp.zeros((Qn, 8, S_SLOTS), jnp.bfloat16)
+        x2 = jnp.concatenate(
+            [jnp.concatenate([h2, aug2], axis=1),
+             jnp.concatenate([m2, zp2], axis=1),
+             jnp.concatenate([l2, zp2], axis=1)], axis=2)
+        sel23 = jnp.concatenate([sel2b] * 3, axis=1)   # [Q, 3S, S2]
+        return out2a + jax.lax.dot_general(
+            x2, sel23, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+
+    out2a = jax.lax.fori_loop(
+        0, 8, chunk, jnp.zeros((Qn, 16, S2), jnp.float32))
+    out2 = out2a[:, :8, :]
+    kidc = (256.0 * out2a[:, 8:9, :] + out2a[:, 9:10, :])
+    occ = out2a[:, 10:11, :]
+    chw = out2a[:, 11:12, :]
+    c2b = (jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 1)
+           .astype(jnp.float32))
+    ridc = (64.0 * kidc + 8.0 * chw) * occ + c2b * (
+        occ + jnp.zeros((Qn, 1, S2), jnp.float32))
+    s2r = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, S2), 2)
+    valid2_r = s2r.astype(jnp.float32) < count2
+    out2 = jnp.where(valid2_r, out2, SENT)
+    over = jnp.maximum(count - float(S_SLOTS),
+                       count2[:, :, 0] - float(S2))    # [Q, 1]
+    if xla_tail:
+        # export the [Q, 8, S2] compacted candidates + row ids; the
+        # caller's lax.top_k over 8*S2 lanes replaces the serial
+        # in-kernel extraction (k fori iterations of reduce+mask)
+        out_s_ref[:] = out2
+        out_i_ref[:] = ridc.astype(jnp.int32)
+        flag_ref[:] = jnp.max(over, axis=0, keepdims=True)
+        return
+    s2l = jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 2)
+
+    # iterative top-k extraction (lowest flat position on ties)
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, S2), 1) * S2
+           + s2l)
+    kl = jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, out_s_ref.shape[2]), 2)
+
+    def ext(j, carry):
+        o2, rs, ri = carry
+        m1 = jnp.max(o2, axis=1, keepdims=True)
+        m = jnp.max(m1, axis=2, keepdims=True)         # [Q, 1, 1]
+        # (o2 == m) decomposed so no op broadcasts both axes:
+        # column holds the max AND element equals the column max
+        hit = (o2 == m1) & (m1 == m)
+        p1 = jnp.min(jnp.where(hit, pos, jnp.int32(1 << 30)),
+                     axis=1, keepdims=True)
+        p = jnp.min(p1, axis=2, keepdims=True)         # [Q, 1, 1]
+        at = (pos == p1) & (p1 == p) & (m1 == m)
+        rv1 = jnp.sum(jnp.where(at, ridc, 0.0), axis=1,
+                      keepdims=True)
+        rv = jnp.sum(rv1, axis=2, keepdims=True)       # [Q, 1, 1]
+        sel_j = kl == j
+        rs = jnp.where(sel_j, m, rs)
+        ri = jnp.where(sel_j, rv, ri)
+        o2 = jnp.where(at, SENT, o2)
+        return o2, rs, ri
+
+    rs0 = jnp.full((Qn, 1, out_s_ref.shape[2]), SENT, jnp.float32)
+    ri0 = jnp.zeros((Qn, 1, out_s_ref.shape[2]), jnp.float32)
+    _, rs, ri = jax.lax.fori_loop(0, k, ext, (out2, rs0, ri0))
+    out_s_ref[:] = rs
+    out_i_ref[:] = ri.astype(jnp.int32)
+    flag_ref[:] = jnp.max(over, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit,
@@ -476,6 +487,179 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False,
             vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(queries, eps, bmax, base)
+
+
+# ---------------------------------------------------------------------------
+# v3: ONE sweep — scores live in VMEM scratch, selection reads them back
+# ---------------------------------------------------------------------------
+
+def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
+                          ablate=''):
+    G = n // BLK
+    n_tiles = n // TILE
+    kb = float(min(k + MARGIN, G))
+    kf = float(min(k + MARGIN, 8 * S_SLOTS))
+    CR = BLK + 8
+    CG = GL * chunk_tiles          # blocks per compaction dot
+    CT = TILE * chunk_tiles        # rows per compaction dot
+
+    def _kernel(q_ref, base_ref, out_s_ref, out_i_ref, flag_ref,
+                scores_s, bmax_s, rank_gq, count_s, cand, rank2_s):
+        i = pl.program_id(0)
+
+        # ---- every step: score the tile ONCE, park it in scratch
+        s_t = _scores_tile(base_ref[:], q_ref[:], metric)      # [T, Q]
+        scores_s[pl.ds(i * TILE, TILE), :] = s_t
+        bmax_s[pl.ds(i * GL, GL), :] = jnp.max(
+            s_t.reshape(GL, BLK, Qn), axis=1)                  # [GL, Q]
+
+        # ---- last step: the whole selection, zero extra HBM traffic
+        @pl.when(i == n_tiles - 1)
+        def _():
+            if ablate == "sweep":      # measurement ablation: sweep only
+                out_s_ref[:] = jnp.zeros_like(out_s_ref)
+                out_i_ref[:] = jnp.zeros_like(out_i_ref)
+                flag_ref[:] = bmax_s[:1, :1] * 0.0
+                return
+            bm = bmax_s[:].T                                   # [Q, G]
+            tau = _radix_kth(bm, kb, axis=1, bits=RADIX_BITS)  # [Q, 1]
+            # eps = 0: bmax came from the SAME s_t values the compaction
+            # re-reads (single sweep -> no cross-sweep rounding at all)
+            mask = jnp.where((bm >= tau) & (bm > SENT_HALF), 1.0, 0.0)
+            incl = _prefix_lanes(mask, axis=1)
+            count_s[:] = incl[:, G - 1:G]
+            rank = jnp.where(mask > 0.0, incl - mask,
+                             jnp.float32(S_SLOTS))
+            rank_gq[:] = rank.T                                # [G, Q]
+
+            dn = (((2,), (1,)), ((0,), (0,)))
+            s_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (Qn, CG, S_SLOTS), 2)
+
+            def comp(t, acc):
+                sc = scores_s[pl.ds(t * CT, CT), :]            # [CT, Q]
+                x = jnp.transpose(sc.reshape(CG, BLK, Qn), (2, 1, 0))
+                rk = rank_gq[pl.ds(t * CG, CG), :].T           # [Q, CG]
+                sel_b = (rk[:, :, None].astype(jnp.int32)
+                         == s_iota).astype(jnp.bfloat16)       # [Q, CG, S]
+                hi, mid, lo = _split3_bf16(x)
+                gid = ((t * CG).astype(jnp.float32)
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (Qn, 1, CG), 2).astype(jnp.float32))
+                ghi = jnp.floor(gid * (1.0 / 256.0))           # <= 7
+                glo = gid - 256.0 * ghi                        # <= 255
+                aug = jnp.concatenate(
+                    [ghi, glo, jnp.zeros((Qn, CR - BLK - 2, CG),
+                                         jnp.float32)],
+                    axis=1).astype(jnp.bfloat16)
+                zpad = jnp.zeros((Qn, CR - BLK, CG), jnp.bfloat16)
+                x3 = jnp.concatenate(
+                    [jnp.concatenate([hi, aug], axis=1),
+                     jnp.concatenate([mid, zpad], axis=1),
+                     jnp.concatenate([lo, zpad], axis=1)],
+                    axis=2)                                    # [Q, CR, 3CG]
+                sel3 = jnp.concatenate([sel_b] * 3, axis=1)    # [Q, 3CG, S]
+                return acc + jax.lax.dot_general(
+                    x3, sel3, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+
+            cand[:] = jax.lax.fori_loop(
+                0, n_tiles // chunk_tiles, comp,
+                jnp.zeros((Qn, CR, S_SLOTS), jnp.float32))
+            if ablate == "nofine":     # ablation: skip the fine stage
+                out_s_ref[:] = jnp.zeros_like(out_s_ref)
+                out_i_ref[:] = jnp.zeros_like(out_i_ref)
+                flag_ref[:] = count_s[:1, :1] * 0.0
+                return
+            _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref,
+                       flag_ref, k, kf, Qn, xla_tail)
+
+    return _kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "interpret", "xla_tail",
+                                    "chunk_tiles", "ablate"))
+def onesweep_select(queries, base, k, metric, interpret=False,
+                    xla_tail=True, chunk_tiles=2, ablate=""):
+    """Exact top-k in ONE base read: every tile's scores are parked in a
+    [N, Qn] f32 VMEM scratch (the 100 MB scoped-vmem knob makes the
+    131072 x 64 bench shape's 33.5 MB resident), and the final grid step
+    runs threshold + compaction + fine select entirely from scratch.
+    Versus v2 this removes sweep B's base re-read, its score recompute,
+    and one kernel launch. Same output contract as select_sweep."""
+    n, d = base.shape
+    Qn = queries.shape[0]
+    kpad = 128
+    oshape = (Qn, 8, S2) if xla_tail else (Qn, 1, kpad)
+    G = n // BLK
+    return pl.pallas_call(
+        _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
+                              ablate),
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(oshape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(oshape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(oshape, jnp.float32),
+            jax.ShapeDtypeStruct(oshape, jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, Qn), jnp.float32),          # scores_s
+            pltpu.VMEM((G, Qn), jnp.float32),          # bmax_s
+            pltpu.VMEM((G, Qn), jnp.float32),          # rank_gq
+            pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
+            pltpu.VMEM((Qn, BLK + 8, S_SLOTS), jnp.float32),  # cand
+            pltpu.VMEM((Qn, 1, 8 * S_SLOTS), jnp.float32),    # rank2_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )(queries, base)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
+                                             "chunk_tiles"))
+def knn_scan_fused_v3(queries, base, k, metric, interpret=False,
+                      chunk_tiles=2):
+    """Exact top-k, ONE base sweep, selection entirely in VMEM. Same
+    result contract as knn_scan_fused_v2 (scores higher-better, -inf/-1
+    padded, overflow flag)."""
+    qf = _pad_queries(queries)
+    s3, i3, flag = onesweep_select(qf, base, k, metric, interpret,
+                                   chunk_tiles=chunk_tiles)
+    corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
+            if metric == VectorMetric.L2 else jnp.float32(0.0))
+    return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)
+
+
+V3_SCRATCH_BUDGET = 56 * 1024 * 1024   # scores scratch cap: leaves room
+#                                        for base tiles + compaction
+#                                        operands under the 110 MB limit
+
+
+def v3_available(n: int, dims: int, k: int, n_queries: int) -> bool:
+    """Geometry gate for the one-sweep path: v2's gate plus the scores
+    scratch must fit VMEM alongside the compaction operands."""
+    import os
+    if os.environ.get("RX_TPU_FUSED_V3", "") in ("0", "false"):
+        return False
+    if not v2_available(n, dims, k, n_queries):
+        return False
+    Qn = 8
+    while Qn < n_queries:
+        Qn *= 2
+    return n * Qn * 4 <= V3_SCRATCH_BUDGET
 
 
 # ---------------------------------------------------------------------------

@@ -175,3 +175,49 @@ def test_v2_availability_gate():
     assert not v2_available(TILE * 2 + 1, 128, 10, 8)     # non-divisible n
     assert not v2_available(TILE * 8, 96, 10, 8)          # dims not 128-mult
     assert not v2_available(TILE * 8, 128, 125, 8)        # k too large
+
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2,
+                                    VectorMetric.INNER_PRODUCT])
+@pytest.mark.parametrize("chunk_tiles", [1, 2])
+def test_v3_matches_oracle(metric, chunk_tiles, rng):
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v3
+    n, d, Q, k = 2 * TILE, 128, 8, 10
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    base[5] = 0.0                       # zeroed-invalid contract
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    scores, ids, flag = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, metric, interpret=True,
+        chunk_tiles=chunk_tiles)
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    assert float(flag) <= 0.0
+    if metric == VectorMetric.L2:
+        dm = ((q[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+        dm[:, 5] = np.inf
+        want = np.argsort(dm, axis=1)[:, :k]
+        want_scores = -np.take_along_axis(dm, ids, axis=1)
+    else:
+        sm = q @ base.T
+        sm[:, 5] = -np.inf
+        want = np.argsort(-sm, axis=1)[:, :k]
+        want_scores = np.take_along_axis(sm, ids, axis=1)
+    for b in range(Q):
+        assert set(ids[b].tolist()) == set(want[b].tolist())
+        assert 5 not in ids[b]
+    assert np.allclose(scores, want_scores, rtol=1e-4, atol=1e-3)
+
+
+def test_v3_fewer_valid_than_k(rng):
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v3
+    n, d, Q, k = 2 * TILE, 128, 4, 64
+    base = np.zeros((n, d), dtype=np.float32)
+    base[:7] = rng.normal(size=(7, d)).astype(np.float32)
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    scores, ids, flag = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    ids = np.asarray(ids)
+    for b in range(Q):
+        got = [i for i in ids[b].tolist() if i >= 0]
+        assert sorted(got) == list(range(7))
+        assert (ids[b][7:] == -1).all()
