@@ -70,6 +70,15 @@ def _chunk_scores(q: jnp.ndarray, base_chunk: jnp.ndarray,
 _DN_BATCHED = (((2,), (1,)), ((0,), (0,)))   # [Q,k,W] x [Q,W,B] -> [Q,k,B]
 
 
+def _trunc16_xla(x):
+    """Top 16 bits of an f32 (exactly bf16-representable), via integer
+    masking so the algebraic simplifier cannot fuse it away (the XLA-side
+    twin of pallas_select._trunc16)."""
+    return jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(jax.lax.bitcast_convert_type(x, jnp.int32),
+                        jnp.int32(-65536)), jnp.float32)
+
+
 def onehot_take(vals3: jnp.ndarray, idx: jnp.ndarray, width: int):
     """Block gather as an MXU one-hot matmul: vals3 f32[Q, W, B] taken at
     idx int32[Q, kb] -> f32[Q, kb, B].
@@ -84,10 +93,19 @@ def onehot_take(vals3: jnp.ndarray, idx: jnp.ndarray, width: int):
     oh = (idx[:, :, None] ==
           jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
           ).astype(jnp.bfloat16)
-    hi = vals3.astype(jnp.bfloat16)
-    r1 = vals3 - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # BIT-TRUNCATION splits, not arithmetic (x - bf16(x)) Dekker splits:
+    # under --xla_allow_excess_precision XLA fuses the bf16 round-trip
+    # away, collapsing the three limbs to ~one — scores then carry bf16
+    # ulps of error, which near dense selection boundaries (clustered
+    # data, |b|~const so scores are catastrophic cancellations) reorders
+    # the top-k almost entirely (measured: 196/200 wrong at 16k rows).
+    # The integer AND is opaque to the algebraic simplifier.
+    hi32 = _trunc16_xla(vals3)
+    hi = hi32.astype(jnp.bfloat16)
+    r1 = vals3 - hi32
+    mid32 = _trunc16_xla(r1)
+    mid = mid32.astype(jnp.bfloat16)
+    lo = (r1 - mid32).astype(jnp.bfloat16)
     out = jax.lax.dot_general(oh, hi, dimension_numbers=_DN_BATCHED,
                               preferred_element_type=jnp.float32)
     out += jax.lax.dot_general(oh, mid, dimension_numbers=_DN_BATCHED,

@@ -307,7 +307,7 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
 
 
 def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
-               k, kf, Qn, xla_tail):
+               k, kf, Qn, xla_tail, bits=RADIX_BITS):
     """Fine per-8 selection + emission from the compacted candidate buffer
     (`cand` scratch ref [Qn, BLK+8, S_SLOTS], block ids in the augmented
     rows). Shared between the v2 select kernel and the v3 one-sweep
@@ -332,7 +332,7 @@ def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
         [jnp.max(jnp.where(valid_r, cand[:, ch * 8:(ch + 1) * 8, :],
                            SENT), axis=1, keepdims=True)
          for ch in range(8)], axis=2)                  # [Q, 1, 8S]
-    tau2 = _radix_kth(fgm, kf, axis=2, bits=RADIX_BITS)
+    tau2 = _radix_kth(fgm, kf, axis=2, bits=bits)
     mask2 = jnp.where((fgm >= tau2) & (fgm > SENT_HALF), 1.0, 0.0)
     incl2 = _prefix_lanes(mask2, axis=2)
     count2 = incl2[:, :, 8 * S_SLOTS - 1:]             # [Q, 1, 1]
@@ -522,7 +522,7 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                 flag_ref[:] = bmax_s[:1, :1] * 0.0
                 return
             bm = bmax_s[:].T                                   # [Q, G]
-            tau = _radix_kth(bm, kb, axis=1, bits=RADIX_BITS)  # [Q, 1]
+            tau = _radix_kth(bm, kb, axis=1, bits=32)          # [Q, 1]
             # eps = 0: bmax came from the SAME s_t values the compaction
             # re-reads (single sweep -> no cross-sweep rounding at all)
             mask = jnp.where((bm >= tau) & (bm > SENT_HALF), 1.0, 0.0)
@@ -572,7 +572,7 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                 flag_ref[:] = count_s[:1, :1] * 0.0
                 return
             _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref,
-                       flag_ref, k, kf, Qn, xla_tail)
+                       flag_ref, k, kf, Qn, xla_tail, bits=32)
 
     return _kernel
 

@@ -221,3 +221,30 @@ def test_v3_fewer_valid_than_k(rng):
         got = [i for i in ids[b].tolist() if i >= 0]
         assert sorted(got) == list(range(7))
         assert (ids[b][7:] == -1).all()
+
+
+def test_v3_clustered_boundary(rng):
+    """Clustered data (catastrophic-cancellation scores, dense boundary):
+    the selection must match the fp64 oracle up to fp32 evaluation noise.
+    The hw twin of this test caught onehot_take's arithmetic Dekker split
+    being fused away under --xla_allow_excess_precision (196/200 wrong)."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v3
+    n, d, Q, k = 2 * TILE, 128, 8, 100
+    base = (rng.normal(size=(n, d)) * 0.05 + rng.normal(size=(1, d))
+            ).astype(np.float32)
+    q = (rng.normal(size=(Q, d)) * 0.05 + base[0]).astype(np.float32)
+    scores, ids, flag = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    ids = np.asarray(ids)
+    assert float(flag) <= 0.0
+    dm = ((q[:, None, :].astype(np.float64)
+           - base[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    mag = float(np.abs(base).max() ** 2 * d)
+    tol = 64.0 * mag * 2.0 ** -24
+    for b in range(Q):
+        kth = np.sort(dm[b])[k - 1]
+        got = set(ids[b].tolist())
+        wnt = set(np.argsort(dm[b])[:k].tolist())
+        assert all(dm[b][i] <= kth + tol for i in got - wnt)
+        assert all(dm[b][i] >= kth - tol for i in wnt - got)
