@@ -55,7 +55,10 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     from reindexer_tpu.core.type_consts import VectorMetric
     from reindexer_tpu.ops.distance import knn_scan
     from reindexer_tpu.ops.pallas_scan import fused_available, knn_scan_fused
-    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v2, v2_available
+    from reindexer_tpu.ops.pallas_select import (knn_scan_fused_v2,
+                                                 knn_scan_fused_v3,
+                                                 v2_available,
+                                                 v3_available)
 
     if smoke:
         n, iters = 10_000, 20
@@ -81,15 +84,18 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
 
     fused = fused_available(cap, dims, k)
     v2 = v2_available(cap, dims, k, batch)
+    v3 = v3_available(cap, dims, k, batch)
 
     # NOTE: pass the base as an ARGUMENT — closed-over device arrays embed
     # into the compile payload (remote compile rejects/slows on >100MB)
     @jax.jit
     def run_all(qs, b, v, s, se):
-        if v2:
-            # v2 fused-selection scan (in-kernel threshold + compaction +
-            # extraction, no XLA epilogue); drop the overflow flag (exact
+        if v3:
+            # v3 one-sweep scan: scores parked in VMEM scratch, selection
+            # with zero extra HBM traffic; drop the overflow flag (exact
             # for this data; production drains check it)
+            one = lambda q: knn_scan_fused_v3(q, b, k, VectorMetric.L2)[:2]
+        elif v2:
             one = lambda q: knn_scan_fused_v2(q, b, k, VectorMetric.L2)[:2]
         elif fused:
             one = lambda q: knn_scan_fused(q, b, se, k, VectorMetric.L2)
@@ -148,7 +154,8 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
 
     dev = jax.devices()[0]
     print(f"# device={dev} n={n} cap={cap} dims={dims} batch={batch} k={k} "
-          f"lat={dt*1e3:.3f}ms sol={sol*1e3:.3f}ms fused={fused} v2={v2}",
+          f"lat={dt*1e3:.3f}ms sol={sol*1e3:.3f}ms fused={fused} v2={v2} "
+          f"v3={v3}",
           file=sys.stderr)
     return {
         "metric": "bf_knn_qps_per_chip_100k_128_l2_top100",

@@ -76,8 +76,10 @@ class BruteForceIndex(FloatVectorIndexBase):
         fused-selection kernel ran (flag > 0 on readback => slot-capacity
         overflow, rerun via _scan_fallback — astronomically rare)."""
         kp = self.keeper
-        from ...ops.pallas_select import (knn_scan_fused_v2, knn_scan_sq8_v2,
-                                          v2_available)
+        from ...ops.pallas_select import (knn_scan_fused_v2,
+                                          knn_scan_fused_v3,
+                                          knn_scan_sq8_v2,
+                                          v2_available, v3_available)
         quant = self._quant is not None and self._quant.active
         if v2_available(kp.capacity, kp.dims, k, q.shape[0]):
             if quant and self._quant.err_dims is not None:
@@ -90,7 +92,14 @@ class BruteForceIndex(FloatVectorIndexBase):
                     ms_dims=self._quant.ms_dims)
                 return s, i, flag
             if not quant:
-                s, i, flag = knn_scan_fused_v2(q, kp.data, k, self.metric)
+                if v3_available(kp.capacity, kp.dims, k, q.shape[0]):
+                    # one-sweep kernel: scores resident in VMEM scratch,
+                    # selection with zero extra HBM traffic
+                    s, i, flag = knn_scan_fused_v3(q, kp.data, k,
+                                                   self.metric)
+                else:
+                    s, i, flag = knn_scan_fused_v2(q, kp.data, k,
+                                                   self.metric)
                 return s, i, flag
         s, i = self._scan_fallback(q, k)
         return s, i, None
