@@ -548,23 +548,23 @@ PyObject* score_merge_runs(PyObject* /*self*/, PyObject* args) {
     PyObject *post_doc_o, *post_field_o, *post_tf_o, *post_minpos_o;
     PyObject *doc_words_o, *fb_o, *bb_o, *bw_o, *pb_o, *pw_o;
     PyObject *term_boost_o, *term_lenb_o, *must_o, *notm_o, *field_words_o;
-    PyObject *pa_o = Py_None, *pb2_o = Py_None;
+    PyObject *pa_o = Py_None, *pb2_o = Py_None, *pr_o = Py_None;
     double k1, b, avg_len, dist_w, dist_b, fm_boost;
     long bm25_type, use_prox, n_fields, cap, n_terms, use_fm, merge_k;
     if (!PyArg_ParseTuple(
-            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl|OO",
+            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl|OOO",
             &run_start_o, &run_len_o, &run_term_o, &run_w_o, &run_idf_o,
             &post_doc_o, &post_field_o, &post_tf_o, &post_minpos_o,
             &doc_words_o, &fb_o, &bb_o, &bw_o, &pb_o, &pw_o,
             &term_boost_o, &term_lenb_o, &must_o, &notm_o,
             &k1, &b, &avg_len, &bm25_type, &dist_w, &dist_b, &use_prox,
             &field_words_o, &n_fields, &cap, &n_terms, &use_fm, &fm_boost,
-            &merge_k, &pa_o, &pb2_o)) {
+            &merge_k, &pa_o, &pb2_o, &pr_o)) {
         return nullptr;
     }
     PhraseBuf rs_b, rl_b, rt_b, rw_b, ri_b, post_doc_b, post_field_b,
         post_tf_b, post_minpos_b, doc_words_b, fb_b, bb_b, bw_b, pb_b, pw_b,
-        tb_b, tl_b, must_b, notm_b, fw_b, pa_b, pb2_b;
+        tb_b, tl_b, must_b, notm_b, fw_b, pa_b, pb2_b, pr_b;
     if (!rs_b.get(run_start_o) || !rl_b.get(run_len_o) ||
         !rt_b.get(run_term_o) || !rw_b.get(run_w_o) || !ri_b.get(run_idf_o) ||
         !post_doc_b.get(post_doc_o) || !post_field_b.get(post_field_o) ||
@@ -583,6 +583,12 @@ PyObject* score_merge_runs(PyObject* /*self*/, PyObject* args) {
     if (have_ab && (!pa_b.get(pa_o) || !pb2_b.get(pb2_o))) return nullptr;
     const float* PA = have_ab ? (const float*)pa_b.view.buf : nullptr;
     const float* PB = have_ab ? (const float*)pb2_b.view.buf : nullptr;
+    // fully-folded per-posting rank PR = A + idf_word*B (idf is a
+    // corpus statistic, so PR is query-independent): ONE load + ONE
+    // multiply per posting — the merge is memory-bound on one core
+    bool have_pr = pr_o != Py_None;
+    if (have_pr && !pr_b.get(pr_o)) return nullptr;
+    const float* PR = have_pr ? (const float*)pr_b.view.buf : nullptr;
 
     const int64_t* run_start = (const int64_t*)rs_b.view.buf;
     const int64_t* run_len = (const int64_t*)rl_b.view.buf;
@@ -824,23 +830,23 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     PyObject *post_doc_o, *post_field_o, *post_tf_o, *post_minpos_o;
     PyObject *doc_words_o, *fb_o, *bb_o, *bw_o, *pb_o, *pw_o;
     PyObject *term_boost_o, *term_lenb_o, *must_o, *notm_o, *field_words_o;
-    PyObject *pa_o = Py_None, *pb2_o = Py_None;
+    PyObject *pa_o = Py_None, *pb2_o = Py_None, *pr_o = Py_None;
     double k1, b, avg_len, dist_w, dist_b, fm_boost;
     long bm25_type, use_prox, n_fields, cap, n_terms, use_fm, merge_k;
     if (!PyArg_ParseTuple(
-            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl|OO",
+            args, "OOOOOOOOOOOOOOOOOOOdddlddlOlllldl|OOO",
             &run_start_o, &run_len_o, &run_term_o, &run_w_o, &run_idf_o,
             &post_doc_o, &post_field_o, &post_tf_o, &post_minpos_o,
             &doc_words_o, &fb_o, &bb_o, &bw_o, &pb_o, &pw_o,
             &term_boost_o, &term_lenb_o, &must_o, &notm_o,
             &k1, &b, &avg_len, &bm25_type, &dist_w, &dist_b, &use_prox,
             &field_words_o, &n_fields, &cap, &n_terms, &use_fm, &fm_boost,
-            &merge_k, &pa_o, &pb2_o)) {
+            &merge_k, &pa_o, &pb2_o, &pr_o)) {
         return nullptr;
     }
     PhraseBuf rs_b, rl_b, rt_b, rw_b, ri_b, post_doc_b, post_field_b,
         post_tf_b, post_minpos_b, doc_words_b, fb_b, bb_b, bw_b, pb_b, pw_b,
-        tb_b, tl_b, must_b, notm_b, fw_b, pa_b, pb2_b;
+        tb_b, tl_b, must_b, notm_b, fw_b, pa_b, pb2_b, pr_b;
     if (!rs_b.get(run_start_o) || !rl_b.get(run_len_o) ||
         !rt_b.get(run_term_o) || !rw_b.get(run_w_o) || !ri_b.get(run_idf_o) ||
         !post_doc_b.get(post_doc_o) || !post_field_b.get(post_field_o) ||
@@ -859,6 +865,12 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     if (have_ab && (!pa_b.get(pa_o) || !pb2_b.get(pb2_o))) return nullptr;
     const float* PA = have_ab ? (const float*)pa_b.view.buf : nullptr;
     const float* PB = have_ab ? (const float*)pb2_b.view.buf : nullptr;
+    // fully-folded per-posting rank PR = A + idf_word*B (idf is a
+    // corpus statistic, so PR is query-independent): ONE load + ONE
+    // multiply per posting — the merge is memory-bound on one core
+    bool have_pr = pr_o != Py_None;
+    if (have_pr && !pr_b.get(pr_o)) return nullptr;
+    const float* PR = have_pr ? (const float*)pr_b.view.buf : nullptr;
 
     const int64_t* run_start = (const int64_t*)rs_b.view.buf;
     const int64_t* run_len = (const int64_t*)rl_b.view.buf;
@@ -904,6 +916,18 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
         const float rboost = run_w[r] * term_boost[t] * term_lenb[t];
         const float idf = run_idf[r];
         const int64_t s0 = run_start[r], e0 = s0 + run_len[r];
+        if (have_pr) {
+            for (int64_t pi = s0; pi < e0; pi++) {
+                int32_t d = post_doc[pi];
+                float sr = rboost * PR[pi];
+                at[d] = sr > at[d] ? sr : at[d];
+                if (mt) {
+                    float mpf = (float)post_minpos[pi];
+                    mt[d] = mpf < mt[d] ? mpf : mt[d];
+                }
+            }
+            continue;
+        }
         if (have_ab) {
             // 2 loads + 2 FMAs per posting (A/B precomputed at build time;
             // per-posting bm25/pos2rank fully factored out)

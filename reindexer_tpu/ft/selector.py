@@ -374,7 +374,17 @@ class FtSelector:
                                                 + b * wdoc / h.avg_doc_len))
         A = np.ascontiguousarray(fbv * (1.0 - bwv) * posrank, np.float32)
         B = np.ascontiguousarray(fbv * bbv * bwv * X * posrank, np.float32)
-        h._ab_cache = (key, A, B)
+        # fully-folded rank PR = A + idf_word*B: idf is a corpus statistic
+        # (word_ndocs/total_docs), so PR is query-independent too — the
+        # dense merge then reads ONE float per posting instead of two
+        if cfg.bm25.bm25_type == "word_count":
+            beta = np.float32(1.0)
+        else:
+            widf = idf_host(h.total_docs, h.word_ndocs,
+                            cfg.bm25.bm25_type).astype(np.float32)
+            beta = np.repeat(widf, np.diff(h.word_start))
+        PR = np.ascontiguousarray(A + beta * B, np.float32)
+        h._ab_cache = (key, A, B, PR)
         return A, B
 
     def _score_host(self, q, prep, merge_k: int, use_prox: bool,
@@ -403,10 +413,10 @@ class FtSelector:
         extra = ()
         run_idf = np.ascontiguousarray(prep["run_idf"], np.float32)
         if dense:
-            A, B = self._ab_arrays(fb, bb, bw, pb, pw)
+            self._ab_arrays(fb, bb, bw, pb, pw)
             if cfg.bm25.bm25_type == "word_count":
                 run_idf = np.ones_like(run_idf)    # beta=1: B carries tf
-            extra = (A, B)
+            extra = (None, None, self.holder._ab_cache[3])
         docs_raw, scores_raw = entry(
             np.ascontiguousarray(prep["run_start"], np.int64),
             np.ascontiguousarray(prep["run_len"], np.int64),
