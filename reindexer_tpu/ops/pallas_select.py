@@ -663,6 +663,149 @@ def v3_available(n: int, dims: int, k: int, n_queries: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# SQ8 v3: ONE twin-phase kernel — codes sweep (1/4 bytes) for thresholds,
+# fp32 sweep for exact compaction, fine+emit; no inter-kernel round trip
+# ---------------------------------------------------------------------------
+
+def _make_twinsweep_sq8_kernel(n, k, metric, Qn, xla_tail):
+    G = n // BLK
+    n_tiles = n // TILE
+    kb = float(min(k + MARGIN, G))
+    kf = float(min(k + MARGIN, 8 * S_SLOTS))
+    CR = BLK + 8
+    l2 = metric == VectorMetric.L2
+
+    def _kernel(q_ref, eps_ref, qa_ref, shift_ref, codes_ref, sqe_ref,
+                base_ref, out_s_ref, out_i_ref, flag_ref,
+                bmax_s, rank_gq, count_s, cand, rank2_s):
+        i = pl.program_id(0)
+
+        # ---- phase 0 (i < n_tiles): quantized bmax from the uint8 codes
+        @pl.when(i < n_tiles)
+        def _():
+            c = codes_ref[:].astype(jnp.int32).astype(jnp.float32)
+            dots_t = _dot2(c, qa_ref[:])                       # [T, Q]
+            s_t = (2.0 * dots_t if l2 else dots_t) - sqe_ref[:]
+            s_t = jnp.maximum(s_t + shift_ref[:], SENT)
+            bmax_s[pl.ds(i * GL, GL), :] = jnp.max(
+                s_t.reshape(GL, BLK, Qn), axis=1)              # [GL, Q]
+
+        # ---- phase boundary: eps-widened threshold + global block ranks
+        @pl.when(i == n_tiles - 1)
+        def _():
+            bm = bmax_s[:].T                                   # [Q, G]
+            tau = _radix_kth(bm, kb, axis=1, bits=32)          # [Q, 1]
+            mask = jnp.where(
+                (bm >= tau - eps_ref[:]) & (bm > SENT_HALF), 1.0, 0.0)
+            incl = _prefix_lanes(mask, axis=1)
+            count_s[:] = incl[:, G - 1:G]
+            rank = jnp.where(mask > 0.0, incl - mask,
+                             jnp.float32(S_SLOTS))
+            rank_gq[:] = rank.T                                # [G, Q]
+            cand[:] = jnp.zeros_like(cand)
+
+        # ---- phase 1 (i >= n_tiles): EXACT fp32 scores + rank-one-hot
+        # compaction, overlapped with the base DMA (v2 sweep B fused in)
+        @pl.when(i >= n_tiles)
+        def _():
+            t = i - n_tiles
+            s_t = _scores_tile(base_ref[:], q_ref[:], metric)  # [T, Q]
+            x = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))
+            rk = rank_gq[pl.ds(t * GL, GL), :].T               # [Q, GL]
+            s_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (Qn, GL, S_SLOTS), 2)
+            sel_b = (rk[:, :, None].astype(jnp.int32) == s_iota).astype(
+                jnp.bfloat16)                                  # [Q, GL, S]
+            dn = (((2,), (1,)), ((0,), (0,)))
+            hi, mid, lo = _split3_bf16(x)
+            gid = ((t * GL).astype(jnp.float32)
+                   + jax.lax.broadcasted_iota(jnp.int32, (Qn, 1, GL), 2
+                                              ).astype(jnp.float32))
+            ghi = jnp.floor(gid * (1.0 / 256.0))               # <= 7
+            glo = gid - 256.0 * ghi                            # <= 255
+            aug = jnp.concatenate([ghi, glo,
+                                   jnp.zeros((Qn, CR - BLK - 2, GL),
+                                             jnp.float32)],
+                                  axis=1).astype(jnp.bfloat16)
+            zpad = jnp.zeros((Qn, CR - BLK, GL), jnp.bfloat16)
+            x3 = jnp.concatenate(
+                [jnp.concatenate([hi, aug], axis=1),
+                 jnp.concatenate([mid, zpad], axis=1),
+                 jnp.concatenate([lo, zpad], axis=1)], axis=2)
+            sel3 = jnp.concatenate([sel_b] * 3, axis=1)        # [Q, 3GL, S]
+            cand[:] += jax.lax.dot_general(
+                x3, sel3, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        @pl.when(i == 2 * n_tiles - 1)
+        def _():
+            _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref,
+                       flag_ref, k, kf, Qn, xla_tail, bits=32)
+
+    return _kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "interpret", "xla_tail"))
+def twinsweep_select_sq8(queries, eps, q_alpha, shift, codes, sq_eff, base,
+                         k, metric, interpret=False, xla_tail=True):
+    """Exact top-k at SQ8 threshold cost in ONE kernel: the first n_tiles
+    grid steps sweep the uint8 codes (1/4 the HBM bytes) into quantized
+    block maxima; the boundary step radix-selects the eps-widened block
+    threshold; the remaining steps sweep the fp32 base, compacting kept
+    blocks' EXACT scores with the rank-one-hot contraction (overlapped
+    with the base DMA). Versus the v2 pair (sweep_bmax_sq8 + select_sweep)
+    this removes one kernel launch and the bmax HBM round trip."""
+    n, d = base.shape
+    Qn = queries.shape[0]
+    kpad = 128
+    oshape = (Qn, 8, S2) if xla_tail else (Qn, 1, kpad)
+    G = n // BLK
+    n_tiles = n // TILE
+    return pl.pallas_call(
+        _make_twinsweep_sq8_kernel(n, k, metric, Qn, xla_tail),
+        grid=(2 * n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda i: (jnp.minimum(i, n_tiles - 1),
+                                               0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (jnp.minimum(i, n_tiles - 1),
+                                               0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda i: (jnp.maximum(i - n_tiles, 0),
+                                               0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(oshape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(oshape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(oshape, jnp.float32),
+            jax.ShapeDtypeStruct(oshape, jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, Qn), jnp.float32),          # bmax_s
+            pltpu.VMEM((G, Qn), jnp.float32),          # rank_gq
+            pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
+            pltpu.VMEM((Qn, BLK + 8, S_SLOTS), jnp.float32),  # cand
+            pltpu.VMEM((Qn, 1, 8 * S_SLOTS), jnp.float32),    # rank2_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )(queries, eps, q_alpha, shift, codes, sq_eff[:, None], base)
+
+
+# ---------------------------------------------------------------------------
 # wrappers
 # ---------------------------------------------------------------------------
 
@@ -746,6 +889,33 @@ def knn_scan_sq8_v2(queries, codes, lo, alpha, err_dims, sq_eff, base, k,
                             keepdims=True)
     bmax = sweep_bmax_sq8(q_alpha, shift, codes, sq_eff, metric, interpret)
     s3, i3, flag = select_sweep(qf, base, bmax, eps, k, metric, interpret)
+    corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
+            if metric == VectorMetric.L2 else jnp.float32(0.0))
+    return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "interpret", "eps_mode"))
+def knn_scan_sq8_v3(queries, codes, lo, alpha, err_dims, sq_eff, base, k,
+                    metric, interpret=False, eps_mode="cert", ms_dims=None):
+    """knn_scan_sq8_v2's contract (EXACT top-k, quantized threshold sweep
+    + exact fp32 candidate scoring, cert/fast eps ladder) in ONE twin-phase
+    kernel — see twinsweep_select_sq8."""
+    qf = _pad_queries(queries)
+    fac = 2.0 if metric == VectorMetric.L2 else 1.0
+    q_alpha = qf * alpha[None, :]
+    shift = fac * jnp.dot(qf, lo,
+                          preferred_element_type=jnp.float32)[None, :]
+    if eps_mode == "fast":
+        ms = (ms_dims if ms_dims is not None
+              else jnp.square(err_dims) / 3.0)
+        eps = FAST_EPS_SIGMA * fac * jnp.sqrt(
+            jnp.sum(jnp.square(qf) * ms[None, :], axis=1, keepdims=True))
+    else:
+        eps = fac * jnp.sum(jnp.abs(qf) * err_dims[None, :], axis=1,
+                            keepdims=True)
+    s3, i3, flag = twinsweep_select_sq8(qf, eps, q_alpha, shift, codes,
+                                        sq_eff, base, k, metric, interpret)
     corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
             if metric == VectorMetric.L2 else jnp.float32(0.0))
     return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)

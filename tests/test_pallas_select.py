@@ -248,3 +248,44 @@ def test_v3_clustered_boundary(rng):
         wnt = set(np.argsort(dm[b])[:k].tolist())
         assert all(dm[b][i] <= kth + tol for i in got - wnt)
         assert all(dm[b][i] >= kth - tol for i in wnt - got)
+
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2,
+                                    VectorMetric.INNER_PRODUCT])
+def test_sq8_v3_twinsweep_matches_v2(metric, rng):
+    """The twin-phase single-kernel SQ8 path returns the same exact top-k
+    as the two-kernel v2 pair on block-coherent clustered data."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_sq8_v3
+    n, d, Q, k = 2 * TILE, 128, 8, 10
+    n_blocks = n // 64
+    centers = rng.normal(size=(n_blocks, d)).astype(np.float32) * 10.0
+    base = (np.repeat(centers, 64, axis=0)
+            + 0.3 * rng.normal(size=(n, d))).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[7] = False
+    base[7] = 0.0
+    q = (centers[rng.integers(0, n_blocks, size=Q)]
+         + 0.3 * rng.normal(size=(Q, d))).astype(np.float32)
+    lo = np.quantile(base[valid], 0.001, axis=0).astype(np.float32)
+    hi = np.quantile(base[valid], 0.999, axis=0).astype(np.float32)
+    alpha = np.maximum((hi - lo) / 255.0, 1e-12).astype(np.float32)
+    codes = np.clip(np.round((np.clip(base, lo, hi) - lo) / alpha),
+                    0, 255).astype(np.uint8)
+    deq = lo + alpha * codes
+    err = np.abs(base[valid] - deq[valid]).max(axis=0).astype(np.float32)
+    sq = (base * base).sum(1).astype(np.float32)
+    sqe = np.where(valid, sq if metric == VectorMetric.L2 else 0.0,
+                   np.float32(SQ_EFF_BIG)).astype(np.float32)
+    args = (jnp.asarray(q), jnp.asarray(codes), jnp.asarray(lo),
+            jnp.asarray(alpha), jnp.asarray(err), jnp.asarray(sqe),
+            jnp.asarray(base), k, metric)
+    s2, i2, f2 = knn_scan_sq8_v2(*args, interpret=True)
+    s3, i3, f3 = knn_scan_sq8_v3(*args, interpret=True)
+    assert float(f3) <= 0.0
+    s2, i2 = np.asarray(s2), np.asarray(i2)
+    s3, i3 = np.asarray(s3), np.asarray(i3)
+    for b in range(Q):
+        assert set(i3[b].tolist()) == set(i2[b].tolist())
+        assert 7 not in i3[b]
+    assert np.allclose(np.sort(s3, axis=1), np.sort(s2, axis=1),
+                       rtol=1e-5, atol=1e-4)
