@@ -306,6 +306,57 @@ def _make_select_kernel(n, k, metric, Qn, xla_tail, ablate=''):
     return _kernel
 
 
+def _sub_xor(x, d):
+    """Partner array across SUBLANES at XOR distance d (1, 2 or 4 of 8)
+    via static slices + concat (Mosaic has no sublane roll; static sublane
+    slicing is in the verified capability set)."""
+    if d == 4:
+        return jnp.concatenate([x[:, 4:8], x[:, 0:4]], axis=1)
+    if d == 2:
+        return jnp.concatenate([x[:, 2:4], x[:, 0:2],
+                                x[:, 6:8], x[:, 4:6]], axis=1)
+    return jnp.concatenate([x[:, 1:2], x[:, 0:1], x[:, 3:4], x[:, 2:3],
+                            x[:, 5:6], x[:, 4:5], x[:, 7:8], x[:, 6:7]],
+                           axis=1)
+
+
+def _bitonic_desc_1024(keys, rid, Qn):
+    """Full descending bitonic sort of [Qn, 8, 128] (keys f32, rid f32
+    payload; ties keep the lower flat position, so equal keys never
+    duplicate or drop a payload). Flat order p = sublane*128 + lane;
+    lane-stride partners are two pltpu.rolls + a select, sublane-stride
+    partners are static slice shuffles. 55 compare-exchange stages over
+    0.26 MB operands — replaces the XLA top_k tail (measured ~0.1 ms of
+    per-op launch overhead) with ~us of VPU work inside the kernel."""
+    SL = 128
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, SL), 2)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (Qn, 8, SL), 1)
+    p = s_iota * SL + l_iota
+
+    def partner(x, j):
+        if j < SL:
+            lo = pltpu.roll(x, SL - j, axis=2)     # x[l + j] at lane l
+            hi = pltpu.roll(x, j, axis=2)          # x[l - j] at lane l
+            return jnp.where((l_iota & j) == 0, lo, hi)
+        return _sub_xor(x, j // SL)
+
+    size = 2
+    while size <= 1024:
+        j = size // 2
+        while j >= 1:
+            kp = partner(keys, j)
+            rp = partner(rid, j)
+            low = (p & j) == 0
+            km = low == ((p & size) == 0)
+            pred = (keys > kp) | ((keys == kp) & low)
+            take_self = jnp.where(km, pred, ~pred)
+            keys = jnp.where(take_self, keys, kp)
+            rid = jnp.where(take_self, rid, rp)
+            j //= 2
+        size *= 2
+    return keys, rid
+
+
 def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
                k, kf, Qn, xla_tail, bits=RADIX_BITS):
     """Fine per-8 selection + emission from the compacted candidate buffer
@@ -388,6 +439,15 @@ def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
     out2 = jnp.where(valid2_r, out2, SENT)
     over = jnp.maximum(count - float(S_SLOTS),
                        count2[:, :, 0] - float(S2))    # [Q, 1]
+    if xla_tail == "bitonic":
+        # full in-kernel descending bitonic sort of the 1024 candidates:
+        # the kernel emits [Q, 1, 128] sorted scores/ids directly, killing
+        # the XLA tail's ~0.1 ms of tiny-op launch overhead
+        ks, rs = _bitonic_desc_1024(out2, ridc, Qn)
+        out_s_ref[:] = ks[:, 0:1, :]
+        out_i_ref[:] = rs[:, 0:1, :].astype(jnp.int32)
+        flag_ref[:] = jnp.max(over, axis=0, keepdims=True)
+        return
     if xla_tail:
         # export the [Q, 8, S2] compacted candidates + row ids; the
         # caller's lax.top_k over 8*S2 lanes replaces the serial
@@ -450,7 +510,7 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False,
     n, d = base.shape
     Qn = queries.shape[0]
     kpad = 128
-    oshape = (Qn, 8, S2) if xla_tail else (Qn, 1, kpad)
+    oshape = (Qn, 8, S2) if xla_tail is True else (Qn, 1, kpad)
     return pl.pallas_call(
         _make_select_kernel(n, k, metric, Qn, xla_tail, ablate),
         grid=(n // TILE,),
@@ -504,14 +564,22 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
     CT = TILE * chunk_tiles        # rows per compaction dot
 
     def _kernel(q_ref, base_ref, out_s_ref, out_i_ref, flag_ref,
-                scores_s, bmax_s, rank_gq, count_s, cand, rank2_s):
+                hi_s, mid_s, lo_s, bmax_s, rank_gq, count_s, cand,
+                rank2_s):
         i = pl.program_id(0)
 
-        # ---- every step: score the tile ONCE, park it in scratch
+        # ---- every step: score the tile ONCE; park it PRE-TRANSPOSED and
+        # PRE-SPLIT (3 exact bf16 limbs) in scratch. The transpose + limb
+        # split measured as the bulk of the final-phase compaction cost;
+        # here they hide under the tile DMA (sweep had ~0.04 ms headroom)
         s_t = _scores_tile(base_ref[:], q_ref[:], metric)      # [T, Q]
-        scores_s[pl.ds(i * TILE, TILE), :] = s_t
         bmax_s[pl.ds(i * GL, GL), :] = jnp.max(
             s_t.reshape(GL, BLK, Qn), axis=1)                  # [GL, Q]
+        tr = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))
+        hi, mid, lo = _split3_bf16(tr)                         # [Q, c, GL]
+        hi_s[:, :, pl.ds(i * GL, GL)] = hi
+        mid_s[:, :, pl.ds(i * GL, GL)] = mid
+        lo_s[:, :, pl.ds(i * GL, GL)] = lo
 
         # ---- last step: the whole selection, zero extra HBM traffic
         @pl.when(i == n_tiles - 1)
@@ -537,12 +605,15 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                 jnp.int32, (Qn, CG, S_SLOTS), 2)
 
             def comp(t, acc):
-                sc = scores_s[pl.ds(t * CT, CT), :]            # [CT, Q]
-                x = jnp.transpose(sc.reshape(CG, BLK, Qn), (2, 1, 0))
+                # limbs are pre-transposed/pre-split by the sweep phase;
+                # THREE dots share ONE sel_b (the compaction measured
+                # VPU-bound on operand construction, not dot-issue-bound)
+                hi = hi_s[:, :, pl.ds(t * CG, CG)]             # [Q, c, CG]
+                mid = mid_s[:, :, pl.ds(t * CG, CG)]
+                lo = lo_s[:, :, pl.ds(t * CG, CG)]
                 rk = rank_gq[pl.ds(t * CG, CG), :].T           # [Q, CG]
                 sel_b = (rk[:, :, None].astype(jnp.int32)
                          == s_iota).astype(jnp.bfloat16)       # [Q, CG, S]
-                hi, mid, lo = _split3_bf16(x)
                 gid = ((t * CG).astype(jnp.float32)
                        + jax.lax.broadcasted_iota(
                            jnp.int32, (Qn, 1, CG), 2).astype(jnp.float32))
@@ -552,16 +623,20 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                     [ghi, glo, jnp.zeros((Qn, CR - BLK - 2, CG),
                                          jnp.float32)],
                     axis=1).astype(jnp.bfloat16)
-                zpad = jnp.zeros((Qn, CR - BLK, CG), jnp.bfloat16)
-                x3 = jnp.concatenate(
-                    [jnp.concatenate([hi, aug], axis=1),
-                     jnp.concatenate([mid, zpad], axis=1),
-                     jnp.concatenate([lo, zpad], axis=1)],
-                    axis=2)                                    # [Q, CR, 3CG]
-                sel3 = jnp.concatenate([sel_b] * 3, axis=1)    # [Q, 3CG, S]
-                return acc + jax.lax.dot_general(
-                    x3, sel3, dimension_numbers=dn,
+                hi_aug = jnp.concatenate([hi, aug], axis=1)    # [Q, CR, CG]
+                out = jax.lax.dot_general(
+                    hi_aug, sel_b, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
+                ml = jax.lax.dot_general(
+                    mid, sel_b, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                ml += jax.lax.dot_general(
+                    lo, sel_b, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                out += jnp.concatenate(
+                    [ml, jnp.zeros((Qn, CR - BLK, S_SLOTS), jnp.float32)],
+                    axis=1)
+                return acc + out
 
             cand[:] = jax.lax.fori_loop(
                 0, n_tiles // chunk_tiles, comp,
@@ -591,7 +666,7 @@ def onesweep_select(queries, base, k, metric, interpret=False,
     n, d = base.shape
     Qn = queries.shape[0]
     kpad = 128
-    oshape = (Qn, 8, S2) if xla_tail else (Qn, 1, kpad)
+    oshape = (Qn, 8, S2) if xla_tail is True else (Qn, 1, kpad)
     G = n // BLK
     return pl.pallas_call(
         _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
@@ -615,7 +690,9 @@ def onesweep_select(queries, base, k, metric, interpret=False,
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, Qn), jnp.float32),          # scores_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # hi_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # mid_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # lo_s
             pltpu.VMEM((G, Qn), jnp.float32),          # bmax_s
             pltpu.VMEM((G, Qn), jnp.float32),          # rank_gq
             pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
@@ -629,14 +706,18 @@ def onesweep_select(queries, base, k, metric, interpret=False,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
-                                             "chunk_tiles"))
+                                             "chunk_tiles", "tail"))
 def knn_scan_fused_v3(queries, base, k, metric, interpret=False,
-                      chunk_tiles=2):
+                      chunk_tiles=2, tail="xla"):
     """Exact top-k, ONE base sweep, selection entirely in VMEM. Same
     result contract as knn_scan_fused_v2 (scores higher-better, -inf/-1
-    padded, overflow flag)."""
+    padded, overflow flag). tail: "xla" exports 1024 compacted candidates
+    for a lax.top_k outside; "bitonic" sorts them in-kernel and emits
+    [Q, 128] directly."""
     qf = _pad_queries(queries)
     s3, i3, flag = onesweep_select(qf, base, k, metric, interpret,
+                                   xla_tail=(True if tail == "xla"
+                                             else tail),
                                    chunk_tiles=chunk_tiles)
     corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
             if metric == VectorMetric.L2 else jnp.float32(0.0))
@@ -759,7 +840,7 @@ def twinsweep_select_sq8(queries, eps, q_alpha, shift, codes, sq_eff, base,
     n, d = base.shape
     Qn = queries.shape[0]
     kpad = 128
-    oshape = (Qn, 8, S2) if xla_tail else (Qn, 1, kpad)
+    oshape = (Qn, 8, S2) if xla_tail is True else (Qn, 1, kpad)
     G = n // BLK
     n_tiles = n // TILE
     return pl.pallas_call(

@@ -289,3 +289,27 @@ def test_sq8_v3_twinsweep_matches_v2(metric, rng):
         assert 7 not in i3[b]
     assert np.allclose(np.sort(s3, axis=1), np.sort(s2, axis=1),
                        rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2,
+                                    VectorMetric.INNER_PRODUCT])
+def test_v3_bitonic_tail(metric, rng):
+    """tail='bitonic' (in-kernel full sort of the 1024 fine candidates)
+    returns the same top-k as tail='xla', sorted descending."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v3
+    n, d, Q, k = 2 * TILE, 128, 8, 100
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    sx, ix, fx = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, metric, interpret=True)
+    sb, ib, fb = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, metric, interpret=True,
+        tail="bitonic")
+    assert float(fb) <= 0.0
+    sx, ix = np.asarray(sx), np.asarray(ix)
+    sb, ib = np.asarray(sb), np.asarray(ib)
+    for b in range(Q):
+        assert set(ib[b].tolist()) == set(ix[b].tolist())
+        assert (np.diff(sb[b]) <= 1e-6).all()      # descending
+    assert np.allclose(np.sort(sb, axis=1), np.sort(sx, axis=1),
+                       rtol=1e-5, atol=1e-4)
