@@ -1,21 +1,29 @@
-"""Fused brute-force KNN with IN-KERNEL selection (v2 scan).
+"""Fused brute-force KNN with IN-KERNEL selection (v2/v3 scans).
 
 Replaces the v1 two-piece design (ops/pallas_scan.py: Pallas sweep
-materializing [Q, N] partial scores + a ~0.4 ms XLA selection epilogue) with
-two kernels whose total HBM traffic is two reads of the base — the epilogue
-runs entirely in VMEM:
+materializing [Q, N] partial scores + a ~0.4 ms XLA selection epilogue)
+with kernels whose selection runs entirely in VMEM. Three generations,
+all sharing the radix-threshold + rank-one-hot compaction + fine-stage
+machinery (gathers are the TPU anti-pattern; matmuls are the pattern):
 
-  sweep A   base (f32, or SQ8 codes at 1/4 the bytes) -> per-64-row block
-            maxima  bmax f32[Q, N/64]   (tiny write)
-  sweep B   ONE kernel: (1) step 0 radix-selects a per-query block threshold
-            from bmax (32-bit monotone-int bisection, VMEM-only) and ranks
-            surviving blocks by a roll-based prefix sum; (2) every grid step
-            recomputes the tile's exact scores (FLOPs are free — the sweep is
-            HBM-bound) and compacts surviving blocks into a [Q, 64, S]
-            candidate buffer with a rank-one-hot MXU contraction (gathers are
-            the TPU anti-pattern; matmuls are the pattern); (3) the last step
-            runs a fine per-8 stage (same radix + one-hot machinery) and an
-            iterative top-k extraction, emitting [Q, k] scores/ids directly.
+  v2 (sweep_bmax + select_sweep): two kernels, two base reads — sweep A
+     emits per-64-row block maxima, sweep B thresholds them (32-bit
+     monotone-int bisection), recomputes tile scores and compacts kept
+     blocks with the one-hot MXU contraction, then runs a fine per-8
+     stage and emits. The fallback when v3's scratch doesn't fit.
+  v3 (onesweep_select): ONE base read — each sweep step parks the tile's
+     scores in VMEM scratch pre-transposed and pre-split into 3 exact
+     bf16 limbs (the transpose/split hide under the tile DMA), and the
+     final grid step runs the whole selection from scratch with zero
+     extra HBM traffic. tail="bitonic" additionally sorts the fine
+     candidates in-kernel (55-stage roll/shuffle network), emitting
+     [Q, 128] directly instead of exporting 1024 candidates to an XLA
+     top_k.
+  sq8 v3 (twinsweep_select_sq8): ONE twin-phase kernel — phase 0 sweeps
+     the uint8 codes (1/4 the HBM bytes) into quantized block maxima,
+     the boundary step picks the eps-widened threshold, phase 1 sweeps
+     the fp32 base compacting kept blocks' EXACT scores (overlapped with
+     its DMA).
 
 Exactness: any row in the true top-k lives in a block whose max >= the k-th
 best score, and at most k blocks satisfy that (distinct scores), so keeping
