@@ -357,7 +357,9 @@ def _bitonic_desc_1024(keys, rid, Qn):
             low = (p & j) == 0
             km = low == ((p & size) == 0)
             pred = (keys > kp) | ((keys == kp) & low)
-            take_self = jnp.where(km, pred, ~pred)
+            # XNOR, not where(km, pred, ~pred): Mosaic rejects selects on
+            # i1 operands ("unsupported target bitwidth for truncation")
+            take_self = km == pred
             keys = jnp.where(take_self, keys, kp)
             rid = jnp.where(take_self, rid, rp)
             j //= 2
@@ -732,9 +734,11 @@ def knn_scan_fused_v3(queries, base, k, metric, interpret=False,
     return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)
 
 
-V3_SCRATCH_BUDGET = 56 * 1024 * 1024   # scores scratch cap: leaves room
-#                                        for base tiles + compaction
-#                                        operands under the 110 MB limit
+V3_SCRATCH_BUDGET = 72 * 1024 * 1024   # limb scratch cap (3 bf16 limb
+#                                        arrays = 6 bytes per score):
+#                                        leaves room for base tiles +
+#                                        compaction operands under the
+#                                        110 MB limit
 
 
 def v3_available(n: int, dims: int, k: int, n_queries: int) -> bool:
@@ -748,7 +752,7 @@ def v3_available(n: int, dims: int, k: int, n_queries: int) -> bool:
     Qn = 8
     while Qn < n_queries:
         Qn *= 2
-    return n * Qn * 4 <= V3_SCRATCH_BUDGET
+    return n * Qn * 6 <= V3_SCRATCH_BUDGET
 
 
 # ---------------------------------------------------------------------------
