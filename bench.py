@@ -176,7 +176,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     from reindexer_tpu.index.vector.quantization import knn_scan_quantized
     from reindexer_tpu.ops.pallas_scan import (SQ_EFF_BIG, fused_available,
                                                knn_scan_fused_sq8)
-    from reindexer_tpu.ops.pallas_select import knn_scan_sq8_v2, v2_available
+    from reindexer_tpu.ops.pallas_select import knn_scan_sq8_v3, v2_available
 
     if smoke:
         n, iters = 10_000, 20
@@ -209,7 +209,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
         # engine then sticks to the 12-sigma fast bound (candidates still
         # scored exactly from fp32 in sweep B); time the settled mode
         for eps_mode in ("cert", "fast"):
-            s0, i0, fl = knn_scan_sq8_v2(
+            s0, i0, fl = knn_scan_sq8_v3(
                 q_all[0], codes_d, lo_d, alpha_d, err_d, sqe_d, base_d, k,
                 VectorMetric.L2, eps_mode=eps_mode)
             if float(fl) <= 0.0:
@@ -236,7 +236,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
         if v2:
             # top-k at SQ8 scan cost: quantized threshold sweep with the
             # settled eps mode + exact fp32 candidate sweep
-            one = lambda q: knn_scan_sq8_v2(q, c, lo, al, ed, se, bd,
+            one = lambda q: knn_scan_sq8_v3(q, c, lo, al, ed, se, bd,
                                             k, VectorMetric.L2,
                                             eps_mode=eps_mode)[:2]
         elif fused:

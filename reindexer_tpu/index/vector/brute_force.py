@@ -79,13 +79,15 @@ class BruteForceIndex(FloatVectorIndexBase):
         from ...ops.pallas_select import (knn_scan_fused_v2,
                                           knn_scan_fused_v3,
                                           knn_scan_sq8_v2,
+                                          knn_scan_sq8_v3,
                                           v2_available, v3_available)
         quant = self._quant is not None and self._quant.active
         if v2_available(kp.capacity, kp.dims, k, q.shape[0]):
             if quant and self._quant.err_dims is not None:
                 # top-k at SQ8 scan cost: quantized threshold sweep
-                # (cert/fast eps ladder) + exact fp32 candidate sweep
-                s, i, flag = knn_scan_sq8_v2(
+                # (cert/fast eps ladder) + exact fp32 candidate sweep,
+                # fused into one twin-phase kernel (sq8 v3)
+                s, i, flag = knn_scan_sq8_v3(
                     q, self._quant.codes, self._quant.lo, self._quant.alpha,
                     self._quant.err_dims, kp.sq_eff(), kp.data, k,
                     self.metric, eps_mode=self._sq8_mode,
