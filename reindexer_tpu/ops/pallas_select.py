@@ -718,7 +718,7 @@ def onesweep_select(queries, base, k, metric, interpret=False,
 @functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
                                              "chunk_tiles", "tail"))
 def knn_scan_fused_v3(queries, base, k, metric, interpret=False,
-                      chunk_tiles=2, tail="xla"):
+                      chunk_tiles=2, tail="bitonic"):
     """Exact top-k, ONE base sweep, selection entirely in VMEM. Same
     result contract as knn_scan_fused_v2 (scores higher-better, -inf/-1
     padded, overflow flag). tail: "xla" exports 1024 compacted candidates
