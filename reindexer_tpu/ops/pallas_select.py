@@ -899,6 +899,231 @@ def twinsweep_select_sq8(queries, eps, q_alpha, shift, codes, sq_eff, base,
 
 
 # ---------------------------------------------------------------------------
+# v4: software-pipelined batches — selection of batch r-1 interleaved with
+# the sweep of batch r inside ONE kernel (single limb buffer)
+# ---------------------------------------------------------------------------
+
+def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, ablate=''):
+    G = n // BLK
+    n_tiles = n // TILE
+    kb = float(min(k + MARGIN, G))
+    kf = float(min(k + MARGIN, 8 * S_SLOTS))
+    CR = BLK + 8
+
+    def _kernel(q_ref, base_ref, out_s_ref, out_i_ref, flag_ref,
+                hi_s, mid_s, lo_s, bmax_s, rank_gq, count_s, cand,
+                rank2_s, flag_acc, flag_tmp):
+        i = pl.program_id(0)
+        r = i // n_tiles
+        t = i % n_tiles
+
+        @pl.when(i == 0)
+        def _():
+            flag_acc[:] = jnp.zeros_like(flag_acc)
+
+        # ---- selection of batch r-1 FIRST: compaction chunk t consumes
+        # limb tile t before this step's sweep overwrites it (same-ref
+        # program order is a real dependency for Mosaic)
+        if ablate != "sweep":
+            @pl.when(r >= 1)
+            def _():
+                @pl.when(t == 0)
+                def _():
+                    prev = jnp.remainder(r - 1, 2)
+                    bm = bmax_s[pl.ds(prev * G, G), :].T       # [Q, G]
+                    tau = _radix_kth(bm, kb, axis=1, bits=bits)
+                    mask = jnp.where((bm >= tau) & (bm > SENT_HALF),
+                                     1.0, 0.0)
+                    incl = _prefix_lanes(mask, axis=1)
+                    count_s[:] = incl[:, G - 1:G]
+                    rank = jnp.where(mask > 0.0, incl - mask,
+                                     jnp.float32(S_SLOTS))
+                    rank_gq[:] = rank.T                        # [G, Q]
+                    cand[:] = jnp.zeros_like(cand)
+
+                if ablate != "thresh":
+                    dn = (((2,), (1,)), ((0,), (0,)))
+                    s_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (Qn, GL, S_SLOTS), 2)
+                    hi = hi_s[:, :, pl.ds(t * GL, GL)]         # [Q, c, GL]
+                    mid = mid_s[:, :, pl.ds(t * GL, GL)]
+                    lo = lo_s[:, :, pl.ds(t * GL, GL)]
+                    rk = rank_gq[pl.ds(t * GL, GL), :].T       # [Q, GL]
+                    sel_b = (rk[:, :, None].astype(jnp.int32)
+                             == s_iota).astype(jnp.bfloat16)   # [Q, GL, S]
+                    gid = ((t * GL).astype(jnp.float32)
+                           + jax.lax.broadcasted_iota(
+                               jnp.int32, (Qn, 1, GL), 2).astype(
+                                   jnp.float32))
+                    ghi = jnp.floor(gid * (1.0 / 256.0))       # <= 7
+                    glo = gid - 256.0 * ghi                    # <= 255
+                    aug = jnp.concatenate(
+                        [ghi, glo, jnp.zeros((Qn, CR - BLK - 2, GL),
+                                             jnp.float32)],
+                        axis=1).astype(jnp.bfloat16)
+                    hi_aug = jnp.concatenate([hi, aug], axis=1)
+                    out = jax.lax.dot_general(
+                        hi_aug, sel_b, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    ml = jax.lax.dot_general(
+                        mid, sel_b, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    ml += jax.lax.dot_general(
+                        lo, sel_b, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    out += jnp.concatenate(
+                        [ml, jnp.zeros((Qn, CR - BLK, S_SLOTS),
+                                       jnp.float32)], axis=1)
+                    cand[:] += out
+
+                @pl.when(t == n_tiles - 1)
+                def _():
+                    if ablate in ("thresh", "compact"):
+                        out_s_ref[:] = jnp.zeros_like(out_s_ref)
+                        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+                        flag_tmp[:] = count_s[:1, :1] * 0.0
+                    else:
+                        _fine_emit(cand, count_s, rank2_s, out_s_ref,
+                                   out_i_ref, flag_tmp, k, kf, Qn,
+                                   xla_tail, bits=bits)
+                    flag_acc[:] = jnp.maximum(flag_acc[:], flag_tmp[:])
+        else:
+            @pl.when((r >= 1) & (t == n_tiles - 1))
+            def _():
+                out_s_ref[:] = jnp.zeros_like(out_s_ref)
+                out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+        # ---- sweep of batch r (rounds 0..R-1): score tile t, park limbs
+        @pl.when(r < R)
+        def _():
+            s_t = _scores_tile(base_ref[:], q_ref[:], metric)  # [T, Q]
+            cur = jnp.remainder(r, 2)
+            bmax_s[pl.ds(cur * G + t * GL, GL), :] = jnp.max(
+                s_t.reshape(GL, BLK, Qn), axis=1)              # [GL, Q]
+            tr = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))
+            hi, mid, lo = _split3_bf16(tr)                     # [Q, c, GL]
+            hi_s[:, :, pl.ds(t * GL, GL)] = hi
+            mid_s[:, :, pl.ds(t * GL, GL)] = mid
+            lo_s[:, :, pl.ds(t * GL, GL)] = lo
+
+        @pl.when(i == (R + 1) * n_tiles - 1)
+        def _():
+            flag_ref[:] = flag_acc[:]
+
+    return _kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "interpret", "bits",
+                                    "xla_tail", "ablate"))
+def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
+                     xla_tail="bitonic", ablate=""):
+    """Exact top-k for R query batches in ONE kernel launch: round r's
+    sweep (tile DMA + scoring + limb parking) runs while round r's
+    selection steps consume batch r-1's parked limbs chunk-by-chunk —
+    compaction chunk t reads limb tile t immediately before the sweep
+    overwrites it, so one limb buffer serves all batches and the sweep's
+    HBM time hides entirely under selection compute (drain round R runs
+    the last batch's selection alone).
+
+    queries f32[R, Qn, D] (Qn pow2-padded), base f32[N, D] (invalid rows
+    zeroed). Returns (scores [R, Qn, ...], ids, flag f32[1,1] max over
+    batches). Same per-batch contract as onesweep_select."""
+    R, Qn, d = queries.shape
+    n = base.shape[0]
+    kpad = 128
+    oshape = (Qn, 8, S2) if xla_tail is True else (Qn, 1, kpad)
+    full_o = (R * Qn,) + oshape[1:]
+    G = n // BLK
+    n_tiles = n // TILE
+
+    def q_idx(i):
+        return (jnp.minimum(i // n_tiles, R - 1), 0)
+
+    def b_idx(i):
+        return (jnp.where(i // n_tiles >= R, n_tiles - 1, i % n_tiles), 0)
+
+    def o_idx(i):
+        return (jnp.maximum(i // n_tiles, 1) - 1, 0, 0)
+
+    outs = pl.pallas_call(
+        _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail,
+                               ablate),
+        grid=((R + 1) * n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Qn, d), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), b_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(oshape, o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(oshape, o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(full_o, jnp.float32),
+            jax.ShapeDtypeStruct(full_o, jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # hi_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # mid_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # lo_s
+            pltpu.VMEM((2 * G, Qn), jnp.float32),      # bmax_s (ping-pong)
+            pltpu.VMEM((G, Qn), jnp.float32),          # rank_gq
+            pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
+            pltpu.VMEM((Qn, BLK + 8, S_SLOTS), jnp.float32),  # cand
+            pltpu.VMEM((Qn, 1, 8 * S_SLOTS), jnp.float32),    # rank2_s
+            pltpu.VMEM((1, 1), jnp.float32),           # flag_acc
+            pltpu.VMEM((1, 1), jnp.float32),           # flag_tmp
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )(queries.reshape(R * Qn, d), base)
+    s3, i3, flag = outs
+    return (s3.reshape((R,) + oshape), i3.reshape((R,) + oshape), flag)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
+                                             "bits", "tail", "ablate"))
+def knn_scan_fused_v4(queries, base, k, metric, interpret=False, bits=32,
+                      tail="bitonic", ablate=""):
+    """Exact top-k for a [R, Qb, D] stack of query batches, pipelined
+    through ONE kernel launch (see pipelined_select). Same per-batch
+    result contract as knn_scan_fused_v3; flag is the max over batches
+    (one overflow reruns the whole group — overflow is the rare rung).
+    Returns (scores [R, Qb, k], ids [R, Qb, k], flag)."""
+    R, Qb, d = queries.shape
+    qf = jax.vmap(_pad_queries)(queries)                  # [R, Qn, D]
+    s3, i3, flag = pipelined_select(
+        qf, base, k, metric, interpret, bits=bits,
+        xla_tail=(True if tail == "xla" else tail), ablate=ablate)
+    corr = (-jnp.sum(qf * qf, axis=2, keepdims=True)[:, :, :1]
+            if metric == VectorMetric.L2 else
+            jnp.zeros((R, qf.shape[1], 1), jnp.float32))
+    if s3.shape[2] == 8:               # xla tail: compacted [R, Q, 8, S2]
+        Qn = s3.shape[1]
+        flat = s3.reshape(R, Qn, 8 * S2)
+        rid = i3.reshape(R, Qn, 8 * S2)
+        s, pos = jax.lax.top_k(flat, k)
+        ids = jnp.take_along_axis(rid, pos, axis=2)
+    else:
+        s = s3[:, :, 0, :k]
+        ids = i3[:, :, 0, :k]
+    ids = jnp.where(s > SENT_HALF, ids, -1)
+    s = jnp.where(ids >= 0, s + corr, -jnp.inf)
+    return s[:, :Qb], ids[:, :Qb], flag[0, 0]
+
+
+def v4_available(n: int, dims: int, k: int, n_queries: int) -> bool:
+    """Geometry gate for the pipelined path (per-batch width)."""
+    import os
+    if os.environ.get("RX_TPU_FUSED_V4", "") in ("0", "false"):
+        return False
+    return v3_available(n, dims, k, n_queries)
+
+
+# ---------------------------------------------------------------------------
 # wrappers
 # ---------------------------------------------------------------------------
 

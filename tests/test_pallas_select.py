@@ -313,3 +313,56 @@ def test_v3_bitonic_tail(metric, rng):
         assert (np.diff(sb[b]) <= 1e-6).all()      # descending
     assert np.allclose(np.sort(sb, axis=1), np.sort(sx, axis=1),
                        rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2,
+                                    VectorMetric.INNER_PRODUCT])
+@pytest.mark.parametrize("bits", [32, 20])
+def test_v4_pipelined_matches_oracle(metric, bits, rng):
+    """The pipelined multi-batch kernel returns exactly the per-batch v3
+    results: every batch r's selection runs interleaved with batch r+1's
+    sweep over the SAME limb buffer — any read-after-overwrite bug shows
+    up as cross-batch contamination here."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v4
+    n, d, R, Q, k = 2 * TILE, 128, 3, 8, 10
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    base[5] = 0.0
+    q = rng.normal(size=(R, Q, d)).astype(np.float32)
+    scores, ids, flag = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, metric, interpret=True,
+        bits=bits)
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    assert float(flag) <= 0.0
+    for r in range(R):
+        if metric == VectorMetric.L2:
+            dm = ((q[r][:, None, :] - base[None, :, :]) ** 2).sum(-1)
+            dm[:, 5] = np.inf
+            want = np.argsort(dm, axis=1)[:, :k]
+            want_scores = -np.take_along_axis(dm, ids[r], axis=1)
+        else:
+            sm = q[r] @ base.T
+            sm[:, 5] = -np.inf
+            want = np.argsort(-sm, axis=1)[:, :k]
+            want_scores = np.take_along_axis(sm, ids[r], axis=1)
+        for b in range(Q):
+            assert set(ids[r][b].tolist()) == set(want[b].tolist())
+            assert 5 not in ids[r][b]
+        assert np.allclose(scores[r], want_scores, rtol=1e-4, atol=1e-3)
+        assert (np.diff(scores[r], axis=1) <= 1e-6).all()
+
+
+def test_v4_xla_tail_and_fewer_valid(rng):
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v4
+    n, d, R, Q, k = 2 * TILE, 128, 2, 4, 64
+    base = np.zeros((n, d), dtype=np.float32)
+    base[:7] = rng.normal(size=(7, d)).astype(np.float32)
+    q = rng.normal(size=(R, Q, d)).astype(np.float32)
+    scores, ids, flag = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, tail="xla")
+    ids = np.asarray(ids)
+    for r in range(R):
+        for b in range(Q):
+            got = [i for i in ids[r][b].tolist() if i >= 0]
+            assert sorted(got) == list(range(7))
+            assert (ids[r][b][7:] == -1).all()
