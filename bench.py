@@ -57,8 +57,10 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     from reindexer_tpu.ops.pallas_scan import fused_available, knn_scan_fused
     from reindexer_tpu.ops.pallas_select import (knn_scan_fused_v2,
                                                  knn_scan_fused_v3,
+                                                 knn_scan_fused_v4,
                                                  v2_available,
-                                                 v3_available)
+                                                 v3_available,
+                                                 v4_available)
 
     if smoke:
         n, iters = 10_000, 20
@@ -85,11 +87,25 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     fused = fused_available(cap, dims, k)
     v2 = v2_available(cap, dims, k, batch)
     v3 = v3_available(cap, dims, k, batch)
+    PIPE = 8     # batches per pipelined v4 launch
+    v4 = (batch == 64 and iters % PIPE == 0
+          and v4_available(cap, dims, k, batch))
 
     # NOTE: pass the base as an ARGUMENT — closed-over device arrays embed
     # into the compile payload (remote compile rejects/slows on >100MB)
     @jax.jit
     def run_all(qs, b, v, s, se):
+        if v4:
+            # pipelined kernel: R=8 batches per launch, each batch's
+            # selection overlapped with the next batch's sweep
+            grp = qs.reshape(qs.shape[0] // PIPE, PIPE, batch, dims)
+            outs = jax.lax.map(
+                lambda g: knn_scan_fused_v4(g, b, k, VectorMetric.L2)[:2],
+                grp)
+            return jax.tree_util.tree_map(
+                lambda x: jnp.sum(jnp.where(
+                    jnp.isfinite(x.astype(jnp.float32)),
+                    x.astype(jnp.float32), 0.0)), outs)
         if v3:
             # v3 one-sweep scan: scores parked in VMEM scratch, selection
             # with zero extra HBM traffic; drop the overflow flag (exact
@@ -113,6 +129,8 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     # removes the fixed per-dispatch cost (tunnel RTT + result transfer,
     # ~30-60ms) that amortizes away in sustained pipelined serving
     small = max(iters // 16, 1)
+    if v4:        # the group size must divide both call shapes
+        small = max(PIPE, small // PIPE * PIPE)
     args_small = (q_all[:small], base_d, valid_d, sq_d, sq_eff_d)
     args = (q_all, base_d, valid_d, sq_d, sq_eff_d)
     np.asarray(jax.tree_util.tree_leaves(run_all(*args_small))[0])

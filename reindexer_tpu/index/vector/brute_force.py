@@ -78,10 +78,21 @@ class BruteForceIndex(FloatVectorIndexBase):
         kp = self.keeper
         from ...ops.pallas_select import (knn_scan_fused_v2,
                                           knn_scan_fused_v3,
+                                          knn_scan_fused_v4,
                                           knn_scan_sq8_v2,
                                           knn_scan_sq8_v3,
-                                          v2_available, v3_available)
+                                          v2_available, v3_available,
+                                          v4_available)
         quant = self._quant is not None and self._quant.active
+        B = q.shape[0]
+        if (not quant and B > 64 and B % 64 == 0
+                and v4_available(kp.capacity, kp.dims, k, 64)):
+            # many-batch selects ride the pipelined kernel: batch r's
+            # selection overlaps batch r+1's sweep in ONE launch
+            R = B // 64
+            s, i, flag = knn_scan_fused_v4(
+                q.reshape(R, 64, q.shape[1]), kp.data, k, self.metric)
+            return s.reshape(B, -1), i.reshape(B, -1), flag
         if v2_available(kp.capacity, kp.dims, k, q.shape[0]):
             if quant and self._quant.err_dims is not None:
                 # top-k at SQ8 scan cost: quantized threshold sweep
@@ -119,6 +130,14 @@ class BruteForceIndex(FloatVectorIndexBase):
             s, i, fl = jax.device_get((s, i, fl))
             if float(fl) <= 0.0:
                 return s, i
+        if q.shape[0] > 64:
+            # v4 group overflow: the v1 fallback kernels are gated at
+            # <=128 padded queries — rerun in 64-query slices
+            outs = [jax.device_get(self._scan_fallback(q[b:b + 64], k,
+                                                       exact=True))
+                    for b in range(0, q.shape[0], 64)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
         return jax.device_get(self._scan_fallback(q, k, exact=True))
 
     def _scan_fallback(self, q: jnp.ndarray, k: int, exact: bool = False):

@@ -903,12 +903,14 @@ def twinsweep_select_sq8(queries, eps, q_alpha, shift, codes, sq_eff, base,
 # the sweep of batch r inside ONE kernel (single limb buffer)
 # ---------------------------------------------------------------------------
 
-def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, ablate=''):
+def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
+                           ablate=''):
     G = n // BLK
     n_tiles = n // TILE
     kb = float(min(k + MARGIN, G))
     kf = float(min(k + MARGIN, 8 * S_SLOTS))
     CR = BLK + 8
+    f32_park = park == "f32"
 
     def _kernel(q_ref, base_ref, out_s_ref, out_i_ref, flag_ref,
                 hi_s, mid_s, lo_s, bmax_s, rank_gq, count_s, cand,
@@ -945,9 +947,16 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, ablate=''):
                     dn = (((2,), (1,)), ((0,), (0,)))
                     s_iota = jax.lax.broadcasted_iota(
                         jnp.int32, (Qn, GL, S_SLOTS), 2)
-                    hi = hi_s[:, :, pl.ds(t * GL, GL)]         # [Q, c, GL]
-                    mid = mid_s[:, :, pl.ds(t * GL, GL)]
-                    lo = lo_s[:, :, pl.ds(t * GL, GL)]
+                    if f32_park:
+                        # f32 scratch (4 B/score of VMEM traffic vs the
+                        # 6 B limb layout); exact 3-limb split rebuilt
+                        # in-register here
+                        hi, mid, lo = _split3_bf16(
+                            hi_s[:, :, pl.ds(t * GL, GL)])
+                    else:
+                        hi = hi_s[:, :, pl.ds(t * GL, GL)]     # [Q, c, GL]
+                        mid = mid_s[:, :, pl.ds(t * GL, GL)]
+                        lo = lo_s[:, :, pl.ds(t * GL, GL)]
                     rk = rank_gq[pl.ds(t * GL, GL), :].T       # [Q, GL]
                     sel_b = (rk[:, :, None].astype(jnp.int32)
                              == s_iota).astype(jnp.bfloat16)   # [Q, GL, S]
@@ -1001,10 +1010,13 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, ablate=''):
             bmax_s[pl.ds(cur * G + t * GL, GL), :] = jnp.max(
                 s_t.reshape(GL, BLK, Qn), axis=1)              # [GL, Q]
             tr = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))
-            hi, mid, lo = _split3_bf16(tr)                     # [Q, c, GL]
-            hi_s[:, :, pl.ds(t * GL, GL)] = hi
-            mid_s[:, :, pl.ds(t * GL, GL)] = mid
-            lo_s[:, :, pl.ds(t * GL, GL)] = lo
+            if f32_park:
+                hi_s[:, :, pl.ds(t * GL, GL)] = tr
+            else:
+                hi, mid, lo = _split3_bf16(tr)                 # [Q, c, GL]
+                hi_s[:, :, pl.ds(t * GL, GL)] = hi
+                mid_s[:, :, pl.ds(t * GL, GL)] = mid
+                lo_s[:, :, pl.ds(t * GL, GL)] = lo
 
         @pl.when(i == (R + 1) * n_tiles - 1)
         def _():
@@ -1015,9 +1027,9 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, ablate=''):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "interpret", "bits",
-                                    "xla_tail", "ablate"))
+                                    "xla_tail", "park", "ablate"))
 def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
-                     xla_tail="bitonic", ablate=""):
+                     xla_tail="bitonic", park="limb", ablate=""):
     """Exact top-k for R query batches in ONE kernel launch: round r's
     sweep (tile DMA + scoring + limb parking) runs while round r's
     selection steps consume batch r-1's parked limbs chunk-by-chunk —
@@ -1046,8 +1058,17 @@ def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
     def o_idx(i):
         return (jnp.maximum(i // n_tiles, 1) - 1, 0, 0)
 
+    f32_park = park == "f32"
+    park_shapes = (
+        [pltpu.VMEM((Qn, BLK, G), jnp.float32),        # scores (f32 park)
+         pltpu.VMEM((8, 8, 128), jnp.bfloat16),        # unused
+         pltpu.VMEM((8, 8, 128), jnp.bfloat16)]        # unused
+        if f32_park else
+        [pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),       # hi_s
+         pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),       # mid_s
+         pltpu.VMEM((Qn, BLK, G), jnp.bfloat16)])      # lo_s
     outs = pl.pallas_call(
-        _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail,
+        _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                                ablate),
         grid=((R + 1) * n_tiles,),
         in_specs=[
@@ -1064,10 +1085,7 @@ def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
             jax.ShapeDtypeStruct(full_o, jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # hi_s
-            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # mid_s
-            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # lo_s
+        scratch_shapes=park_shapes + [
             pltpu.VMEM((2 * G, Qn), jnp.float32),      # bmax_s (ping-pong)
             pltpu.VMEM((G, Qn), jnp.float32),          # rank_gq
             pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
@@ -1085,9 +1103,10 @@ def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
-                                             "bits", "tail", "ablate"))
+                                             "bits", "tail", "park",
+                                             "ablate"))
 def knn_scan_fused_v4(queries, base, k, metric, interpret=False, bits=32,
-                      tail="bitonic", ablate=""):
+                      tail="bitonic", park="limb", ablate=""):
     """Exact top-k for a [R, Qb, D] stack of query batches, pipelined
     through ONE kernel launch (see pipelined_select). Same per-batch
     result contract as knn_scan_fused_v3; flag is the max over batches
@@ -1097,7 +1116,8 @@ def knn_scan_fused_v4(queries, base, k, metric, interpret=False, bits=32,
     qf = jax.vmap(_pad_queries)(queries)                  # [R, Qn, D]
     s3, i3, flag = pipelined_select(
         qf, base, k, metric, interpret, bits=bits,
-        xla_tail=(True if tail == "xla" else tail), ablate=ablate)
+        xla_tail=(True if tail == "xla" else tail), park=park,
+        ablate=ablate)
     corr = (-jnp.sum(qf * qf, axis=2, keepdims=True)[:, :, :1]
             if metric == VectorMetric.L2 else
             jnp.zeros((R, qf.shape[1], 1), jnp.float32))

@@ -366,3 +366,21 @@ def test_v4_xla_tail_and_fewer_valid(rng):
             got = [i for i in ids[r][b].tolist() if i >= 0]
             assert sorted(got) == list(range(7))
             assert (ids[r][b][7:] == -1).all()
+
+
+def test_v4_f32_park_matches_limb(rng):
+    """park='f32' (scores scratch, in-register split at compaction) is
+    bit-identical to the limb layout."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v4
+    n, d, R, Q, k = 2 * TILE, 128, 2, 8, 50
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(R, Q, d)).astype(np.float32)
+    sl, il, _ = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    sf, if_, ff = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, park="f32")
+    assert float(ff) <= 0.0
+    assert (np.asarray(il) == np.asarray(if_)).all()
+    assert np.allclose(np.asarray(sl), np.asarray(sf), rtol=0, atol=0)
