@@ -7,6 +7,12 @@ dispatch/drain split should let N clients overlap their device round trips
 (target: >= 3x single-stream on the tunnel-RTT-bound workload).
 
 Usage: python tools/bench_serving.py [n=65536] [dims=128] [conns=8]
+                                     [index=vec_bf|hnsw] [metric=l2|ip]
+
+index=hnsw at n=1M is the VERDICT round-3 configuration: clustered
+normalized vectors (the deep1m data model), ingested through REAL
+namespace transactions in 100k-doc chunks (each commit flushes a chunk
+into the pipelined exact-scan build).
 """
 import json
 import os
@@ -62,6 +68,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     dims = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     conns = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    index = sys.argv[4] if len(sys.argv) > 4 else "vec_bf"
+    metric = sys.argv[5] if len(sys.argv) > 5 else "l2"
 
     from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts,
                                IndexType, VectorMetric)
@@ -73,22 +81,44 @@ def main():
     db = srv.mgr.create("bench")
     rng = np.random.default_rng(0)
     words = [f"w{i}" for i in range(500)]
+    itype = IndexType.HNSW if index == "hnsw" else IndexType.VEC_BF
+    vm = VectorMetric.INNER_PRODUCT if metric == "ip" else VectorMetric.L2
     db.open_namespace("items", [
         IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
-        IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
-            dims=dims, metric=VectorMetric.L2)),
+        IndexDef("vec", itype, vector_opts=FloatVectorOpts(
+            dims=dims, metric=vm)),
         IndexDef("text", "text", "string"),
     ])
-    base = rng.normal(size=(n, dims)).astype(np.float32)
+    if index == "hnsw":
+        # clustered normalized data (the deep1m model — HNSW on isotropic
+        # gaussians is the degenerate no-structure case)
+        nc = 1024
+        centers = rng.normal(size=(nc, dims)).astype(np.float32)
+        base = (centers[rng.integers(0, nc, size=n)]
+                + 0.25 * rng.normal(size=(n, dims)).astype(np.float32))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        base = base.astype(np.float32)
+    else:
+        base = rng.normal(size=(n, dims)).astype(np.float32)
+    texts = np.random.default_rng(1).integers(0, len(words), size=(n, 6))
     t0 = time.time()
-    tx = db.new_transaction("items")
-    for i in range(n):
-        tx.upsert({"id": i, "vec": base[i].tolist(),
-                   "text": " ".join(rng.choice(words, size=6))})
-    tx.commit()
+    for c0 in range(0, n, 100_000):
+        tx = db.new_transaction("items")
+        for i in range(c0, min(c0 + 100_000, n)):
+            tx.upsert({"id": i, "vec": base[i].tolist(),
+                       "text": " ".join(words[j] for j in texts[i])})
+        tx.commit()
+        print(f"# chunk {c0 + 100_000:>8}/{n} at {time.time()-t0:.0f}s",
+              flush=True)
     print(f"# loaded {n} docs in {time.time()-t0:.1f}s", flush=True)
 
-    qvecs = [rng.normal(size=dims).astype(np.float32) for _ in range(32)]
+    if index == "hnsw":
+        qvecs = [(base[int(j)] + 0.05 * rng.normal(size=dims)
+                  ).astype(np.float32)
+                 for j in rng.integers(0, n, size=32)]
+    else:
+        qvecs = [rng.normal(size=dims).astype(np.float32)
+                 for _ in range(32)]
     knn_sqls = [
         "SELECT id FROM items WHERE KNN(vec, [" +
         ",".join(f"{v:.4f}" for v in q) + "], k=10) LIMIT 10"
