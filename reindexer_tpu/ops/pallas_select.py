@@ -368,7 +368,7 @@ def _bitonic_desc_1024(keys, rid, Qn):
 
 
 def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
-               k, kf, Qn, xla_tail, bits=RADIX_BITS):
+               k, kf, Qn, xla_tail, bits=RADIX_BITS, stack=False):
     """Fine per-8 selection + emission from the compacted candidate buffer
     (`cand` scratch ref [Qn, BLK+8, S_SLOTS], block ids in the augmented
     rows). Shared between the v2 select kernel and the v3 one-sweep
@@ -420,6 +420,22 @@ def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
         h2, m2, l2 = _split3_bf16(xc)
         chrow = ch.astype(jnp.float32) + jnp.zeros(
             (Qn, 1, S_SLOTS), jnp.float32)
+        if stack:
+            # limbs stacked along SUBLANES: [Q, 32, S] x [Q, S, S2] is
+            # ONE MXU pass per q-chunk (the contraction-concat form pads
+            # each of its 3 blocks to a pass); limb sums move to the
+            # tiny [Q, 8, S2] outputs
+            aug2 = jnp.concatenate(
+                [khi_a, klo_a, ones_a, chrow,
+                 jnp.zeros((Qn, 4, S_SLOTS), jnp.float32)],
+                axis=1).astype(jnp.bfloat16)           # [Q, 8, S]
+            x2s = jnp.concatenate([h2, m2, l2, aug2], axis=1)
+            o3 = jax.lax.dot_general(
+                x2s, sel2b, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)    # [Q, 32, S2]
+            vals = o3[:, :8, :] + o3[:, 8:16, :] + o3[:, 16:24, :]
+            return out2a + jnp.concatenate(
+                [vals, o3[:, 24:32, :]], axis=1)
         aug2 = jnp.concatenate(
             [khi_a, klo_a, ones_a, chrow,
              jnp.zeros((Qn, 4, S_SLOTS), jnp.float32)],
@@ -926,7 +942,7 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
         # ---- selection of batch r-1 FIRST: compaction chunk t consumes
         # limb tile t before this step's sweep overwrites it (same-ref
         # program order is a real dependency for Mosaic)
-        if ablate != "sweep":
+        if ablate not in ("sweep", "sweepnt"):
             @pl.when(r >= 1)
             def _():
                 @pl.when(t == 0)
@@ -947,7 +963,9 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                     dn = (((2,), (1,)), ((0,), (0,)))
                     s_iota = jax.lax.broadcasted_iota(
                         jnp.int32, (Qn, GL, S_SLOTS), 2)
-                    if f32_park:
+                    if park == "stack":
+                        stk = hi_s[:, :, pl.ds(t * GL, GL)]    # [Q,3c,GL]
+                    elif f32_park:
                         # f32 scratch (4 B/score of VMEM traffic vs the
                         # 6 B limb layout); exact 3-limb split rebuilt
                         # in-register here
@@ -966,24 +984,44 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                                    jnp.float32))
                     ghi = jnp.floor(gid * (1.0 / 256.0))       # <= 7
                     glo = gid - 256.0 * ghi                    # <= 255
-                    aug = jnp.concatenate(
-                        [ghi, glo, jnp.zeros((Qn, CR - BLK - 2, GL),
-                                             jnp.float32)],
-                        axis=1).astype(jnp.bfloat16)
-                    hi_aug = jnp.concatenate([hi, aug], axis=1)
-                    out = jax.lax.dot_general(
-                        hi_aug, sel_b, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32)
-                    ml = jax.lax.dot_general(
-                        mid, sel_b, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32)
-                    ml += jax.lax.dot_general(
-                        lo, sel_b, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32)
-                    out += jnp.concatenate(
-                        [ml, jnp.zeros((Qn, CR - BLK, S_SLOTS),
+                    if park == "stack":
+                        # limbs pre-stacked along SUBLANES: ONE dot of
+                        # [Q, 3c+2, GL] x [Q, GL, S] = 2 MXU passes per
+                        # q-tile instead of 3 (each separate limb dot
+                        # pads its rows to a full pass); the limb sum
+                        # happens on the [Q, c, S] outputs (VPU adds)
+                        aug2 = jnp.concatenate(
+                            [ghi, glo], axis=1).astype(jnp.bfloat16)
+                        xs = jnp.concatenate([stk, aug2], axis=1)
+                        o3 = jax.lax.dot_general(
+                            xs, sel_b, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+                        out = (o3[:, :BLK, :] + o3[:, BLK:2 * BLK, :]
+                               + o3[:, 2 * BLK:3 * BLK, :])
+                        out = jnp.concatenate(
+                            [out, o3[:, 3 * BLK:, :],
+                             jnp.zeros((Qn, CR - BLK - 2, S_SLOTS),
                                        jnp.float32)], axis=1)
-                    cand[:] += out
+                        cand[:] += out
+                    else:
+                        aug = jnp.concatenate(
+                            [ghi, glo, jnp.zeros((Qn, CR - BLK - 2, GL),
+                                                 jnp.float32)],
+                            axis=1).astype(jnp.bfloat16)
+                        hi_aug = jnp.concatenate([hi, aug], axis=1)
+                        out = jax.lax.dot_general(
+                            hi_aug, sel_b, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+                        ml = jax.lax.dot_general(
+                            mid, sel_b, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+                        ml += jax.lax.dot_general(
+                            lo, sel_b, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+                        out += jnp.concatenate(
+                            [ml, jnp.zeros((Qn, CR - BLK, S_SLOTS),
+                                           jnp.float32)], axis=1)
+                        cand[:] += out
 
                 @pl.when(t == n_tiles - 1)
                 def _():
@@ -994,7 +1032,8 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                     else:
                         _fine_emit(cand, count_s, rank2_s, out_s_ref,
                                    out_i_ref, flag_tmp, k, kf, Qn,
-                                   xla_tail, bits=bits)
+                                   xla_tail, bits=bits,
+                                   stack=(park == "stack"))
                     flag_acc[:] = jnp.maximum(flag_acc[:], flag_tmp[:])
         else:
             @pl.when((r >= 1) & (t == n_tiles - 1))
@@ -1009,9 +1048,15 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
             cur = jnp.remainder(r, 2)
             bmax_s[pl.ds(cur * G + t * GL, GL), :] = jnp.max(
                 s_t.reshape(GL, BLK, Qn), axis=1)              # [GL, Q]
+            if ablate == "sweepnt":    # ablation: no transpose/park
+                return
             tr = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))
             if f32_park:
                 hi_s[:, :, pl.ds(t * GL, GL)] = tr
+            elif park == "stack":
+                hi, mid, lo = _split3_bf16(tr)                 # [Q, c, GL]
+                hi_s[:, :, pl.ds(t * GL, GL)] = jnp.concatenate(
+                    [hi, mid, lo], axis=1)                     # [Q, 3c, GL]
             else:
                 hi, mid, lo = _split3_bf16(tr)                 # [Q, c, GL]
                 hi_s[:, :, pl.ds(t * GL, GL)] = hi
@@ -1059,14 +1104,21 @@ def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
         return (jnp.maximum(i // n_tiles, 1) - 1, 0, 0)
 
     f32_park = park == "f32"
-    park_shapes = (
-        [pltpu.VMEM((Qn, BLK, G), jnp.float32),        # scores (f32 park)
-         pltpu.VMEM((8, 8, 128), jnp.bfloat16),        # unused
-         pltpu.VMEM((8, 8, 128), jnp.bfloat16)]        # unused
-        if f32_park else
-        [pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),       # hi_s
-         pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),       # mid_s
-         pltpu.VMEM((Qn, BLK, G), jnp.bfloat16)])      # lo_s
+    if f32_park:
+        park_shapes = [
+            pltpu.VMEM((Qn, BLK, G), jnp.float32),     # scores (f32 park)
+            pltpu.VMEM((8, 8, 128), jnp.bfloat16),     # unused
+            pltpu.VMEM((8, 8, 128), jnp.bfloat16)]     # unused
+    elif park == "stack":
+        park_shapes = [
+            pltpu.VMEM((Qn, 3 * BLK, G), jnp.bfloat16),  # hi|mid|lo
+            pltpu.VMEM((8, 8, 128), jnp.bfloat16),     # unused
+            pltpu.VMEM((8, 8, 128), jnp.bfloat16)]     # unused
+    else:
+        park_shapes = [
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # hi_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # mid_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16)]    # lo_s
     outs = pl.pallas_call(
         _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                                ablate),

@@ -384,3 +384,21 @@ def test_v4_f32_park_matches_limb(rng):
     assert float(ff) <= 0.0
     assert (np.asarray(il) == np.asarray(if_)).all()
     assert np.allclose(np.asarray(sl), np.asarray(sf), rtol=0, atol=0)
+
+
+def test_v4_stack_park_matches_limb(rng):
+    """park='stack' (sublane-stacked limbs, 2-MXU-pass compaction dots)
+    is bit-identical to the separate-limb layout."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v4
+    n, d, R, Q, k = 2 * TILE, 128, 2, 8, 50
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(R, Q, d)).astype(np.float32)
+    sl, il, _ = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    ss, is_, fs = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, park="stack")
+    assert float(fs) <= 0.0
+    assert (np.asarray(il) == np.asarray(is_)).all()
+    assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
