@@ -904,25 +904,87 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     const float kb_base = k1f * (1.0f - bf);
     const float kb_scale = k1f * bf / (float)avg_len;
     const float BIGPOS = 1e9f;
+    float* acc;
+    float* mp;
+
+    // combine outputs + bounded top-merge_k machinery (declared before the
+    // single-term fast path so it can share the select_topk tail): a
+    // size-k max-heap of packed keys with a cached threshold replaces
+    // collect-all + nth_element; key packing matches the unbounded tail
+    // exactly (score desc, doc asc), so results are bit-identical.
+    std::vector<int32_t> out_docs;
+    std::vector<float> out_scores;
+    out_docs.reserve(65536);
+    out_scores.reserve(65536);
+    const bool bounded = merge_k > 0 && (size_t)merge_k * 8 < (size_t)cap;
+    std::vector<uint64_t> hk;
+    if (bounded) hk.reserve((size_t)merge_k);
+    uint64_t thr = UINT64_MAX;
+    auto emit = [&](long d, float s) {
+        if (!bounded) {
+            out_docs.push_back((int32_t)d);
+            out_scores.push_back(s);
+            return;
+        }
+        uint32_t u;
+        std::memcpy(&u, &s, 4);
+        u = (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+        uint64_t key = ((uint64_t)(~u) << 32) | (uint32_t)d;
+        if (key >= thr) return;
+        if (hk.size() < (size_t)merge_k) {
+            hk.push_back(key);
+            std::push_heap(hk.begin(), hk.end());
+            if (hk.size() == (size_t)merge_k) thr = hk.front();
+        } else {
+            std::pop_heap(hk.begin(), hk.end());
+            hk.back() = key;
+            std::push_heap(hk.begin(), hk.end());
+            thr = hk.front();
+        }
+    };
+
+    if (T == 1 && R == 1 && !use_prox && !notm[0] && !use_fm && have_pr) {
+        // Single term, single variant run (the frequent-singles shape):
+        // postings are doc-ascending, so the dense accumulator + full-cap
+        // combine scan collapse into ONE pass folding adjacent-duplicate
+        // max straight into the bounded heap — no memset, no [cap] scan.
+        const float rboost = run_w[0] * term_boost[run_term[0]]
+                             * term_lenb[run_term[0]];
+        const int64_t s0 = run_start[0], e0 = s0 + run_len[0];
+        int64_t pi = s0;
+        while (pi < e0) {
+            int32_t d = post_doc[pi];
+            float sr = rboost * PR[pi];
+            pi++;
+            while (pi < e0 && post_doc[pi] == d) {
+                float s2 = rboost * PR[pi];
+                sr = s2 > sr ? s2 : sr;
+                pi++;
+            }
+            if (sr > 0.f) emit(d, sr);
+        }
+        goto select_topk;
+    }
 
     // reused process-lifetime buffers: a fresh 4-8 MB vector per call costs
     // ~1k soft page faults on first touch (measured ~1-2 ms/query at 1M
     // docs); std::fill over warm pages is pure memset bandwidth. The GIL
-    // serializes callers.
+    // serializes callers. (Raw pointers, not references: the fast path's
+    // goto may not cross initializations.)
     static std::vector<float> acc_buf, mp_buf;
     if (acc_buf.size() < (size_t)T * cap) acc_buf.resize((size_t)T * cap);
     std::fill(acc_buf.begin(), acc_buf.begin() + (size_t)T * cap, 0.f);
-    std::vector<float>& acc = acc_buf;
-    std::vector<float>& mp = mp_buf;
+    acc = acc_buf.data();
     if (use_prox) {
         if (mp_buf.size() < (size_t)T * cap) mp_buf.resize((size_t)T * cap);
         std::fill(mp_buf.begin(), mp_buf.begin() + (size_t)T * cap, BIGPOS);
+        mp = mp_buf.data();
     }
 
     for (Py_ssize_t r = 0; r < R; r++) {
         int32_t t = run_term[r];
-        float* at = acc.data() + (size_t)t * cap;
-        float* mt = use_prox ? mp.data() + (size_t)t * cap : nullptr;
+        float* at = acc + (size_t)t * cap;
+        float* mt = use_prox ? mp + (size_t)t * cap : nullptr;
         const float rboost = run_w[r] * term_boost[t] * term_lenb[t];
         const float idf = run_idf[r];
         const int64_t s0 = run_start[r], e0 = s0 + run_len[r];
@@ -978,50 +1040,13 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     }
 
     // combine pass: per doc, terms ascending (same fold as the heap merge)
-    std::vector<int32_t> out_docs;
-    std::vector<float> out_scores;
-    out_docs.reserve(65536);
-    out_scores.reserve(65536);
-    // bounded top-merge_k: a size-k max-heap of packed keys with a cached
-    // threshold (one key transform + one compare per hit doc in steady
-    // state) replaces collect-all + nth_element — frequent words at 1M
-    // docs were building ~1M keys and partial-sorting them (~8-12 ms per
-    // query); the 160 KB heap never leaves L2. Key packing matches the
-    // unbounded tail exactly (score desc, doc asc), so results are
-    // bit-identical.
-    const bool bounded = merge_k > 0 && (size_t)merge_k * 8 < (size_t)cap;
-    std::vector<uint64_t> hk;
-    if (bounded) hk.reserve((size_t)merge_k);
-    uint64_t thr = UINT64_MAX;
-    auto emit = [&](long d, float s) {
-        if (!bounded) {
-            out_docs.push_back((int32_t)d);
-            out_scores.push_back(s);
-            return;
-        }
-        uint32_t u;
-        std::memcpy(&u, &s, 4);
-        u = (u & 0x80000000u) ? ~u : (u | 0x80000000u);
-        uint64_t key = ((uint64_t)(~u) << 32) | (uint32_t)d;
-        if (key >= thr) return;
-        if (hk.size() < (size_t)merge_k) {
-            hk.push_back(key);
-            std::push_heap(hk.begin(), hk.end());
-            if (hk.size() == (size_t)merge_k) thr = hk.front();
-        } else {
-            std::pop_heap(hk.begin(), hk.end());
-            hk.back() = key;
-            std::push_heap(hk.begin(), hk.end());
-            thr = hk.front();
-        }
-    };
     if (T == 2 && n_must == 0 && !notm[0] && !notm[1]) {
         // frequent two-term OR (the common zipf-head query): hoisted
         // pointers, no inner term loop
-        const float* a0 = acc.data();
-        const float* a1 = acc.data() + cap;
-        const float* m0 = use_prox ? mp.data() : nullptr;
-        const float* m1 = use_prox ? mp.data() + cap : nullptr;
+        const float* a0 = acc;
+        const float* a1 = acc + cap;
+        const float* m0 = use_prox ? mp : nullptr;
+        const float* m1 = use_prox ? mp + cap : nullptr;
         const float c1 = (float)(1.0 - dist_w);
         const float c2 = (float)(dist_b * dist_w);
         for (long d = 0; d < cap; d++) {
