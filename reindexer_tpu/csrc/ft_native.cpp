@@ -943,13 +943,16 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
         }
     };
 
-    if (T == 1 && R == 1 && !use_prox && !notm[0] && !use_fm && have_pr) {
+    if (T == 1 && R == 1 && !use_prox && !notm[0] && have_pr) {
         // Single term, single variant run (the frequent-singles shape):
         // postings are doc-ascending, so the dense accumulator + full-cap
         // combine scan collapse into ONE pass folding adjacent-duplicate
         // max straight into the bounded heap — no memset, no [cap] scan.
+        // The full-match boost (field word count == 1 query term) folds in
+        // as one field_words load per candidate doc.
         const float rboost = run_w[0] * term_boost[run_term[0]]
                              * term_lenb[run_term[0]];
+        const bool fm = use_fm && have_fw;
         const int64_t s0 = run_start[0], e0 = s0 + run_len[0];
         int64_t pi = s0;
         while (pi < e0) {
@@ -961,7 +964,133 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
                 sr = s2 > sr ? s2 : sr;
                 pi++;
             }
-            if (sr > 0.f) emit(d, sr);
+            if (sr <= 0.f) continue;
+            if (fm) {
+                for (long f = 0; f < n_fields; f++) {
+                    if (fb[f] > 0.f &&
+                        field_words[f * cap + d] == (int)n_terms) {
+                        sr *= (float)fm_boost;
+                        break;
+                    }
+                }
+            }
+            emit(d, sr);
+        }
+        goto select_topk;
+    }
+
+    if (T == 2 && R <= 4 && have_pr) {
+        // Two-term merge-join (the frequent 2-term shape): every run is
+        // doc-ascending, so a multi-pointer walk computes each doc's
+        // combined score directly — no [T, cap] accumulators to memset,
+        // no full-cap combine scan. Semantics mirror the general combine
+        // loop exactly (prox attenuation, must/not, full-match boost).
+        int64_t cur[4], end[4];
+        float rb[4];
+        int tt[4];
+        for (Py_ssize_t r = 0; r < R; r++) {
+            cur[r] = run_start[r];
+            end[r] = run_start[r] + run_len[r];
+            tt[r] = run_term[r];
+            rb[r] = run_w[r] * term_boost[tt[r]] * term_lenb[tt[r]];
+        }
+        const float c1 = (float)(1.0 - dist_w);
+        const float c2 = (float)(dist_b * dist_w);
+        // hoisted cursors for the dominant R==2 case (one run per term):
+        // the generic per-doc R-scan costs as much as the dense pass it
+        // replaces; a tight two-pointer with cached head docs does not
+        const bool two = R == 2 && tt[0] == 0 && tt[1] == 1;
+        int64_t i0 = cur[0], i1 = 0;
+        int64_t e0c = end[0], e1c = 0;
+        int32_t d0 = INT32_MAX, d1 = INT32_MAX;
+        float rb0 = rb[0], rb1 = 0.f;
+        if (two) {
+            i1 = cur[1];
+            e1c = end[1];
+            rb1 = rb[1];
+            d0 = i0 < e0c ? post_doc[i0] : INT32_MAX;
+            d1 = i1 < e1c ? post_doc[i1] : INT32_MAX;
+        }
+        for (;;) {
+            float s[2] = {0.f, 0.f};
+            float m[2] = {BIGPOS, BIGPOS};
+            int32_t d;
+            if (two) {
+                d = d0 < d1 ? d0 : d1;
+                if (d == INT32_MAX) break;
+                while (d0 == d) {
+                    float sr = rb0 * PR[i0];
+                    s[0] = sr > s[0] ? sr : s[0];
+                    if (use_prox) {
+                        float mpf = (float)post_minpos[i0];
+                        m[0] = mpf < m[0] ? mpf : m[0];
+                    }
+                    i0++;
+                    d0 = i0 < e0c ? post_doc[i0] : INT32_MAX;
+                }
+                while (d1 == d) {
+                    float sr = rb1 * PR[i1];
+                    s[1] = sr > s[1] ? sr : s[1];
+                    if (use_prox) {
+                        float mpf = (float)post_minpos[i1];
+                        m[1] = mpf < m[1] ? mpf : m[1];
+                    }
+                    i1++;
+                    d1 = i1 < e1c ? post_doc[i1] : INT32_MAX;
+                }
+            } else {
+                d = INT32_MAX;
+                for (Py_ssize_t r = 0; r < R; r++)
+                    if (cur[r] < end[r] && post_doc[cur[r]] < d)
+                        d = post_doc[cur[r]];
+                if (d == INT32_MAX) break;
+                for (Py_ssize_t r = 0; r < R; r++) {
+                    int t = tt[r];
+                    while (cur[r] < end[r] && post_doc[cur[r]] == d) {
+                        float sr = rb[r] * PR[cur[r]];
+                        s[t] = sr > s[t] ? sr : s[t];
+                        if (use_prox) {
+                            float mpf = (float)post_minpos[cur[r]];
+                            m[t] = mpf < m[t] ? mpf : m[t];
+                        }
+                        cur[r]++;
+                    }
+                }
+            }
+            float docsum = 0.f;
+            bool excl = false;
+            int must_cnt = 0, pos_cnt = 0;
+            float carry = 0.f;
+            bool hasp = false;
+            for (int t = 0; t < 2; t++) {
+                if (s[t] <= 0.f) continue;
+                float att = s[t];
+                if (use_prox && hasp) {
+                    float dist = m[t] > carry ? m[t] - carry : carry - m[t];
+                    if (dist < 1.f) dist = 1.f;
+                    att = s[t] * (c1 + c2 / dist);
+                }
+                if (!notm[t]) {
+                    docsum += att;
+                    pos_cnt++;
+                    carry = m[t];
+                    hasp = true;
+                } else {
+                    excl = true;
+                }
+                if (must[t]) must_cnt++;
+            }
+            if (excl || must_cnt != n_must || docsum <= 0.f) continue;
+            if (use_fm && have_fw && pos_cnt == (int)n_terms) {
+                for (long f = 0; f < n_fields; f++) {
+                    if (fb[f] > 0.f &&
+                        field_words[f * cap + d] == (int)n_terms) {
+                        docsum *= (float)fm_boost;
+                        break;
+                    }
+                }
+            }
+            emit(d, docsum);
         }
         goto select_topk;
     }

@@ -417,6 +417,34 @@ class FtSelector:
             if cfg.bm25.bm25_type == "word_count":
                 run_idf = np.ones_like(run_idf)    # beta=1: B carries tf
             extra = (None, None, self.holder._ab_cache[3])
+        # materialized per-word top-merge_k for frequent singles: a
+        # single-term single-run ranking is a pure function of the word
+        # up to the positive query scale rboost (which rank normalization
+        # cancels), so the ~1M-posting C++ pass runs once per (word,
+        # holder revision) — zipf-head singles go from ~20 ms to a dict
+        # hit. Keyed on the AB-cache key (field params + postings count =
+        # holder revision), the run span, merge_k and the fm/boost knobs.
+        single = (t_real == 1 and len(prep["run_start"]) == 1
+                  and not use_prox and dense and merge_k > 0
+                  and not prep["notm"][0])
+        skey = None
+        if single:
+            skey = (self.holder._ab_cache[0],
+                    int(prep["run_start"][0]), int(prep["run_len"][0]),
+                    int(merge_k), bool(use_fm), bm25_code,
+                    float(prep["term_boost"][0]),
+                    float(prep["term_lenb"][0]))
+            cache = getattr(h, "_single_top_cache", None)
+            if cache is None:
+                cache = h._single_top_cache = {}
+            hit = cache.get(skey)
+            if hit is not None:
+                docs0, scores0, rb0 = hit
+                rb = float(prep["run_w"][0] * prep["term_boost"][0]
+                           * prep["term_lenb"][0])
+                if rb != rb0:
+                    scores0 = scores0 * np.float32(rb / rb0)
+                return scores0, docs0
         docs_raw, scores_raw = entry(
             np.ascontiguousarray(prep["run_start"], np.int64),
             np.ascontiguousarray(prep["run_len"], np.int64),
@@ -443,6 +471,12 @@ class FtSelector:
             float(cfg.full_match_boost), int(merge_k), *extra)
         docs = np.frombuffer(docs_raw, dtype=np.int32)
         scores = np.frombuffer(scores_raw, dtype=np.float32)
+        if skey is not None:
+            rb = float(prep["run_w"][0] * prep["term_boost"][0]
+                       * prep["term_lenb"][0])
+            cache[skey] = (docs, scores, rb)
+            while len(cache) > 64:          # frequent words are few
+                cache.pop(next(iter(cache)))
         return scores, docs
 
     # ------------------------------------------------------------------
