@@ -979,122 +979,6 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
         goto select_topk;
     }
 
-    if (T == 2 && R <= 4 && have_pr) {
-        // Two-term merge-join (the frequent 2-term shape): every run is
-        // doc-ascending, so a multi-pointer walk computes each doc's
-        // combined score directly — no [T, cap] accumulators to memset,
-        // no full-cap combine scan. Semantics mirror the general combine
-        // loop exactly (prox attenuation, must/not, full-match boost).
-        int64_t cur[4], end[4];
-        float rb[4];
-        int tt[4];
-        for (Py_ssize_t r = 0; r < R; r++) {
-            cur[r] = run_start[r];
-            end[r] = run_start[r] + run_len[r];
-            tt[r] = run_term[r];
-            rb[r] = run_w[r] * term_boost[tt[r]] * term_lenb[tt[r]];
-        }
-        const float c1 = (float)(1.0 - dist_w);
-        const float c2 = (float)(dist_b * dist_w);
-        // hoisted cursors for the dominant R==2 case (one run per term):
-        // the generic per-doc R-scan costs as much as the dense pass it
-        // replaces; a tight two-pointer with cached head docs does not
-        const bool two = R == 2 && tt[0] == 0 && tt[1] == 1;
-        int64_t i0 = cur[0], i1 = 0;
-        int64_t e0c = end[0], e1c = 0;
-        int32_t d0 = INT32_MAX, d1 = INT32_MAX;
-        float rb0 = rb[0], rb1 = 0.f;
-        if (two) {
-            i1 = cur[1];
-            e1c = end[1];
-            rb1 = rb[1];
-            d0 = i0 < e0c ? post_doc[i0] : INT32_MAX;
-            d1 = i1 < e1c ? post_doc[i1] : INT32_MAX;
-        }
-        for (;;) {
-            float s[2] = {0.f, 0.f};
-            float m[2] = {BIGPOS, BIGPOS};
-            int32_t d;
-            if (two) {
-                d = d0 < d1 ? d0 : d1;
-                if (d == INT32_MAX) break;
-                while (d0 == d) {
-                    float sr = rb0 * PR[i0];
-                    s[0] = sr > s[0] ? sr : s[0];
-                    if (use_prox) {
-                        float mpf = (float)post_minpos[i0];
-                        m[0] = mpf < m[0] ? mpf : m[0];
-                    }
-                    i0++;
-                    d0 = i0 < e0c ? post_doc[i0] : INT32_MAX;
-                }
-                while (d1 == d) {
-                    float sr = rb1 * PR[i1];
-                    s[1] = sr > s[1] ? sr : s[1];
-                    if (use_prox) {
-                        float mpf = (float)post_minpos[i1];
-                        m[1] = mpf < m[1] ? mpf : m[1];
-                    }
-                    i1++;
-                    d1 = i1 < e1c ? post_doc[i1] : INT32_MAX;
-                }
-            } else {
-                d = INT32_MAX;
-                for (Py_ssize_t r = 0; r < R; r++)
-                    if (cur[r] < end[r] && post_doc[cur[r]] < d)
-                        d = post_doc[cur[r]];
-                if (d == INT32_MAX) break;
-                for (Py_ssize_t r = 0; r < R; r++) {
-                    int t = tt[r];
-                    while (cur[r] < end[r] && post_doc[cur[r]] == d) {
-                        float sr = rb[r] * PR[cur[r]];
-                        s[t] = sr > s[t] ? sr : s[t];
-                        if (use_prox) {
-                            float mpf = (float)post_minpos[cur[r]];
-                            m[t] = mpf < m[t] ? mpf : m[t];
-                        }
-                        cur[r]++;
-                    }
-                }
-            }
-            float docsum = 0.f;
-            bool excl = false;
-            int must_cnt = 0, pos_cnt = 0;
-            float carry = 0.f;
-            bool hasp = false;
-            for (int t = 0; t < 2; t++) {
-                if (s[t] <= 0.f) continue;
-                float att = s[t];
-                if (use_prox && hasp) {
-                    float dist = m[t] > carry ? m[t] - carry : carry - m[t];
-                    if (dist < 1.f) dist = 1.f;
-                    att = s[t] * (c1 + c2 / dist);
-                }
-                if (!notm[t]) {
-                    docsum += att;
-                    pos_cnt++;
-                    carry = m[t];
-                    hasp = true;
-                } else {
-                    excl = true;
-                }
-                if (must[t]) must_cnt++;
-            }
-            if (excl || must_cnt != n_must || docsum <= 0.f) continue;
-            if (use_fm && have_fw && pos_cnt == (int)n_terms) {
-                for (long f = 0; f < n_fields; f++) {
-                    if (fb[f] > 0.f &&
-                        field_words[f * cap + d] == (int)n_terms) {
-                        docsum *= (float)fm_boost;
-                        break;
-                    }
-                }
-            }
-            emit(d, docsum);
-        }
-        goto select_topk;
-    }
-
     // reused process-lifetime buffers: a fresh 4-8 MB vector per call costs
     // ~1k soft page faults on first touch (measured ~1-2 ms/query at 1M
     // docs); std::fill over warm pages is pure memset bandwidth. The GIL
@@ -1169,38 +1053,70 @@ PyObject* score_merge_dense(PyObject* /*self*/, PyObject* args) {
     }
 
     // combine pass: per doc, terms ascending (same fold as the heap merge)
-    if (T == 2 && n_must == 0 && !notm[0] && !notm[1]) {
-        // frequent two-term OR (the common zipf-head query): hoisted
-        // pointers, no inner term loop
-        const float* a0 = acc;
+    if (T == 2 && n_must == 0 && !notm[0] && !notm[1] &&
+        (!use_fm || !have_fw || n_fields == 1)) {
+        // frequent two-term OR (the common zipf-head query), two phases:
+        // phase A is a BRANCHLESS per-doc combine g++ auto-vectorizes
+        // (selects + one div lane-wise, identical float ops to the scalar
+        // loop), written in place over acc row 0; phase B scans 16-doc
+        // blocks and skips any whose max cannot beat the heap threshold —
+        // after the heap warms, almost every block is one max + one
+        // compare. Mispredict-free vs the per-doc emit loop (~2x at 1M).
         const float* a1 = acc + cap;
         const float* m0 = use_prox ? mp : nullptr;
         const float* m1 = use_prox ? mp + cap : nullptr;
         const float c1 = (float)(1.0 - dist_w);
         const float c2 = (float)(dist_b * dist_w);
-        for (long d = 0; d < cap; d++) {
-            float s0v = a0[d], s1v = a1[d];
-            if (s0v <= 0.f && s1v <= 0.f) continue;
-            float att1 = s1v;
-            bool both = s0v > 0.f && s1v > 0.f;
-            if (use_prox && both) {
+        const bool fm2 = use_fm && have_fw && (int)n_terms == 2 &&
+                         n_fields == 1 && fb[0] > 0.f;
+        const float fmb = (float)fm_boost;
+        float* ds = acc;                    // in-place over a0
+        if (use_prox) {
+            for (long d = 0; d < cap; d++) {
+                float s0v = ds[d], s1v = a1[d];
                 float dist = m1[d] > m0[d] ? m1[d] - m0[d] : m0[d] - m1[d];
-                if (dist < 1.f) dist = 1.f;
-                att1 = s1v * (c1 + c2 / dist);
+                dist = dist < 1.f ? 1.f : dist;
+                bool both = (s0v > 0.f) & (s1v > 0.f);
+                float att1 = both ? s1v * (c1 + c2 / dist) : s1v;
+                float docsum = (s0v > 0.f ? s0v : 0.f)
+                               + (s1v > 0.f ? att1 : 0.f);
+                if (fm2)
+                    docsum = (both & (field_words[d] == 2))
+                                 ? docsum * fmb : docsum;
+                ds[d] = docsum;
             }
-            float docsum = (s0v > 0.f ? s0v : 0.f)
-                           + (s1v > 0.f ? att1 : 0.f);
-            if (docsum <= 0.f) continue;
-            if (use_fm && have_fw && both && (int)n_terms == 2) {
-                for (long f = 0; f < n_fields; f++) {
-                    if (fb[f] > 0.f && field_words[f * cap + d] == 2) {
-                        docsum *= fm_boost;
-                        break;
-                    }
-                }
+        } else {
+            for (long d = 0; d < cap; d++) {
+                float s0v = ds[d], s1v = a1[d];
+                bool both = (s0v > 0.f) & (s1v > 0.f);
+                float docsum = (s0v > 0.f ? s0v : 0.f)
+                               + (s1v > 0.f ? s1v : 0.f);
+                if (fm2)
+                    docsum = (both & (field_words[d] == 2))
+                                 ? docsum * fmb : docsum;
+                ds[d] = docsum;
             }
-            emit(d, docsum);
         }
+        long d = 0;
+        float thr_f = -1.f;
+        for (; d + 16 <= cap; d += 16) {
+            float bm = ds[d];
+            for (int j = 1; j < 16; j++)
+                bm = ds[d + j] > bm ? ds[d + j] : bm;
+            bool full = bounded && hk.size() == (size_t)merge_k;
+            if (bm <= 0.f || (full && bm < thr_f)) continue;
+            for (int j = 0; j < 16; j++) {
+                float v = ds[d + j];
+                if (v > 0.f) emit(d + j, v);
+            }
+            if (bounded && hk.size() == (size_t)merge_k) {
+                uint32_t u = ~(uint32_t)(hk.front() >> 32);
+                u = (u & 0x80000000u) ? (u & 0x7fffffffu) : ~u;
+                std::memcpy(&thr_f, &u, 4);
+            }
+        }
+        for (; d < cap; d++)
+            if (ds[d] > 0.f) emit(d, ds[d]);
         goto select_topk;
     }
     for (long d = 0; d < cap; d++) {
