@@ -194,7 +194,11 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     from reindexer_tpu.index.vector.quantization import knn_scan_quantized
     from reindexer_tpu.ops.pallas_scan import (SQ_EFF_BIG, fused_available,
                                                knn_scan_fused_sq8)
-    from reindexer_tpu.ops.pallas_select import knn_scan_sq8_v3, v2_available
+    from reindexer_tpu.ops.pallas_select import (knn_scan_fused_v3,
+                                                 knn_scan_sq8_v3,
+                                                 v2_available)
+    from reindexer_tpu.ops.pallas_select import v3_available \
+        as v3_available_sq
 
     if smoke:
         n, iters = 10_000, 20
@@ -221,6 +225,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     fused = fused_available(cap, dims, k)
     v2 = v2_available(cap, dims, k, batch)
     eps_mode = "cert"
+    exact_fb = False
     if v2:
         # production eps ladder: the CERTIFIED threshold can overflow the
         # slot capacity on weakly-structured data (isotropic noise) — the
@@ -235,7 +240,17 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
             print(f"# sq8_bf: {eps_mode} eps flagged overflow "
                   f"({float(fl):.0f}) on this data", file=sys.stderr)
         if float(fl) > 0.0:
+            # production's exact engine settles on the fp32 rerun when
+            # both eps rungs overflow — time THAT, not the approximate v1
+            # sq8 kernel the exact engine would never dispatch here
             v2 = False
+            exact_fb = v3_available_sq(cap, dims, k, batch)
+            if exact_fb:
+                fused = False
+                print("# sq8_bf: eps ladder settled on EXACT fp32 "
+                      "(isotropic data overflows the certified candidate "
+                      "set) — timing the production fallback",
+                      file=sys.stderr)
         else:
             # recall@k of the settled mode vs the exact fp32 oracle
             qh = np.asarray(q_all[0])
@@ -257,6 +272,10 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
             one = lambda q: knn_scan_sq8_v3(q, c, lo, al, ed, se, bd,
                                             k, VectorMetric.L2,
                                             eps_mode=eps_mode)[:2]
+        elif exact_fb:
+            # the exact engine's settled ladder rung on this data
+            one = lambda q: knn_scan_fused_v3(q, bd, k,
+                                              VectorMetric.L2)[:2]
         elif fused:
             one = lambda q: knn_scan_fused_sq8(q, c, lo, al, se, k,
                                                VectorMetric.L2)
