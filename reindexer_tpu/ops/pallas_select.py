@@ -580,7 +580,7 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False,
 # ---------------------------------------------------------------------------
 
 def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
-                          ablate=''):
+                          park="limb", ablate=''):
     G = n // BLK
     n_tiles = n // TILE
     kb = float(min(k + MARGIN, G))
@@ -588,6 +588,7 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
     CR = BLK + 8
     CG = GL * chunk_tiles          # blocks per compaction dot
     CT = TILE * chunk_tiles        # rows per compaction dot
+    stack = park == "stack"
 
     def _kernel(q_ref, base_ref, out_s_ref, out_i_ref, flag_ref,
                 hi_s, mid_s, lo_s, bmax_s, rank_gq, count_s, cand,
@@ -603,9 +604,13 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
             s_t.reshape(GL, BLK, Qn), axis=1)                  # [GL, Q]
         tr = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))
         hi, mid, lo = _split3_bf16(tr)                         # [Q, c, GL]
-        hi_s[:, :, pl.ds(i * GL, GL)] = hi
-        mid_s[:, :, pl.ds(i * GL, GL)] = mid
-        lo_s[:, :, pl.ds(i * GL, GL)] = lo
+        if stack:
+            hi_s[:, :, pl.ds(i * GL, GL)] = jnp.concatenate(
+                [hi, mid, lo], axis=1)                         # [Q, 3c, GL]
+        else:
+            hi_s[:, :, pl.ds(i * GL, GL)] = hi
+            mid_s[:, :, pl.ds(i * GL, GL)] = mid
+            lo_s[:, :, pl.ds(i * GL, GL)] = lo
 
         # ---- last step: the whole selection, zero extra HBM traffic
         @pl.when(i == n_tiles - 1)
@@ -634,9 +639,6 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                 # limbs are pre-transposed/pre-split by the sweep phase;
                 # THREE dots share ONE sel_b (the compaction measured
                 # VPU-bound on operand construction, not dot-issue-bound)
-                hi = hi_s[:, :, pl.ds(t * CG, CG)]             # [Q, c, CG]
-                mid = mid_s[:, :, pl.ds(t * CG, CG)]
-                lo = lo_s[:, :, pl.ds(t * CG, CG)]
                 rk = rank_gq[pl.ds(t * CG, CG), :].T           # [Q, CG]
                 sel_b = (rk[:, :, None].astype(jnp.int32)
                          == s_iota).astype(jnp.bfloat16)       # [Q, CG, S]
@@ -645,6 +647,26 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                            jnp.int32, (Qn, 1, CG), 2).astype(jnp.float32))
                 ghi = jnp.floor(gid * (1.0 / 256.0))           # <= 7
                 glo = gid - 256.0 * ghi                        # <= 255
+                if stack:
+                    # sublane-stacked limbs: ONE [Q, 3c+2, CG] x
+                    # [Q, CG, S] dot (2 MXU passes per q-chunk vs 3)
+                    stk = hi_s[:, :, pl.ds(t * CG, CG)]        # [Q, 3c, CG]
+                    aug2 = jnp.concatenate(
+                        [ghi, glo], axis=1).astype(jnp.bfloat16)
+                    xs = jnp.concatenate([stk, aug2], axis=1)
+                    o3 = jax.lax.dot_general(
+                        xs, sel_b, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    out = (o3[:, :BLK, :] + o3[:, BLK:2 * BLK, :]
+                           + o3[:, 2 * BLK:3 * BLK, :])
+                    out = jnp.concatenate(
+                        [out, o3[:, 3 * BLK:, :],
+                         jnp.zeros((Qn, CR - BLK - 2, S_SLOTS),
+                                   jnp.float32)], axis=1)
+                    return acc + out
+                hi = hi_s[:, :, pl.ds(t * CG, CG)]             # [Q, c, CG]
+                mid = mid_s[:, :, pl.ds(t * CG, CG)]
+                lo = lo_s[:, :, pl.ds(t * CG, CG)]
                 aug = jnp.concatenate(
                     [ghi, glo, jnp.zeros((Qn, CR - BLK - 2, CG),
                                          jnp.float32)],
@@ -673,16 +695,17 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                 flag_ref[:] = count_s[:1, :1] * 0.0
                 return
             _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref,
-                       flag_ref, k, kf, Qn, xla_tail, bits=32)
+                       flag_ref, k, kf, Qn, xla_tail, bits=32,
+                       stack=stack)
 
     return _kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "interpret", "xla_tail",
-                                    "chunk_tiles", "ablate"))
+                                    "chunk_tiles", "park", "ablate"))
 def onesweep_select(queries, base, k, metric, interpret=False,
-                    xla_tail=True, chunk_tiles=2, ablate=""):
+                    xla_tail=True, chunk_tiles=2, park="limb", ablate=""):
     """Exact top-k in ONE base read: every tile's scores are parked in a
     [N, Qn] f32 VMEM scratch (the 100 MB scoped-vmem knob makes the
     131072 x 64 bench shape's 33.5 MB resident), and the final grid step
@@ -694,9 +717,19 @@ def onesweep_select(queries, base, k, metric, interpret=False,
     kpad = 128
     oshape = (Qn, 8, S2) if xla_tail is True else (Qn, 1, kpad)
     G = n // BLK
+    if park == "stack":
+        park_shapes = [
+            pltpu.VMEM((Qn, 3 * BLK, G), jnp.bfloat16),  # hi|mid|lo
+            pltpu.VMEM((8, 8, 128), jnp.bfloat16),     # unused
+            pltpu.VMEM((8, 8, 128), jnp.bfloat16)]     # unused
+    else:
+        park_shapes = [
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # hi_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # mid_s
+            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16)]    # lo_s
     return pl.pallas_call(
         _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
-                              ablate),
+                              park, ablate),
         grid=(n // TILE,),
         in_specs=[
             pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -715,10 +748,7 @@ def onesweep_select(queries, base, k, metric, interpret=False,
             jax.ShapeDtypeStruct(oshape, jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # hi_s
-            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # mid_s
-            pltpu.VMEM((Qn, BLK, G), jnp.bfloat16),    # lo_s
+        scratch_shapes=park_shapes + [
             pltpu.VMEM((G, Qn), jnp.float32),          # bmax_s
             pltpu.VMEM((G, Qn), jnp.float32),          # rank_gq
             pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
@@ -732,9 +762,9 @@ def onesweep_select(queries, base, k, metric, interpret=False,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
-                                             "chunk_tiles", "tail"))
+                                             "chunk_tiles", "tail", "park"))
 def knn_scan_fused_v3(queries, base, k, metric, interpret=False,
-                      chunk_tiles=2, tail="bitonic"):
+                      chunk_tiles=2, tail="bitonic", park="limb"):
     """Exact top-k, ONE base sweep, selection entirely in VMEM. Same
     result contract as knn_scan_fused_v2 (scores higher-better, -inf/-1
     padded, overflow flag). tail: "xla" exports 1024 compacted candidates
@@ -744,7 +774,7 @@ def knn_scan_fused_v3(queries, base, k, metric, interpret=False,
     s3, i3, flag = onesweep_select(qf, base, k, metric, interpret,
                                    xla_tail=(True if tail == "xla"
                                              else tail),
-                                   chunk_tiles=chunk_tiles)
+                                   chunk_tiles=chunk_tiles, park=park)
     corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
             if metric == VectorMetric.L2 else jnp.float32(0.0))
     return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)

@@ -402,3 +402,20 @@ def test_v4_stack_park_matches_limb(rng):
     assert float(fs) <= 0.0
     assert (np.asarray(il) == np.asarray(is_)).all()
     assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("chunk_tiles", [1, 2])
+def test_v3_stack_park_matches_limb(chunk_tiles, rng):
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v3
+    n, d, Q, k = 2 * TILE, 128, 8, 100
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    sl, il, _ = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, chunk_tiles=chunk_tiles)
+    ss, is_, fs = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, chunk_tiles=chunk_tiles, park="stack")
+    assert float(fs) <= 0.0
+    assert (np.asarray(il) == np.asarray(is_)).all()
+    assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
