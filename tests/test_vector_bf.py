@@ -250,3 +250,39 @@ def test_array_vector_index(rng):
     db.upsert("av", {"id": 1, "vecs": [[100.0, 0, 0, 0]]})
     res2 = db.select(Query("av").where_knn("vecs", q, KnnSearchParams(k=3)))
     assert [d["id"] for d in res2.docs()] == [2, 1]
+
+
+def test_bf_engine_v4_group_dispatch(monkeypatch, tmp_path):
+    """B>64 multiple-of-64 select_batch rides the pipelined v4 kernel:
+    force the TPU-only gate on CPU via interpret mode and check the
+    reshape/overflow glue against the oracle."""
+    import functools
+    import jax.numpy as jnp
+    from reindexer_tpu.index.vector import brute_force as bfmod
+    from reindexer_tpu.index.vector.brute_force import BruteForceIndex
+    from reindexer_tpu.core.payload import (IndexDef as IDef,
+                                            FloatVectorOpts as FVO)
+    from reindexer_tpu.core.type_consts import IndexType
+    from reindexer_tpu.ops import pallas_select as ps
+
+    real_v4 = ps.knn_scan_fused_v4
+    monkeypatch.setattr(ps, "v4_available",
+                        lambda n, d, k, q: n % 8192 == 0 and d % 128 == 0)
+    monkeypatch.setattr(
+        ps, "knn_scan_fused_v4",
+        functools.partial(real_v4, interpret=True))
+
+    rng = np.random.default_rng(5)
+    n, d, B, k = 16384 - 3, 128, 128, 17
+    idx = BruteForceIndex(IDef("v", IndexType.VEC_BF,
+                               vector_opts=FVO(dims=d,
+                                               metric=VectorMetric.L2)))
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    idx.keeper.bulk_load(base)
+    q = rng.normal(size=(B, d)).astype(np.float32)
+    outs = idx.select_batch(q, KnnSearchParams(k=k))
+    assert len(outs) == B
+    for b in range(0, B, 21):
+        dm = ((base - q[b]) ** 2).sum(1)
+        want = set(np.argsort(dm)[:k].tolist())
+        assert set(outs[b].ids.tolist()) == want
