@@ -958,12 +958,17 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
     CR = BLK + 8
     f32_park = park == "f32"
 
+    bytes_park = park == "bytes"
+
     def _kernel(q_ref, base_ref, out_s_ref, out_i_ref, flag_ref,
                 hi_s, mid_s, lo_s, bmax_s, rank_gq, count_s, cand,
                 rank2_s, flag_acc, flag_tmp):
         i = pl.program_id(0)
         r = i // n_tiles
         t = i % n_tiles
+        # bytes park: mid_s doubles as the i32 byte-plane accumulator
+        # [Qn, 4*BLK + 8, S_SLOTS] (4 value planes + ghi/glo/occ rows)
+        candb = mid_s
 
         @pl.when(i == 0)
         def _():
@@ -987,14 +992,17 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                     rank = jnp.where(mask > 0.0, incl - mask,
                                      jnp.float32(S_SLOTS))
                     rank_gq[:] = rank.T                        # [G, Q]
-                    cand[:] = jnp.zeros_like(cand)
+                    if bytes_park:
+                        candb[:] = jnp.zeros_like(candb)
+                    else:
+                        cand[:] = jnp.zeros_like(cand)
 
                 if ablate != "thresh":
                     dn = (((2,), (1,)), ((0,), (0,)))
                     s_iota = jax.lax.broadcasted_iota(
                         jnp.int32, (Qn, GL, S_SLOTS), 2)
-                    if park == "stack":
-                        stk = hi_s[:, :, pl.ds(t * GL, GL)]    # [Q,3c,GL]
+                    if park in ("stack", "bytes"):
+                        stk = hi_s[:, :, pl.ds(t * GL, GL)]    # [Q,*,GL]
                     elif f32_park:
                         # f32 scratch (4 B/score of VMEM traffic vs the
                         # 6 B limb layout); exact 3-limb split rebuilt
@@ -1014,7 +1022,28 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                                    jnp.float32))
                     ghi = jnp.floor(gid * (1.0 / 256.0))       # <= 7
                     glo = gid - 256.0 * ghi                    # <= 255
-                    if park == "stack":
+                    if bytes_park:
+                        # scores move as the FOUR i8 byte planes of the
+                        # f32 bitcast (offset -128 into signed range):
+                        # i32 accumulation is bit-exact — no limb splits
+                        # at all — and the i8 MXU runs at 2x bf16 rate
+                        u = pltpu.bitcast(stk, jnp.int32)      # [Q, c, GL]
+                        planes = [
+                            ((jnp.right_shift(u, 8 * kk) & jnp.int32(255))
+                             - 128).astype(jnp.int8)
+                            for kk in range(4)]
+                        aug_i = jnp.concatenate(
+                            [ghi.astype(jnp.int32).astype(jnp.int8),
+                             (glo.astype(jnp.int32) - 128).astype(jnp.int8),
+                             jnp.ones((Qn, 1, GL), jnp.int8)], axis=1)
+                        xb = jnp.concatenate(planes + [aug_i], axis=1)
+                        sel_i = (rk[:, :, None].astype(jnp.int32)
+                                 == s_iota).astype(jnp.int8)   # [Q, GL, S]
+                        o = jax.lax.dot_general(
+                            xb, sel_i, dimension_numbers=dn,
+                            preferred_element_type=jnp.int32)  # [Q,4c+3,S]
+                        candb[:, 0:4 * BLK + 3, :] += o
+                    elif park == "stack":
                         # limbs pre-stacked along SUBLANES: ONE dot of
                         # [Q, 3c+2, GL] x [Q, GL, S] = 2 MXU passes per
                         # q-tile instead of 3 (each separate limb dot
@@ -1060,10 +1089,33 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                         out_i_ref[:] = jnp.zeros_like(out_i_ref)
                         flag_tmp[:] = count_s[:1, :1] * 0.0
                     else:
+                        if bytes_park:
+                            # reassemble f32 bit-exactly from the byte
+                            # planes (+128*occ undoes the signed offset;
+                            # empty slots decode to 0.0 and are masked by
+                            # the fine stage's slot<count predicate)
+                            occ = candb[:, 4 * BLK + 2:4 * BLK + 3, :]
+                            off = 128 * occ                    # [Q, 1, S]
+                            b0 = candb[:, 0:BLK, :] + off
+                            b1 = candb[:, BLK:2 * BLK, :] + off
+                            b2 = candb[:, 2 * BLK:3 * BLK, :] + off
+                            b3 = candb[:, 3 * BLK:4 * BLK, :] + off
+                            val = (b0 | jnp.left_shift(b1, 8)
+                                   | jnp.left_shift(b2, 16)
+                                   | jnp.left_shift(b3, 24))
+                            vf = pltpu.bitcast(val, jnp.float32)
+                            ghi_o = candb[:, 4 * BLK:4 * BLK + 1, :]
+                            glo_o = candb[:, 4 * BLK + 1:4 * BLK + 2,
+                                          :] + off
+                            cand[:] = jnp.concatenate(
+                                [vf, ghi_o.astype(jnp.float32),
+                                 glo_o.astype(jnp.float32),
+                                 jnp.zeros((Qn, CR - BLK - 2, S_SLOTS),
+                                           jnp.float32)], axis=1)
                         _fine_emit(cand, count_s, rank2_s, out_s_ref,
                                    out_i_ref, flag_tmp, k, kf, Qn,
                                    xla_tail, bits=bits,
-                                   stack=(park == "stack"))
+                                   stack=(park in ("stack", "bytes")))
                     flag_acc[:] = jnp.maximum(flag_acc[:], flag_tmp[:])
         else:
             @pl.when((r >= 1) & (t == n_tiles - 1))
@@ -1081,7 +1133,7 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
             if ablate == "sweepnt":    # ablation: no transpose/park
                 return
             tr = jnp.transpose(s_t.reshape(GL, BLK, Qn), (2, 1, 0))
-            if f32_park:
+            if f32_park or bytes_park:
                 hi_s[:, :, pl.ds(t * GL, GL)] = tr
             elif park == "stack":
                 hi, mid, lo = _split3_bf16(tr)                 # [Q, c, GL]
@@ -1138,6 +1190,12 @@ def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
         park_shapes = [
             pltpu.VMEM((Qn, BLK, G), jnp.float32),     # scores (f32 park)
             pltpu.VMEM((8, 8, 128), jnp.bfloat16),     # unused
+            pltpu.VMEM((8, 8, 128), jnp.bfloat16)]     # unused
+    elif park == "bytes":
+        park_shapes = [
+            pltpu.VMEM((Qn, BLK, G), jnp.float32),     # scores (f32 park)
+            pltpu.VMEM((Qn, 4 * BLK + 8, S_SLOTS),
+                       jnp.int32),                     # byte-plane accum
             pltpu.VMEM((8, 8, 128), jnp.bfloat16)]     # unused
     elif park == "stack":
         park_shapes = [

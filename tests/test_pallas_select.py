@@ -419,3 +419,22 @@ def test_v3_stack_park_matches_limb(chunk_tiles, rng):
     assert float(fs) <= 0.0
     assert (np.asarray(il) == np.asarray(is_)).all()
     assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
+
+
+def test_v4_bytes_park_matches_limb(rng):
+    """park='bytes' (i8 byte-plane compaction, bit-exact i32 moves) equals
+    the limb layout bit for bit."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v4
+    n, d, R, Q, k = 2 * TILE, 128, 2, 8, 50
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    base[3] = 0.0
+    q = rng.normal(size=(R, Q, d)).astype(np.float32)
+    sl, il, _ = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    sb, ib, fb = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, park="bytes")
+    assert float(fb) <= 0.0
+    assert (np.asarray(il) == np.asarray(ib)).all()
+    assert np.allclose(np.asarray(sl), np.asarray(sb), rtol=0, atol=0)
