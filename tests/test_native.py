@@ -262,3 +262,50 @@ def test_native_merge_three_way_parity(rng):
         assert a.ids.tolist() == b.ids.tolist(), f"doc parity broke: {qs!r}"
         np.testing.assert_allclose(a.ranks, b.ranks, rtol=1e-4,
                                    err_msg=f"rank parity broke: {qs!r}")
+
+
+def test_single_word_top_cache_consistency(rng):
+    """The per-word materialized top-merge_k cache returns exactly what the
+    uncached dense path returns, across repeats and an rboost change."""
+    import numpy as np
+    from reindexer_tpu.ft.config import FtFastConfig
+    from reindexer_tpu.ft.dataholder import FtDataHolder
+    from reindexer_tpu.ft.dsl import parse_ft_dsl
+    from reindexer_tpu.ft.selector import FtSelector
+
+    words = [f"w{i}" for i in range(30)] + ["frequent"]
+    docs = []
+    for i in range(500):
+        toks = ["frequent"] if i % 2 == 0 else []
+        toks += list(rng.choice(words[:30], size=rng.integers(2, 7)))
+        docs.append((i, [" ".join(toks)]))
+    cfg = FtFastConfig()
+    holder = FtDataHolder(cfg, ["text"])
+    holder.build(docs, 500)
+    if holder.native_module() is None or \
+            not hasattr(holder.native_module(), "score_merge_dense"):
+        import pytest
+        pytest.skip("no compiler for the native module")
+    sel = FtSelector(holder, cfg)
+    q = parse_ft_dsl("frequent")
+    prep = sel._prepare(q)
+    saved = FtSelector.DENSE_MIN
+    try:
+        FtSelector.DENSE_MIN = 0            # force the dense/cached route
+        a = sel._score_host(q, prep, merge_k=64, use_prox=False,
+                            use_fm=True, n_pos_terms=1)
+        assert getattr(holder, "_single_top_cache", None), "cache not set"
+        b = sel._score_host(q, prep, merge_k=64, use_prox=False,
+                            use_fm=True, n_pos_terms=1)   # cache hit
+        assert a[1].tolist() == b[1].tolist()
+        np.testing.assert_array_equal(a[0], b[0])
+        # different boost: same docs, scaled scores
+        q2 = parse_ft_dsl("frequent^2")
+        prep2 = sel._prepare(q2)
+        c = sel._score_host(q2, prep2, merge_k=64, use_prox=False,
+                            use_fm=True, n_pos_terms=1)
+        if c is not None and prep2["run_len"][0] == prep["run_len"][0]:
+            assert c[1].tolist() == b[1].tolist()
+            np.testing.assert_allclose(c[0], 2.0 * b[0], rtol=1e-5)
+    finally:
+        FtSelector.DENSE_MIN = saved
