@@ -689,6 +689,24 @@ def bench_ft1m(n_docs=1_000_000, smoke=False):
             "unit": "qps", "vs_baseline": 0.0}
 
 
+def _probe_device(timeout_s=600):
+    """Bounded device healthcheck in a SUBPROCESS: a wedged tunnel hangs
+    jax backend init un-interruptibly in-process (seen as a multi-hour
+    axon outage), which would hang the whole bench run. Exit fast and
+    loud instead so the driver can retry."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.devices(); x = jnp.ones((8, 8)); float(x.sum());"
+            "print('DEVICE-OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s,
+                           text=True)
+        return "DEVICE-OK" in (r.stdout or "")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
@@ -699,6 +717,10 @@ def main():
                          "hybrid | ft1m (BASELINE.md #2/#3/#4b/#5); "
                          "default = headline BF")
     args = ap.parse_args()
+    if not _probe_device():
+        print("# FATAL: device unreachable (tunnel down?) — no bench run",
+              file=sys.stderr)
+        sys.exit(2)
     if args.config:
         fn = {"deep1m": bench_deep1m, "ivf1m": bench_ivf1m,
               "hybrid": bench_hybrid, "ft1m": bench_ft1m,
