@@ -103,3 +103,37 @@ def test_requantize_on_quantile_drift(rng):
     assert (hi1 > hi0 + 1.0).any(), (hi0, hi1)
     # ...and the drifted vectors are the nearest to their own region
     assert set(res.ids.tolist()) == {16, 17, 18, 19}
+
+
+def test_sq8_v3_engine_ladder_exact(monkeypatch, rng):
+    """Engine-level sq8-v3 dispatch with the overflow ladder, forced on
+    CPU via interpret: results stay EXACT whether or not the eps rungs
+    overflow (the ladder reruns fp32 on flag), and the sticky mode
+    downgrades cert -> fast after one overflow."""
+    import functools
+    from reindexer_tpu.ops import pallas_select as ps
+    from reindexer_tpu.ops.pallas_select import TILE
+
+    monkeypatch.setattr(ps, "v2_available",
+                        lambda n, d, k, q: n % TILE == 0 and d % 128 == 0)
+    monkeypatch.setattr(ps, "v3_available", lambda n, d, k, q: False)
+    monkeypatch.setattr(ps, "v4_available", lambda n, d, k, q: False)
+    monkeypatch.setattr(
+        ps, "knn_scan_sq8_v3",
+        functools.partial(ps.knn_scan_sq8_v3.__wrapped__, interpret=True))
+    # the fp32 fallback rung must also run in interpret mode on CPU
+    from reindexer_tpu.ops import pallas_scan as psc
+    monkeypatch.setattr(psc, "fused_available", lambda n, d, k: False)
+
+    n, d, k = TILE - 5, 128, 32
+    idx = make_index(dims=d, min_elements=64)
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    idx.keeper.bulk_load(base)
+    idx._maybe_quantize()
+    assert idx._quant is not None and idx._quant.active
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    outs = idx.select_batch(q, KnnSearchParams(k=k))
+    for b in range(3):
+        dm = ((base - q[b]) ** 2).sum(1)
+        want = set(np.argsort(dm)[:k].tolist())
+        assert set(outs[b].ids.tolist()) == want
