@@ -307,57 +307,80 @@ class IvfIndex(FloatVectorIndexBase):
         return cand, ok, totals
 
     # ------------------------------------------------------------------
-    def select(self, query: np.ndarray, params: KnnSearchParams,
-               ) -> SelectKeyResult:
+    def select_async(self, query: np.ndarray, params: KnnSearchParams):
+        """Dispatch/drain split (serving overlap, same contract as the BF
+        and HNSW engines): the stage-2 device program dispatches under the
+        namespace lock; the returned closure blocks on the readback."""
         self._commit()
         if self.centroids is None or self.keeper.count == 0:
-            return SelectKeyResult.empty()
+            res = SelectKeyResult.empty()
+            return lambda: res
         self._rebuild_csr()
         nprobe = getattr(params, "nprobe", 1) or 1
         q = self.keeper.prepare_query(query)[None, :]
         qd = jnp.asarray(q)
-        scores, ids = self._stage2(qd, nprobe, params.k)
-        if scores is None:
-            return SelectKeyResult.empty()
-        scores, ids = jax.device_get((scores, ids))
-        scores, ids = np.asarray(scores)[0], np.asarray(ids)[0]
-        keep = ids >= 0
-        scores, ids = scores[keep], ids[keep]
-        if params.k is not None:
-            scores, ids = scores[: params.k], ids[: params.k]
-        ranks = np.asarray(scores_to_ranks(scores, self.metric))
-        ranks, ids = self._apply_radius(ranks, ids, params.radius)
-        return SelectKeyResult(ids.astype(np.int64), ranks.astype(np.float32),
-                               self.ordering)
+        scores_d, ids_d = self._stage2(qd, nprobe, params.k)
 
-    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
-                     ) -> list[SelectKeyResult]:
-        """Batched IVF: one probe matmul + one device list expansion + one
-        chunked candidate scan for all queries."""
+        def drain() -> SelectKeyResult:
+            if scores_d is None:
+                return SelectKeyResult.empty()
+            scores, ids = jax.device_get((scores_d, ids_d))
+            scores, ids = np.asarray(scores)[0], np.asarray(ids)[0]
+            keep = ids >= 0
+            scores, ids = scores[keep], ids[keep]
+            if params.k is not None:
+                scores, ids = scores[: params.k], ids[: params.k]
+            ranks = np.asarray(scores_to_ranks(scores, self.metric))
+            ranks, ids = self._apply_radius(ranks, ids, params.radius)
+            return SelectKeyResult(ids.astype(np.int64),
+                                   ranks.astype(np.float32), self.ordering)
+
+        return drain
+
+    def select(self, query: np.ndarray, params: KnnSearchParams,
+               ) -> SelectKeyResult:
+        return self.select_async(query, params)()
+
+    def select_batch_async(self, queries: np.ndarray,
+                           params: KnnSearchParams):
+        """Batched dispatch/drain split (see select_async)."""
         self._commit()
         queries = np.asarray(queries, dtype=np.float32)
         if self.centroids is None or self.keeper.count == 0 \
                 or params.k is None:
-            return super().select_batch(queries, params)
+            res = super().select_batch(queries, params)
+            return lambda: res
         self._rebuild_csr()
         nprobe = getattr(params, "nprobe", 1) or 1
         q = np.stack([self.keeper.prepare_query(v) for v in queries])
         qd = jnp.asarray(q)
         B = len(queries)
-        scores, ids = self._stage2(qd, nprobe, params.k)
-        if scores is None:
-            return [SelectKeyResult.empty() for _ in range(B)]
-        scores, ids = jax.device_get((scores, ids))
-        scores, ids = np.asarray(scores), np.asarray(ids)
-        out = []
-        for b in range(B):
-            keep = ids[b] >= 0
-            s, i = scores[b][keep][: params.k], ids[b][keep][: params.k]
-            ranks = np.asarray(scores_to_ranks(s, self.metric))
-            ranks, i = self._apply_radius(ranks, i, params.radius)
-            out.append(SelectKeyResult(i.astype(np.int64),
-                                       ranks.astype(np.float32),
-                                       self.ordering))
+        scores_d, ids_d = self._stage2(qd, nprobe, params.k)
+
+        def drain() -> list[SelectKeyResult]:
+            if scores_d is None:
+                return [SelectKeyResult.empty() for _ in range(B)]
+            scores, ids = jax.device_get((scores_d, ids_d))
+            scores, ids = np.asarray(scores), np.asarray(ids)
+            out = []
+            for b in range(B):
+                keep = ids[b] >= 0
+                s = scores[b][keep][: params.k]
+                i = ids[b][keep][: params.k]
+                ranks = np.asarray(scores_to_ranks(s, self.metric))
+                ranks, i = self._apply_radius(ranks, i, params.radius)
+                out.append(SelectKeyResult(i.astype(np.int64),
+                                           ranks.astype(np.float32),
+                                           self.ordering))
+            return out
+
+        return drain
+
+    def select_batch(self, queries: np.ndarray, params: KnnSearchParams,
+                     ) -> list[SelectKeyResult]:
+        """Batched IVF: one probe matmul + one device list expansion + one
+        chunked candidate scan for all queries."""
+        out = self.select_batch_async(queries, params)()
         return out
 
     # ------------------------------------------------------------------
