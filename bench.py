@@ -60,7 +60,7 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
                                                  knn_scan_fused_v4,
                                                  v2_available,
                                                  v3_available,
-                                                 v4_available)
+                                                 v4_available, v4_tuning)
 
     if smoke:
         n, iters = 10_000, 20
@@ -87,7 +87,7 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     fused = fused_available(cap, dims, k)
     v2 = v2_available(cap, dims, k, batch)
     v3 = v3_available(cap, dims, k, batch)
-    PIPE = 8     # batches per pipelined v4 launch
+    PIPE = int(os.environ.get("RX_TPU_V4_R", "8"))  # batches/v4 launch
     v4 = (batch == 64 and iters % PIPE == 0
           and v4_available(cap, dims, k, batch))
 
@@ -100,7 +100,8 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
             # selection overlapped with the next batch's sweep
             grp = qs.reshape(qs.shape[0] // PIPE, PIPE, batch, dims)
             outs = jax.lax.map(
-                lambda g: knn_scan_fused_v4(g, b, k, VectorMetric.L2)[:2],
+                lambda g: knn_scan_fused_v4(g, b, k, VectorMetric.L2,
+                                            **v4_tuning())[:2],
                 grp)
             return jax.tree_util.tree_map(
                 lambda x: jnp.sum(jnp.where(

@@ -82,7 +82,7 @@ class BruteForceIndex(FloatVectorIndexBase):
                                           knn_scan_sq8_v2,
                                           knn_scan_sq8_v3,
                                           v2_available, v3_available,
-                                          v4_available)
+                                          v4_available, v4_tuning)
         quant = self._quant is not None and self._quant.active
         B = q.shape[0]
         if (not quant and B > 64 and B % 64 == 0
@@ -91,7 +91,8 @@ class BruteForceIndex(FloatVectorIndexBase):
             # selection overlaps batch r+1's sweep in ONE launch
             R = B // 64
             s, i, flag = knn_scan_fused_v4(
-                q.reshape(R, 64, q.shape[1]), kp.data, k, self.metric)
+                q.reshape(R, 64, q.shape[1]), kp.data, k, self.metric,
+                **v4_tuning())
             return s.reshape(B, -1), i.reshape(B, -1), flag
         if v2_available(kp.capacity, kp.dims, k, q.shape[0]):
             if quant and self._quant.err_dims is not None:

@@ -53,6 +53,22 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.type_consts import VectorMetric
 from .pallas_scan import _dot3, _dot2, _pad_queries
 
+def v4_tuning():
+    """Deployment-tunable kwargs for the pipelined v4 kernel, resolved
+    from env at call time (callers pass **v4_tuning() so the jit static
+    args reflect the measured-best variant without signature churn).
+    RX_TPU_V4_PARK: limb|stack|bytes|f32; RX_TPU_V4_BITS: radix width."""
+    import os
+    kw = {}
+    park = os.environ.get("RX_TPU_V4_PARK", "")
+    if park:
+        kw["park"] = park
+    bits = os.environ.get("RX_TPU_V4_BITS", "")
+    if bits:
+        kw["bits"] = int(bits)
+    return kw
+
+
 SENT = -1e30                 # in-kernel invalid/empty sentinel (NEVER -inf:
                              # 0 * -inf = NaN in the one-hot contractions)
 SENT_HALF = -5e29
