@@ -57,15 +57,21 @@ def v4_tuning():
     """Deployment-tunable kwargs for the pipelined v4 kernel, resolved
     from env at call time (callers pass **v4_tuning() so the jit static
     args reflect the measured-best variant without signature churn).
-    RX_TPU_V4_PARK: limb|stack|bytes|f32; RX_TPU_V4_BITS: radix width."""
+    RX_TPU_V4_PARK: limb|stack|bytes|f32; RX_TPU_V4_BITS: radix width.
+
+    Defaults = the measured-best exact variant (2026-08-18 on-chip matrix,
+    floor-differenced, same clean window as the limb reference which
+    reproduced its historical 0.305-0.312):
+      limb b32 0.314 / stack b32 0.292 / stack b20 0.187 ms/batch
+    (all cross-variant id-exact, overflow flag 0). bits=20 keeps the
+    exactness contract: a coarser radix threshold can only ADMIT more
+    candidate blocks; a slot overflow raises the kernel flag and the
+    engine reruns via the exact ladder (tests/test_quantization.py::
+    test_sq8_v3_engine_ladder_exact, test_pallas_select.py overflow
+    flag tests)."""
     import os
-    kw = {}
-    park = os.environ.get("RX_TPU_V4_PARK", "")
-    if park:
-        kw["park"] = park
-    bits = os.environ.get("RX_TPU_V4_BITS", "")
-    if bits:
-        kw["bits"] = int(bits)
+    kw = {"park": os.environ.get("RX_TPU_V4_PARK", "stack"),
+          "bits": int(os.environ.get("RX_TPU_V4_BITS", "20"))}
     return kw
 
 
