@@ -111,7 +111,8 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
             # v3 one-sweep scan: scores parked in VMEM scratch, selection
             # with zero extra HBM traffic; drop the overflow flag (exact
             # for this data; production drains check it)
-            one = lambda q: knn_scan_fused_v3(q, b, k, VectorMetric.L2)[:2]
+            one = lambda q: knn_scan_fused_v3(q, b, k, VectorMetric.L2,
+                                              **v4_tuning())[:2]
         elif v2:
             one = lambda q: knn_scan_fused_v2(q, b, k, VectorMetric.L2)[:2]
         elif fused:
@@ -235,7 +236,8 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
         for eps_mode in ("cert", "fast"):
             s0, i0, fl = knn_scan_sq8_v3(
                 q_all[0], codes_d, lo_d, alpha_d, err_d, sqe_d, base_d, k,
-                VectorMetric.L2, eps_mode=eps_mode)
+                VectorMetric.L2, eps_mode=eps_mode,
+                bits=int(os.environ.get("RX_TPU_SQ8_BITS", "20")))
             if float(fl) <= 0.0:
                 break
             print(f"# sq8_bf: {eps_mode} eps flagged overflow "
@@ -270,13 +272,14 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
         if v2:
             # top-k at SQ8 scan cost: quantized threshold sweep with the
             # settled eps mode + exact fp32 candidate sweep
-            one = lambda q: knn_scan_sq8_v3(q, c, lo, al, ed, se, bd,
-                                            k, VectorMetric.L2,
-                                            eps_mode=eps_mode)[:2]
+            one = lambda q: knn_scan_sq8_v3(
+                q, c, lo, al, ed, se, bd, k, VectorMetric.L2,
+                eps_mode=eps_mode,
+                bits=int(os.environ.get("RX_TPU_SQ8_BITS", "20")))[:2]
         elif exact_fb:
             # the exact engine's settled ladder rung on this data
-            one = lambda q: knn_scan_fused_v3(q, bd, k,
-                                              VectorMetric.L2)[:2]
+            one = lambda q: knn_scan_fused_v3(q, bd, k, VectorMetric.L2,
+                                              **v4_tuning())[:2]
         elif fused:
             one = lambda q: knn_scan_fused_sq8(q, c, lo, al, se, k,
                                                VectorMetric.L2)

@@ -99,18 +99,22 @@ class BruteForceIndex(FloatVectorIndexBase):
                 # top-k at SQ8 scan cost: quantized threshold sweep
                 # (cert/fast eps ladder) + exact fp32 candidate sweep,
                 # fused into one twin-phase kernel (sq8 v3)
+                import os
                 s, i, flag = knn_scan_sq8_v3(
                     q, self._quant.codes, self._quant.lo, self._quant.alpha,
                     self._quant.err_dims, kp.sq_eff(), kp.data, k,
                     self.metric, eps_mode=self._sq8_mode,
-                    ms_dims=self._quant.ms_dims)
+                    ms_dims=self._quant.ms_dims,
+                    bits=int(os.environ.get("RX_TPU_SQ8_BITS", "20")))
                 return s, i, flag
             if not quant:
                 if v3_available(kp.capacity, kp.dims, k, q.shape[0]):
                     # one-sweep kernel: scores resident in VMEM scratch,
-                    # selection with zero extra HBM traffic
+                    # selection with zero extra HBM traffic (same tuned
+                    # park/bits variant as v4 — shared kernel machinery)
                     s, i, flag = knn_scan_fused_v3(q, kp.data, k,
-                                                   self.metric)
+                                                   self.metric,
+                                                   **v4_tuning())
                 else:
                     s, i, flag = knn_scan_fused_v2(q, kp.data, k,
                                                    self.metric)

@@ -602,7 +602,7 @@ def select_sweep(queries, base, bmax, eps, k, metric, interpret=False,
 # ---------------------------------------------------------------------------
 
 def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
-                          park="limb", ablate=''):
+                          park="limb", ablate='', bits=32):
     G = n // BLK
     n_tiles = n // TILE
     kb = float(min(k + MARGIN, G))
@@ -643,9 +643,11 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                 flag_ref[:] = bmax_s[:1, :1] * 0.0
                 return
             bm = bmax_s[:].T                                   # [Q, G]
-            tau = _radix_kth(bm, kb, axis=1, bits=32)          # [Q, 1]
+            tau = _radix_kth(bm, kb, axis=1, bits=bits)        # [Q, 1]
             # eps = 0: bmax came from the SAME s_t values the compaction
             # re-reads (single sweep -> no cross-sweep rounding at all)
+            # (coarser bits only LOWER tau -> admit extra blocks; still
+            # exact, overflow guarded by the flag)
             mask = jnp.where((bm >= tau) & (bm > SENT_HALF), 1.0, 0.0)
             incl = _prefix_lanes(mask, axis=1)
             count_s[:] = incl[:, G - 1:G]
@@ -717,7 +719,7 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
                 flag_ref[:] = count_s[:1, :1] * 0.0
                 return
             _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref,
-                       flag_ref, k, kf, Qn, xla_tail, bits=32,
+                       flag_ref, k, kf, Qn, xla_tail, bits=bits,
                        stack=stack)
 
     return _kernel
@@ -725,15 +727,18 @@ def _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "interpret", "xla_tail",
-                                    "chunk_tiles", "park", "ablate"))
+                                    "chunk_tiles", "park", "ablate", "bits"))
 def onesweep_select(queries, base, k, metric, interpret=False,
-                    xla_tail=True, chunk_tiles=2, park="limb", ablate=""):
+                    xla_tail=True, chunk_tiles=2, park="limb", ablate="",
+                    bits=32):
     """Exact top-k in ONE base read: every tile's scores are parked in a
     [N, Qn] f32 VMEM scratch (the 100 MB scoped-vmem knob makes the
     131072 x 64 bench shape's 33.5 MB resident), and the final grid step
     runs threshold + compaction + fine select entirely from scratch.
     Versus v2 this removes sweep B's base re-read, its score recompute,
     and one kernel launch. Same output contract as select_sweep."""
+    if park not in ("limb", "stack"):   # v4-only park modes (bytes/f32)
+        park = "limb"
     n, d = base.shape
     Qn = queries.shape[0]
     kpad = 128
@@ -751,7 +756,7 @@ def onesweep_select(queries, base, k, metric, interpret=False,
             pltpu.VMEM((Qn, BLK, G), jnp.bfloat16)]    # lo_s
     return pl.pallas_call(
         _make_onesweep_kernel(n, k, metric, Qn, xla_tail, chunk_tiles,
-                              park, ablate),
+                              park, ablate, bits),
         grid=(n // TILE,),
         in_specs=[
             pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -784,9 +789,10 @@ def onesweep_select(queries, base, k, metric, interpret=False,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
-                                             "chunk_tiles", "tail", "park"))
+                                             "chunk_tiles", "tail", "park",
+                                             "bits"))
 def knn_scan_fused_v3(queries, base, k, metric, interpret=False,
-                      chunk_tiles=2, tail="bitonic", park="limb"):
+                      chunk_tiles=2, tail="bitonic", park="limb", bits=32):
     """Exact top-k, ONE base sweep, selection entirely in VMEM. Same
     result contract as knn_scan_fused_v2 (scores higher-better, -inf/-1
     padded, overflow flag). tail: "xla" exports 1024 compacted candidates
@@ -796,7 +802,8 @@ def knn_scan_fused_v3(queries, base, k, metric, interpret=False,
     s3, i3, flag = onesweep_select(qf, base, k, metric, interpret,
                                    xla_tail=(True if tail == "xla"
                                              else tail),
-                                   chunk_tiles=chunk_tiles, park=park)
+                                   chunk_tiles=chunk_tiles, park=park,
+                                   bits=bits)
     corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
             if metric == VectorMetric.L2 else jnp.float32(0.0))
     return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)
@@ -828,7 +835,7 @@ def v3_available(n: int, dims: int, k: int, n_queries: int) -> bool:
 # fp32 sweep for exact compaction, fine+emit; no inter-kernel round trip
 # ---------------------------------------------------------------------------
 
-def _make_twinsweep_sq8_kernel(n, k, metric, Qn, xla_tail):
+def _make_twinsweep_sq8_kernel(n, k, metric, Qn, xla_tail, bits=32):
     G = n // BLK
     n_tiles = n // TILE
     kb = float(min(k + MARGIN, G))
@@ -855,7 +862,7 @@ def _make_twinsweep_sq8_kernel(n, k, metric, Qn, xla_tail):
         @pl.when(i == n_tiles - 1)
         def _():
             bm = bmax_s[:].T                                   # [Q, G]
-            tau = _radix_kth(bm, kb, axis=1, bits=32)          # [Q, 1]
+            tau = _radix_kth(bm, kb, axis=1, bits=bits)        # [Q, 1]
             mask = jnp.where(
                 (bm >= tau - eps_ref[:]) & (bm > SENT_HALF), 1.0, 0.0)
             incl = _prefix_lanes(mask, axis=1)
@@ -901,15 +908,17 @@ def _make_twinsweep_sq8_kernel(n, k, metric, Qn, xla_tail):
         @pl.when(i == 2 * n_tiles - 1)
         def _():
             _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref,
-                       flag_ref, k, kf, Qn, xla_tail, bits=32)
+                       flag_ref, k, kf, Qn, xla_tail, bits=bits)
 
     return _kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric", "interpret", "xla_tail"))
+                   static_argnames=("k", "metric", "interpret", "xla_tail",
+                                    "bits"))
 def twinsweep_select_sq8(queries, eps, q_alpha, shift, codes, sq_eff, base,
-                         k, metric, interpret=False, xla_tail=True):
+                         k, metric, interpret=False, xla_tail=True,
+                         bits=32):
     """Exact top-k at SQ8 threshold cost in ONE kernel: the first n_tiles
     grid steps sweep the uint8 codes (1/4 the HBM bytes) into quantized
     block maxima; the boundary step radix-selects the eps-widened block
@@ -924,7 +933,7 @@ def twinsweep_select_sq8(queries, eps, q_alpha, shift, codes, sq_eff, base,
     G = n // BLK
     n_tiles = n // TILE
     return pl.pallas_call(
-        _make_twinsweep_sq8_kernel(n, k, metric, Qn, xla_tail),
+        _make_twinsweep_sq8_kernel(n, k, metric, Qn, xla_tail, bits),
         grid=(2 * n_tiles,),
         in_specs=[
             pl.BlockSpec((Qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1395,9 +1404,11 @@ def knn_scan_sq8_v2(queries, codes, lo, alpha, err_dims, sq_eff, base, k,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric", "interpret", "eps_mode"))
+                   static_argnames=("k", "metric", "interpret", "eps_mode",
+                                    "bits"))
 def knn_scan_sq8_v3(queries, codes, lo, alpha, err_dims, sq_eff, base, k,
-                    metric, interpret=False, eps_mode="cert", ms_dims=None):
+                    metric, interpret=False, eps_mode="cert", ms_dims=None,
+                    bits=32):
     """knn_scan_sq8_v2's contract (EXACT top-k, quantized threshold sweep
     + exact fp32 candidate scoring, cert/fast eps ladder) in ONE twin-phase
     kernel — see twinsweep_select_sq8."""
@@ -1415,7 +1426,8 @@ def knn_scan_sq8_v3(queries, codes, lo, alpha, err_dims, sq_eff, base, k,
         eps = fac * jnp.sum(jnp.abs(qf) * err_dims[None, :], axis=1,
                             keepdims=True)
     s3, i3, flag = twinsweep_select_sq8(qf, eps, q_alpha, shift, codes,
-                                        sq_eff, base, k, metric, interpret)
+                                        sq_eff, base, k, metric, interpret,
+                                        bits=bits)
     corr = (-jnp.sum(qf * qf, axis=1, keepdims=True)[:, :1]
             if metric == VectorMetric.L2 else jnp.float32(0.0))
     return _finish_v2(s3, i3, flag, k, queries.shape[0], corr)

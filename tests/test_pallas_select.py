@@ -421,6 +421,60 @@ def test_v3_stack_park_matches_limb(chunk_tiles, rng):
     assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
 
 
+def test_v3_stack_b20_matches_limb_b32(rng):
+    """The production tuning (park=stack, bits=20) must stay id-exact vs
+    the limb/32-bit reference: a coarser radix threshold only admits
+    extra candidate blocks (overflow is flag-guarded)."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v3
+    n, d, Q, k = 2 * TILE, 128, 8, 100
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    sl, il, _ = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    ss, is_, fs = knn_scan_fused_v3(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, park="stack", bits=20)
+    assert float(fs) <= 0.0
+    assert (np.asarray(il) == np.asarray(is_)).all()
+    assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
+
+
+def test_sq8_v3_bits20_matches_b32(rng):
+    """bits=20 on the sq8 twin-phase kernel: same exact results as the
+    32-bit radix (a coarser threshold only widens the candidate set) on
+    block-coherent data where the certified eps fits the slot capacity."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_sq8_v3
+    n, d, Q, k = 2 * TILE, 128, 8, 20
+    rng2 = np.random.default_rng(11)
+    n_blocks = n // 64
+    centers = rng2.normal(size=(n_blocks, d)).astype(np.float32) * 10.0
+    base = (np.repeat(centers, 64, axis=0)
+            + 0.3 * rng2.normal(size=(n, d))).astype(np.float32)
+    q = (centers[rng2.integers(0, n_blocks, size=Q)]
+         + 0.3 * rng2.normal(size=(Q, d))).astype(np.float32)
+    lo = np.quantile(base, 0.001, axis=0).astype(np.float32)
+    hi = np.quantile(base, 0.999, axis=0).astype(np.float32)
+    alpha = np.maximum((hi - lo) / 255.0, 1e-12).astype(np.float32)
+    codes = np.clip(np.round((np.clip(base, lo, hi) - lo) / alpha),
+                    0, 255).astype(np.uint8)
+    deq = lo + alpha * codes
+    err = np.abs(base - deq).max(axis=0).astype(np.float32)
+    sq = (base * base).sum(1).astype(np.float32)
+    outs = []
+    for bits in (32, 20):
+        s, i, fl = knn_scan_sq8_v3(
+            jnp.asarray(q), jnp.asarray(codes), jnp.asarray(lo),
+            jnp.asarray(alpha), jnp.asarray(err), jnp.asarray(sq),
+            jnp.asarray(base), k, VectorMetric.L2,
+            interpret=True, eps_mode="cert", bits=bits)
+        outs.append((np.asarray(s), np.asarray(i), float(fl)))
+    (s32, i32, f32f), (s20, i20, f20) = outs
+    assert f32f <= 0.0 and f20 <= 0.0
+    assert (i32 == i20).all()
+    assert np.allclose(s32, s20, rtol=0, atol=0)
+
+
 def test_v4_bytes_park_matches_limb(rng):
     """park='bytes' (i8 byte-plane compaction, bit-exact i32 moves) equals
     the limb layout bit for bit."""
