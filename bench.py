@@ -146,12 +146,14 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     # a difference of clean-window floors.
     tb = ts = float("inf")
     sample_t0 = time.time()
-    budget_end = time.time() + 75.0
+    budget = 3.0 if smoke else 75.0
+    budget_end = time.time() + budget
     # co-tenant slowdowns last minutes: if the floor still looks congested
     # after the base budget, keep sampling up to a hard cap until a clean
     # window appears (the floor estimator only improves with more rounds)
-    hard_end = time.time() + 180.0
+    hard_end = time.time() + (10.0 if smoke else 180.0)
     sol = roofline_latency_s(cap, dims, batch, 4, V5E_FP32_FLOPS)
+    min_rounds = 2 if smoke else 5
     r = 0
     while True:
         t0 = time.perf_counter()
@@ -162,10 +164,10 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
         tb = min(tb, time.perf_counter() - t0)
         r += 1
         dt_est = max(tb - ts, 1e-9) / (iters - small)
-        if r >= 5 and time.time() > budget_end and (
+        if r >= min_rounds and time.time() > budget_end and (
                 sol / dt_est >= 0.45 or time.time() > hard_end):
             break
-        time.sleep(3.0)
+        time.sleep(0.1 if smoke else 3.0)
     dt = max(tb - ts, 1e-9) / (iters - small)
     bench_bf.sampling_s = time.time() - sample_t0
 
@@ -173,9 +175,16 @@ def bench_bf(n=100_000, dims=128, batch=64, k=100, iters=200, smoke=False):
     frac = sol / dt
 
     dev = jax.devices()[0]
+    # log the ENGAGED kernel + tuning so the driver capture is auditable
+    # against hand-run clean-window claims (ADVICE r3: the 0.187 vs 0.293
+    # gap was unverifiable because the variant never hit the record)
+    tun = v4_tuning()
+    engaged = ("v4" if v4 else "v3" if v3 else "v2" if v2 else
+               "fused" if fused else "xla")
     print(f"# device={dev} n={n} cap={cap} dims={dims} batch={batch} k={k} "
-          f"lat={dt*1e3:.3f}ms sol={sol*1e3:.3f}ms fused={fused} v2={v2} "
-          f"v3={v3}",
+          f"lat={dt*1e3:.3f}ms sol={sol*1e3:.3f}ms engaged={engaged} "
+          f"park={tun['park']} bits={tun['bits']} R={PIPE} "
+          f"fused={fused} v2={v2} v3={v3} rounds={r}",
           file=sys.stderr)
     return {
         "metric": "bf_knn_qps_per_chip_100k_128_l2_top100",
@@ -198,7 +207,8 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
                                                knn_scan_fused_sq8)
     from reindexer_tpu.ops.pallas_select import (knn_scan_fused_v3,
                                                  knn_scan_sq8_v3,
-                                                 v2_available)
+                                                 sq8_tuning, v2_available,
+                                                 v4_tuning)
     from reindexer_tpu.ops.pallas_select import v3_available \
         as v3_available_sq
 
@@ -236,8 +246,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
         for eps_mode in ("cert", "fast"):
             s0, i0, fl = knn_scan_sq8_v3(
                 q_all[0], codes_d, lo_d, alpha_d, err_d, sqe_d, base_d, k,
-                VectorMetric.L2, eps_mode=eps_mode,
-                bits=int(os.environ.get("RX_TPU_SQ8_BITS", "20")))
+                VectorMetric.L2, eps_mode=eps_mode, **sq8_tuning())
             if float(fl) <= 0.0:
                 break
             print(f"# sq8_bf: {eps_mode} eps flagged overflow "
@@ -274,8 +283,7 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
             # settled eps mode + exact fp32 candidate sweep
             one = lambda q: knn_scan_sq8_v3(
                 q, c, lo, al, ed, se, bd, k, VectorMetric.L2,
-                eps_mode=eps_mode,
-                bits=int(os.environ.get("RX_TPU_SQ8_BITS", "20")))[:2]
+                eps_mode=eps_mode, **sq8_tuning())[:2]
         elif exact_fb:
             # the exact engine's settled ladder rung on this data
             one = lambda q: knn_scan_fused_v3(q, bd, k, VectorMetric.L2,
@@ -297,19 +305,23 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     np.asarray(jax.tree_util.tree_leaves(run_all(q_all, *args))[0])
     # floors differenced separately (see bench_bf estimator note)
     tb = ts = float("inf")
-    for r in range(8):
+    rounds = 2 if smoke else 8
+    for r in range(rounds):
         t0 = time.perf_counter()
         np.asarray(jax.tree_util.tree_leaves(run_all(q_all[:small], *args))[0])
         ts = min(ts, time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(jax.tree_util.tree_leaves(run_all(q_all, *args))[0])
         tb = min(tb, time.perf_counter() - t0)
-        if r < 7:
-            time.sleep(2.0)
+        if r < rounds - 1:
+            time.sleep(0.1 if smoke else 2.0)
     dt = max(tb - ts, 1e-9) / (iters - small)
     sol = roofline_latency_s(cap, dims, batch, 1, V5E_FP32_FLOPS)
+    mode = ("sq8_v3" if v2 else "exact_fp32_v3" if exact_fb else
+            "fused_sq8" if fused else "xla")
     print(f"# sq8_bf qps={batch/dt:.1f} lat={dt*1e3:.3f}ms "
-          f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f} fused={fused} v2={v2}",
+          f"sol={sol*1e3:.3f}ms frac={sol/dt:.3f} mode={mode} "
+          f"eps={eps_mode} bits={sq8_tuning()['bits']}",
           file=sys.stderr)
 
 
@@ -743,7 +755,9 @@ def main():
             try:
                 fn(smoke=args.smoke or slow_link)
             except Exception as e:     # extras must never break the contract
+                import traceback
                 print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
+                traceback.print_exc(file=sys.stderr)
     print(json.dumps(result))
 
 

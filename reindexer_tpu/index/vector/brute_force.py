@@ -81,6 +81,7 @@ class BruteForceIndex(FloatVectorIndexBase):
                                           knn_scan_fused_v4,
                                           knn_scan_sq8_v2,
                                           knn_scan_sq8_v3,
+                                          sq8_tuning,
                                           v2_available, v3_available,
                                           v4_available, v4_tuning)
         quant = self._quant is not None and self._quant.active
@@ -99,13 +100,11 @@ class BruteForceIndex(FloatVectorIndexBase):
                 # top-k at SQ8 scan cost: quantized threshold sweep
                 # (cert/fast eps ladder) + exact fp32 candidate sweep,
                 # fused into one twin-phase kernel (sq8 v3)
-                import os
                 s, i, flag = knn_scan_sq8_v3(
                     q, self._quant.codes, self._quant.lo, self._quant.alpha,
                     self._quant.err_dims, kp.sq_eff(), kp.data, k,
                     self.metric, eps_mode=self._sq8_mode,
-                    ms_dims=self._quant.ms_dims,
-                    bits=int(os.environ.get("RX_TPU_SQ8_BITS", "20")))
+                    ms_dims=self._quant.ms_dims, **sq8_tuning())
                 return s, i, flag
             if not quant:
                 if v3_available(kp.capacity, kp.dims, k, q.shape[0]):

@@ -75,6 +75,17 @@ def v4_tuning():
     return kw
 
 
+def sq8_tuning():
+    """Deployment-tunable kwargs for the twin-phase SQ8 kernel
+    (knn_scan_sq8_v3) — the single source of truth for the SQ8 radix
+    default so engine (index/vector/brute_force.py) and bench call sites
+    cannot drift apart. bits=20 mirrors v4_tuning's rationale: a coarser
+    radix threshold only ADMITS more candidates; overflow raises the
+    kernel flag and the engine reruns via the exact ladder."""
+    import os
+    return {"bits": int(os.environ.get("RX_TPU_SQ8_BITS", "20"))}
+
+
 SENT = -1e30                 # in-kernel invalid/empty sentinel (NEVER -inf:
                              # 0 * -inf = NaN in the one-hot contractions)
 SENT_HALF = -5e29

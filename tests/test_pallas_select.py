@@ -421,6 +421,26 @@ def test_v3_stack_park_matches_limb(chunk_tiles, rng):
     assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
 
 
+def test_v4_stack_b20_matches_limb_b32(rng):
+    """The EXACT production combination for batched dispatch (ADVICE r3):
+    brute_force._dispatch_scan sends every B>64 select through
+    knn_scan_fused_v4 with v4_tuning() = park='stack', bits=20 — that
+    pairing must stay id-exact vs the limb/32-bit reference."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v4
+    n, d, R, Q, k = 2 * TILE, 128, 2, 8, 50
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(R, Q, d)).astype(np.float32)
+    sl, il, _ = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True)
+    ss, is_, fs = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, park="stack", bits=20)
+    assert float(fs) <= 0.0
+    assert (np.asarray(il) == np.asarray(is_)).all()
+    assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
+
+
 def test_v3_stack_b20_matches_limb_b32(rng):
     """The production tuning (park=stack, bits=20) must stay id-exact vs
     the limb/32-bit reference: a coarser radix threshold only admits

@@ -35,16 +35,18 @@ def red(outs):
                                     x.astype(jnp.float32), 0.0)), outs)
 
 
-def floor_time(fn, rounds=8):
-    np.asarray(jax.tree_util.tree_leaves(fn(qs[:SMALL]))[0])
-    np.asarray(jax.tree_util.tree_leaves(fn(qs))[0])
+def floor_time(fn, *extra, rounds=8):
+    # device arrays ride as ARGUMENTS (closed-over device arrays embed
+    # into the remote-compile payload — CLAUDE.md tunnel rule)
+    np.asarray(jax.tree_util.tree_leaves(fn(qs[:SMALL], *extra))[0])
+    np.asarray(jax.tree_util.tree_leaves(fn(qs, *extra))[0])
     ts = tb = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(fn(qs[:SMALL]))[0])
+        np.asarray(jax.tree_util.tree_leaves(fn(qs[:SMALL], *extra))[0])
         ts = min(ts, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(fn(qs))[0])
+        np.asarray(jax.tree_util.tree_leaves(fn(qs, *extra))[0])
         tb = min(tb, time.perf_counter() - t0)
         time.sleep(2.0)
     return (tb - ts) / (GROUPS - SMALL) * 1e3
@@ -66,10 +68,10 @@ for label, kw in (("limb b32", {}),
                   for b in range(QB))
 
     @jax.jit
-    def run(qq):
+    def run(qq, b):
         return red(jax.lax.map(
-            lambda g: knn_scan_fused_v3(g, bd, K, M, **kw)[:2], qq))
-    dt = floor_time(run)
+            lambda g: knn_scan_fused_v3(g, b, K, M, **kw)[:2], qq))
+    dt = floor_time(run, bd)
     print(f"# v3[{label}]: {dt:.3f} ms/batch frac={0.082/dt:.3f} "
           f"mismatch={bad} flag={float(f1)} (compile {ct:.0f}s)",
           flush=True)
@@ -87,12 +89,12 @@ for bits in (32, 20):
           flush=True)
 
     @jax.jit
-    def run(qq):
+    def run(qq, c, lo, al, ed, s_, b, ms_):
         return red(jax.lax.map(
-            lambda g: knn_scan_sq8_v3(g, codes_d, lo_d, alpha_d, err_d,
-                                      sq_d, bd, K, M, eps_mode="fast",
-                                      ms_dims=ms_d, bits=bits)[:2], qq))
-    dt = floor_time(run)
+            lambda g: knn_scan_sq8_v3(g, c, lo, al, ed, s_, b, K, M,
+                                      eps_mode="fast", ms_dims=ms_,
+                                      bits=bits)[:2], qq))
+    dt = floor_time(run, codes_d, lo_d, alpha_d, err_d, sq_d, bd, ms_d)
     print(f"# sq8v3[b{bits}]: {dt:.3f} ms/batch frac={0.082/dt:.3f}",
           flush=True)
 print("# DONE", flush=True)
