@@ -324,6 +324,58 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
           f"eps={eps_mode} bits={sq8_tuning()['bits']}",
           file=sys.stderr)
 
+    # --- reference-semantics APPROX mode (QuantizationConfig.mode="approx",
+    # quantizer.h:11-75): quantized top-k at 1/4 HBM bytes, recall reported
+    # honestly vs the fp32 oracle
+    fused_a = fused_available(cap, dims, k)
+
+    @jax.jit
+    def run_approx(qs, c, lo, al, v, s, se):
+        if fused_a:
+            one = lambda q: knn_scan_fused_sq8(q, c, lo, al, se, k,
+                                               VectorMetric.L2)
+        else:
+            one = lambda q: knn_scan_quantized(q, c, lo, al, v, s, k,
+                                               VectorMetric.L2)
+        outs = jax.lax.map(one, qs)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.sum(jnp.where(jnp.isfinite(x.astype(jnp.float32)),
+                                        x.astype(jnp.float32), 0.0)), outs)
+
+    aargs = (codes_d, lo_d, alpha_d, valid_d, sq_d, sqe_d)
+    np.asarray(jax.tree_util.tree_leaves(run_approx(q_all[:small], *aargs))[0])
+    np.asarray(jax.tree_util.tree_leaves(run_approx(q_all, *aargs))[0])
+    tb = ts = float("inf")
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(
+            run_approx(q_all[:small], *aargs))[0])
+        ts = min(ts, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(run_approx(q_all, *aargs))[0])
+        tb = min(tb, time.perf_counter() - t0)
+        if r < rounds - 1:
+            time.sleep(0.1 if smoke else 2.0)
+    dt_a = max(tb - ts, 1e-9) / (iters - small)
+    # recall@k of one batch vs the fp32 oracle
+    if fused_a:
+        _, ia = knn_scan_fused_sq8(q_all[0], codes_d, lo_d, alpha_d, sqe_d,
+                                   k, VectorMetric.L2)
+    else:
+        _, ia = knn_scan_quantized(q_all[0], codes_d, lo_d, alpha_d,
+                                   valid_d, sq_d, k, VectorMetric.L2)
+    qh = np.asarray(q_all[0])
+    dm = (np.sum(qh * qh, 1)[:, None] - 2.0 * qh @ base[:n].T
+          + np.sum(base[:n] * base[:n], 1)[None, :])
+    want = np.argsort(dm, axis=1)[:, :k]
+    got = np.asarray(ia)
+    rec = np.mean([len(set(got[b].tolist()) & set(want[b].tolist())) / k
+                   for b in range(batch)])
+    print(f"# sq8_bf_approx qps={batch/dt_a:.1f} lat={dt_a*1e3:.3f}ms "
+          f"sol={sol*1e3:.3f}ms frac={sol/dt_a:.3f} recall@{k}={rec:.4f} "
+          f"fused={fused_a} (reference-semantics mode=approx)",
+          file=sys.stderr)
+
 
 def bench_hnsw(n=20_000, dims=96, k=10, ef=64, batch=64, smoke=False):
     """HNSW batched search QPS + recall@10 vs the exact BF oracle

@@ -56,7 +56,19 @@ class Reindexer:
         res = db.select(Query("items").where("id", "=", 1))
     """
 
-    def __init__(self, dsn: str = "", storage=None):
+    def __init__(self, dsn: str = "", storage=None, mesh=None):
+        """mesh: a jax.sharding.Mesh or parallel.context.MeshContext. When
+        given, the database runs MESH-RESIDENT: every mesh-aware index the
+        namespaces create keeps its device state row-sharded over the mesh
+        and executes selects as shard_map programs with ICI collective
+        merges — the TPU-native ShardingProxy (reference:
+        cpp_src/core/shardingproxy.cc proxies every API call; here the
+        proxy is placement, the API is unchanged)."""
+        self.mesh_ctx = None
+        if mesh is not None:
+            from ..parallel.context import MeshContext
+            self.mesh_ctx = (mesh if isinstance(mesh, MeshContext)
+                             else MeshContext(mesh))
         self._namespaces: dict[str, Namespace] = {}
         self._lock = threading.RLock()
         self._selecter = Selecter(self)
@@ -89,7 +101,7 @@ class Reindexer:
             if ns is None:
                 if name.startswith("#"):
                     raise ParamsError("'#' namespace names are reserved")
-                ns = Namespace(name)
+                ns = Namespace(name, mesh_ctx=self.mesh_ctx)
                 self._namespaces[name] = ns
                 if self.storage is not None:
                     self.storage.attach_namespace(ns)
@@ -551,7 +563,7 @@ class Reindexer:
     # ------------------------------------------------------------------
     def _load_from_storage(self) -> None:
         for name in self.storage.namespace_names():
-            ns = Namespace(name)
+            ns = Namespace(name, mesh_ctx=self.mesh_ctx)
             self._namespaces[name] = ns
             self.storage.load_namespace(ns)
             self.storage.attach_namespace(ns)

@@ -56,13 +56,16 @@ class PerfCounters:
 
 
 class Namespace:
-    def __init__(self, name: str):
+    def __init__(self, name: str, mesh_ctx=None):
         if not name or name.startswith("#"):
             # system namespaces are synthesized by the facade
             # (reference: system_ns_names.h)
             if not name:
                 raise ParamsError("empty namespace name")
         self.name = name
+        # device-mesh context (parallel/context.MeshContext): mesh-aware
+        # indexes created under this namespace run mesh-resident (P8)
+        self.mesh_ctx = mesh_ctx
         self.payload_type = PayloadType(name)
         self.indexes: list[Index] = []
         self.columns: dict[str, Column] = {}
@@ -124,7 +127,7 @@ class Namespace:
             if idef.opts.is_pk and self.payload_type.pk_index() is not None:
                 raise ConflictError(f"namespace '{self.name}' already has a PK index")
             self.payload_type.add(idef)
-            index = create_index(idef)
+            index = create_index(idef, mesh_ctx=self.mesh_ctx)
             self.indexes.append(index)
             if not idef.is_vector and not idef.is_composite:
                 col = Column(idef.field_type, idef.opts.is_array)

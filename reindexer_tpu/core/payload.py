@@ -32,6 +32,16 @@ class QuantizationConfig:
     right_quantile: float = 0.999
     # start quantizing once the index holds at least this many vectors
     min_elements: int = 1024
+    # scoring contract:
+    #   "exact"         — certified eps-ladder candidate set + fp32 scoring
+    #                     (stronger than the reference; the engine degrades
+    #                     to an fp32 scan when the bound can't be certified)
+    #   "approx"        — REFERENCE semantics (quantizer.h:11-75): top-k of
+    #                     the quantized scores, no exactness guarantee —
+    #                     the scan streams 1/4 the HBM bytes
+    #   "approx_rerank" — quantized top-k candidates re-scored from fp32
+    #                     (order/ranks exact over the approximate set)
+    mode: str = "exact"
 
 
 @dataclasses.dataclass
@@ -157,6 +167,7 @@ class IndexDef:
                     "left_quantile": vo.quantization.left_quantile,
                     "right_quantile": vo.quantization.right_quantile,
                     "min_elements": vo.quantization.min_elements,
+                    "mode": vo.quantization.mode,
                 }
             if vo.embedding is not None:
                 cfg["embedding"] = dataclasses.asdict(vo.embedding)
@@ -187,6 +198,7 @@ class IndexDef:
                     left_quantile=float(q.get("left_quantile", 0.001)),
                     right_quantile=float(q.get("right_quantile", 0.999)),
                     min_elements=int(q.get("min_elements", 1024)),
+                    mode=str(q.get("mode", "exact")),
                 ),
                 embedding=EmbeddingConfig(**emb) if emb else None,
             )

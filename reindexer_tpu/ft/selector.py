@@ -58,13 +58,20 @@ class FtSelectResult:
 
 
 class FtSelector:
-    def __init__(self, holder: FtDataHolder, cfg: FtFastConfig):
+    def __init__(self, holder: FtDataHolder, cfg: FtFastConfig,
+                 mesh_ctx=None):
         self.holder = holder
         self.cfg = cfg
         self.synonyms = SynonymsMap(cfg.synonyms)
         # device-resident field-param vectors cached per DSL field signature
         # (5 small arrays otherwise re-uploaded every query)
         self._fp_cache: dict = {}
+        # engine-integrated sharding (parallel/context.MeshContext): when
+        # set, the default scorer runs doc-sharded over the mesh with a
+        # collective rank merge (parallel/sharded_ft.py) — the same
+        # process() API the single-chip path serves
+        self.mesh_ctx = mesh_ctx
+        self._mesh_fns: dict = {}
 
     # ------------------------------------------------------------------
     def process(self, dsl: str, normalize: bool = True) -> FtSelectResult:
@@ -232,9 +239,9 @@ class FtSelector:
                 self._fp_cache[fp_key] = cached
         fb, bb, bw, pb, pw = cached
 
-        dev = h.device_arrays()
         import jax.numpy as jnp
-        cap = dev["cap"]
+        from .dataholder import _pad_pow2 as _cap_pow2
+        cap = _cap_pow2(max(len(h.doc_words), 1))
         merge_k = min(cfg.merge_limit, cap)
         # term-proximity boost only matters for multi-term queries
         # (mergerimpl.h:179 — attenuates later terms far from earlier ones)
@@ -243,12 +250,25 @@ class FtSelector:
         n_pos_terms = int((~prep["notm"]).sum())
         use_fm = cfg.full_match_boost != 1.0 and n_pos_terms > 0
         sum_fields = [f.name for f in q.fields if f.sum_rank]
+        # mesh-resident mode: the default scorer runs doc-sharded with a
+        # collective rank merge (the fielded sum-ranks variant falls back
+        # to the single-device program)
+        sharded = (self.mesh_ctx is not None
+                   and not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields)
+                   and cap % self.mesh_ctx.n_shards == 0)
+        dev = None if sharded else h.device_arrays()
         host = None
-        if not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields):
+        if not sharded and \
+                not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields):
             host = self._score_host(q, prep, merge_k=merge_k,
                                     use_prox=use_prox, use_fm=use_fm,
                                     n_pos_terms=n_pos_terms)
-        if host is not None:
+        if sharded:
+            scores, docs = self._score_sharded(
+                prep, t_count, (term_boost, term_lenb, must, notm),
+                (fb, bb, bw, pb, pw), merge_k, use_prox, use_fm,
+                n_pos_terms)
+        elif host is not None:
             scores, docs = host
         elif cfg.sum_ranks_by_fields_ratio > 0 and sum_fields:
             # field-rank summation (fulltext.md:118-128 '+'-marked fields)
@@ -321,6 +341,98 @@ class FtSelector:
                                   matched_words, h)
         docs, ranks = normalize_ranks(docs, scores, cfg.min_rank)
         return FtSelectResult(docs, ranks, matched_words, h)
+
+    # ------------------------------------------------------------------
+    # Mesh-resident scoring (engine-integrated P8): postings doc-sharded
+    # over the mesh, per-query gathers split per shard on host, BM25 +
+    # proximity/full-match boosts computed locally per chip, ranks merged
+    # with one all_gather + top_k (parallel/sharded_ft.build_sharded_bm25).
+    # ------------------------------------------------------------------
+    def _mesh_pack(self):
+        """Doc-sharded posting arrays, cached on the holder (rebuilt only
+        when the holder rebuilds — holders are immutable once built)."""
+        import jax.numpy as jnp
+        from .dataholder import _pad_pow2 as _cap_pow2
+        from ..parallel.sharded_ft import shard_postings
+        h, ctx = self.holder, self.mesh_ctx
+        pack = getattr(h, "_mesh_pack_cache", None)
+        if pack is not None and pack["ctx"] is ctx:
+            return pack
+        S = ctx.n_shards
+        cap = _cap_pow2(max(len(h.doc_words), 1))
+        cps = cap // S
+        packed, dw, remap_shard, remap_local, ppad, fw = shard_postings(
+            h, S, cps)
+        sh = ctx.shard_rows
+        pack = {
+            "ctx": ctx, "cps": cps,
+            "remap_shard": remap_shard, "remap_local": remap_local,
+            "post_doc": sh(jnp.asarray(packed["post_doc"])),
+            "post_field": sh(jnp.asarray(packed["post_field"])),
+            "post_tf": sh(jnp.asarray(packed["post_tf"])),
+            "post_minpos": sh(jnp.asarray(packed["post_minpos"])),
+            "doc_words": sh(jnp.asarray(dw)),
+            "field_words": sh(jnp.asarray(fw)),
+        }
+        h._mesh_pack_cache = pack
+        return pack
+
+    def _score_sharded(self, prep, t_count, term_arrays, fp, merge_k,
+                       use_prox, use_fm, n_pos_terms):
+        import jax.numpy as jnp
+        from ..parallel.sharded_ft import build_sharded_bm25
+        h, cfg, ctx = self.holder, self.cfg, self.mesh_ctx
+        term_boost, term_lenb, must, notm = term_arrays
+        fb, bb, bw, pb, pw = fp
+        pack = self._mesh_pack()
+        S, cps = ctx.n_shards, pack["cps"]
+        self._gather_arrays(prep)
+        g_idx = prep["g_idx"]
+        # split the global gather list per doc shard (vectorized: stable
+        # sort by shard, then per-shard positional fill)
+        s_of = pack["remap_shard"][g_idx]
+        loc = pack["remap_local"][g_idx]
+        counts = np.bincount(s_of, minlength=S)
+        Gp = _pad_pow2(max(int(counts.max()), 1))
+        order = np.argsort(s_of, kind="stable")
+        offs = np.zeros(S, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        within = np.arange(len(g_idx), dtype=np.int64) - offs[s_of[order]]
+        rows = s_of[order]
+
+        def scat(src, dtype):
+            out = np.zeros((S, Gp), dtype=dtype)
+            out[rows, within] = src[order]
+            return out
+
+        sg_idx = scat(loc, np.int32)
+        sg_term = scat(prep["g_term"], np.int32)
+        sg_w = scat(prep["g_w"], np.float32)
+        sg_idf = scat(prep["g_idf"], np.float32)
+
+        key = (t_count, cps, merge_k, cfg.bm25.bm25_type, use_prox, use_fm,
+               n_pos_terms)
+        fn = self._mesh_fns.get(key)
+        if fn is None:
+            fn = build_sharded_bm25(
+                ctx.mesh, t_count, cps, merge_k, cfg.bm25.bm25_type,
+                shard_axis=ctx.shard_axis,
+                dist_w=cfg.distance_weight, dist_b=cfg.distance_boost,
+                use_proximity=use_prox, n_terms=n_pos_terms,
+                fm_boost=cfg.full_match_boost, use_fullmatch=use_fm)
+            self._mesh_fns[key] = fn
+        sh = ctx.shard_rows
+        scalars = np.asarray([cfg.bm25.k1, cfg.bm25.b, h.avg_doc_len],
+                             np.float32)
+        return fn(sh(jnp.asarray(sg_idx)), sh(jnp.asarray(sg_term)),
+                  sh(jnp.asarray(sg_w)), sh(jnp.asarray(sg_idf)),
+                  pack["post_doc"], pack["post_field"], pack["post_tf"],
+                  pack["post_minpos"], pack["doc_words"],
+                  pack["field_words"],
+                  fb, bb, bw, pb, pw,
+                  jnp.asarray(term_boost), jnp.asarray(term_lenb),
+                  jnp.asarray(must), jnp.asarray(notm),
+                  jnp.asarray(scalars))
 
     # ------------------------------------------------------------------
     # Host C++ merge for small/medium gathers (csrc/ft_native.cpp

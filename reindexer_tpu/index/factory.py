@@ -8,7 +8,18 @@ from .base import Index
 from .scalar import CompositeIndex, HashIndex, StoreIndex, TreeIndex, TtlIndex
 
 
-def create_index(idef: IndexDef) -> Index:
+def create_index(idef: IndexDef, mesh_ctx=None) -> Index:
+    """mesh_ctx (parallel/context.MeshContext): when the database runs on a
+    device mesh, every mesh-aware index (vector engines, full-text) is
+    switched into mesh-resident mode at creation — the ShardingProxy analog
+    (reference: core/shardingproxy.cc wraps every index behind the proxy)."""
+    idx = _create(idef)
+    if mesh_ctx is not None and hasattr(idx, "attach_mesh"):
+        idx.attach_mesh(mesh_ctx)
+    return idx
+
+
+def _create(idef: IndexDef) -> Index:
     if idef.is_composite:
         return CompositeIndex(idef, ordered=idef.index_type == IndexType.TREE)
     if idef.index_type == IndexType.HASH:

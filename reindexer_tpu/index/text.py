@@ -52,6 +52,17 @@ class FullTextIndex(Index):
         self._rows_capacity = 0
         self._selector: Optional[FtSelector] = None
         self._delta_selector: Optional[FtSelector] = None
+        self._mesh_ctx = None   # engine-integrated sharding (attach_mesh)
+
+    def attach_mesh(self, ctx) -> None:
+        """Mesh-resident mode: selectors run the doc-sharded BM25 path
+        (parallel/sharded_ft.py) behind the same select_key API — the
+        ShardingProxy analog for full-text (core/shardingproxy.cc)."""
+        if ctx is None or ctx.n_shards <= 1:
+            return
+        self._mesh_ctx = ctx
+        self._selector = None
+        self._delta_selector = None
 
     # --- mutation (write path stays cheap: just store text) -------------
     def upsert(self, row_id: int, values: Any) -> None:
@@ -110,7 +121,7 @@ class FullTextIndex(Index):
             self._delta_docs.clear()
             self._overridden.clear()
             self._delta_holder = None
-            self._selector = FtSelector(self.holder, self.cfg)
+            self._selector = FtSelector(self.holder, self.cfg, self._mesh_ctx)
             self._delta_selector = None
             return
         if self._delta_docs and self._delta_holder is None:
@@ -118,7 +129,9 @@ class FullTextIndex(Index):
             self._delta_holder.build(
                 ((row, texts) for row, texts in self._delta_docs.items()),
                 self._rows_capacity)
-            self._delta_selector = FtSelector(self._delta_holder, self.cfg)
+            self._delta_selector = FtSelector(self._delta_holder,
+                                              self.cfg,
+                                              self._mesh_ctx)
 
     # --- query ----------------------------------------------------------
     def supports(self, condition: CondType) -> bool:
@@ -143,7 +156,7 @@ class FullTextIndex(Index):
             return cached
         self.commit()
         if self._selector is None:
-            self._selector = FtSelector(self.holder, self.cfg)
+            self._selector = FtSelector(self.holder, self.cfg, self._mesh_ctx)
         res = self._selector.process(dsl, normalize=False)
         ids, scores, matched = res.ids, res.ranks, res.matched_words
         if self._overridden:
@@ -153,7 +166,8 @@ class FullTextIndex(Index):
         if self._delta_holder is not None:
             if self._delta_selector is None:
                 self._delta_selector = FtSelector(self._delta_holder,
-                                                  self.cfg)
+                                                  self.cfg,
+                                                  self._mesh_ctx)
             d = self._delta_selector.process(dsl, normalize=False)
             ids = np.concatenate([ids, d.ids])
             scores = np.concatenate([scores, d.ranks])

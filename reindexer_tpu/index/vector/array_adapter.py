@@ -36,6 +36,9 @@ class ArrayVectorIndex(Index):
         self._free: list[int] = []
         self._next_slot = 0
 
+    def attach_mesh(self, ctx) -> None:
+        self.inner.attach_mesh(ctx)
+
     # --- slot allocator ---------------------------------------------------
     def _alloc(self, row: int) -> int:
         slot = self._free.pop() if self._free else self._next_slot

@@ -37,6 +37,18 @@ class FloatVectorIndexBase(Index):
         self.ordering = metric_ordering(self.metric)
         self.keeper = VectorKeeper(vo.dims, vo.metric, vo.start_size,
                                    zero_on_remove=self.KEEPER_ZERO_ON_REMOVE)
+        self._mesh_ctx = None   # engine-integrated sharding (attach_mesh)
+
+    def attach_mesh(self, ctx) -> None:
+        """Switch the index into mesh-resident mode (the ShardingProxy
+        analog, parallel/context.py): keeper arrays row-shard over the mesh
+        and selects run shard_map scans with collective top-k merges —
+        same select/select_batch API. Subclasses with per-shard structure
+        (HNSW subgraphs) override."""
+        if ctx is None or ctx.n_shards <= 1:
+            return
+        self._mesh_ctx = ctx
+        self.keeper.attach_mesh(ctx)
 
     # --- Index interface ------------------------------------------------
     def upsert(self, row_id: int, values: Any) -> None:

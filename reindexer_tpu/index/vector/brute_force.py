@@ -26,6 +26,7 @@ class BruteForceIndex(FloatVectorIndexBase):
         super().__init__(definition)
         qc = definition.vector_opts.quantization
         self._quant = None
+        self._mesh_fns: dict = {}   # k -> jitted sharded scan
         # sq8-v2 eps ladder: start with the CERTIFIED bound (provably exact
         # kept set); if the data is too weakly structured for the certified
         # margin to fit the slot capacity (overflow flag), stick to the
@@ -35,6 +36,16 @@ class BruteForceIndex(FloatVectorIndexBase):
         # scan fp32. RX_SQ8_EPS=fast skips the certified attempt.
         import os
         self._sq8_mode = os.environ.get("RX_SQ8_EPS", "cert")
+        # scoring contract (QuantizationConfig.mode): "exact" runs the
+        # certified eps ladder; "approx" is the REFERENCE's own SQ8
+        # semantics (quantizer.h:11-75 — quantized scores, no exactness
+        # guarantee, scan streams 1/4 the HBM bytes); "approx_rerank"
+        # re-scores the quantized top-k from fp32
+        self._quant_mode = qc.mode if qc.enabled else "exact"
+        if self._quant_mode not in ("exact", "approx", "approx_rerank"):
+            from ...core.errors import ParamsError
+            raise ParamsError(
+                f"unknown quantization mode '{self._quant_mode}'")
         if qc.enabled:
             from .quantization import QuantizedStore
             self._quant = QuantizedStore(qc.left_quantile, qc.right_quantile,
@@ -86,6 +97,18 @@ class BruteForceIndex(FloatVectorIndexBase):
                                           v4_available, v4_tuning)
         quant = self._quant is not None and self._quant.active
         B = q.shape[0]
+        if self._mesh_ctx is not None:
+            # mesh-resident mode: row-sharded scan + collective top-k merge
+            # (exact — the quantized store is ignored; SQ8 stays single-
+            # device until a sharded codes layout lands)
+            from ...parallel.sharded_knn import build_sharded_knn
+            fn = self._mesh_fns.get(k)
+            if fn is None:
+                fn = build_sharded_knn(self._mesh_ctx.mesh, k, self.metric,
+                                       shard_axis=self._mesh_ctx.shard_axis)
+                self._mesh_fns[k] = fn
+            s, i = fn(q, kp.data, kp.valid, kp.sq)
+            return s, i, None
         if (not quant and B > 64 and B % 64 == 0
                 and v4_available(kp.capacity, kp.dims, k, 64)):
             # many-batch selects ride the pipelined kernel: batch r's
@@ -95,6 +118,15 @@ class BruteForceIndex(FloatVectorIndexBase):
                 q.reshape(R, 64, q.shape[1]), kp.data, k, self.metric,
                 **v4_tuning())
             return s.reshape(B, -1), i.reshape(B, -1), flag
+        if quant and self._quant_mode != "exact":
+            # reference-semantics SQ8: top-k of the quantized scores (the
+            # v1 fused SQ8 kernel / XLA quantized scan), optionally exact-
+            # re-ranked from fp32 — NO eps ladder, NO overflow rerun
+            s, i = self._scan_quantized(q, k)
+            if self._quant_mode == "approx_rerank":
+                from ...ops.hnsw_kernels import exact_rescore
+                s, i = exact_rescore(q, kp.data, kp.sq, i, s, self.metric)
+            return s, i, None
         if v2_available(kp.capacity, kp.dims, k, q.shape[0]):
             if quant and self._quant.err_dims is not None:
                 # top-k at SQ8 scan cost: quantized threshold sweep

@@ -177,8 +177,15 @@ class IvfIndex(FloatVectorIndexBase):
         a = np.full(cap, -1, dtype=np.int32)
         m = min(cap, len(self._assign))
         a[:m] = self._assign[:m]
-        self._d_assign = jnp.asarray(a)
-        self._rebuild_segments()
+        if self._mesh_ctx is not None:
+            # mesh mode: assignment row-sharded like the keeper; the
+            # list-contiguous reorder is skipped — each shard's partition
+            # holds fragments of every list, so the sharded stage 2 is the
+            # probe-mask scan split S ways (parallel/sharded_ivf.py)
+            self._d_assign = self._mesh_ctx.shard_rows(jnp.asarray(a))
+        else:
+            self._d_assign = jnp.asarray(a)
+            self._rebuild_segments()
         self._csr_dirty = False
 
     def _rebuild_segments(self) -> None:
@@ -224,6 +231,8 @@ class IvfIndex(FloatVectorIndexBase):
         formulation (RX_IVF_GATHER=1 — rows move at the ~11 GB/s gather
         unit). Returns (scores, ids) device arrays or (None, None)."""
         from ...ops.ivf_kernels import probe_mask, scan_probed_full
+        if self._mesh_ctx is not None:
+            return self._stage2_sharded(qd, nprobe, k)
         use_gather = os.environ.get("RX_IVF_GATHER", "") in ("1", "true")
         if use_gather or k is None:
             cand, ok, totals = self._device_cands(qd, nprobe)
@@ -253,6 +262,30 @@ class IvfIndex(FloatVectorIndexBase):
         return scan_probed_full(
             qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
             self._d_assign, sel, kk, self.metric)
+
+    def _stage2_sharded(self, qd, nprobe: int, k):
+        """Mesh-resident stage 2: stage 1 runs replicated (the centroid
+        table is tiny and identical everywhere), stage 2 scans each chip's
+        row partition masked by the probe set and merges per-shard top-k
+        over ICI (parallel/sharded_ivf.build_sharded_ivf)."""
+        from ...ops.ivf_kernels import probe_mask
+        from ...parallel.sharded_ivf import build_sharded_ivf
+        nlist = self.centroids.shape[0]
+        probes = probe_centroids(qd, self.centroids,
+                                 min(nprobe, nlist), self.metric)
+        sel = probe_mask(probes, nlist)
+        kk = _pow2(min(k, self.keeper.capacity), 16) if k is not None \
+            else self.keeper.capacity
+        fns = getattr(self, "_mesh_fns", None)
+        if fns is None:
+            fns = self._mesh_fns = {}
+        fn = fns.get(kk)
+        if fn is None:
+            fn = build_sharded_ivf(self._mesh_ctx.mesh, kk, self.metric,
+                                   shard_axis=self._mesh_ctx.shard_axis)
+            fns[kk] = fn
+        return fn(qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
+                  self._d_assign, sel)
 
     def _stage2_segments(self, qd, nprobe: int, k: int, interpret=False):
         """Probe-proportional stage 2: host expands the probed lists into a

@@ -80,6 +80,42 @@ class VectorKeeper:
         self.upload_bf16 = False
         self._max_row = -1
         self._sq_eff = None   # (key, array) cache for sq_eff()
+        # engine-integrated sharding (parallel/context.MeshContext): when
+        # attached, the device arrays stay ROW-SHARDED over the mesh so
+        # mesh-aware scans run shard_map programs over resident partitions
+        self.mesh_ctx = None
+        # optional single-device pin (per-shard sub-indexes place their
+        # keeper on their own chip so builds dispatch in parallel)
+        self.device = None
+
+    # --- placement (engine-integrated P8 sharding) -----------------------
+    def attach_mesh(self, ctx) -> None:
+        """Row-shard the device arrays over the mesh. Capacities are pow2
+        (>= 2048), so any pow2 shard count divides every capacity."""
+        if ctx is None or ctx.n_shards <= 1:
+            return
+        if self.capacity % ctx.n_shards:
+            raise ParamsError(
+                f"mesh shard count {ctx.n_shards} must divide the keeper "
+                f"capacity {self.capacity} (use a power-of-two mesh)")
+        self.mesh_ctx = ctx
+        self._replace()
+
+    def _replace(self) -> None:
+        """Re-apply the configured placement (mesh row-sharding or a
+        single-device pin) after a fresh full-array upload. Scattered
+        updates keep their operands' placement, so this is cheap for the
+        incremental paths and a real reshard only after rebuilds."""
+        if self.mesh_ctx is not None:
+            self.data = self.mesh_ctx.shard_rows(self.data)
+            self.valid = self.mesh_ctx.shard_rows(self.valid)
+            self.sq = self.mesh_ctx.shard_rows(self.sq)
+            self._sq_eff = None
+        elif self.device is not None:
+            self.data = jax.device_put(self.data, self.device)
+            self.valid = jax.device_put(self.valid, self.device)
+            self.sq = jax.device_put(self.sq, self.device)
+            self._sq_eff = None
 
     # --- mutation -------------------------------------------------------
     def set(self, row_id: int, vec: Optional[np.ndarray]) -> None:
@@ -119,6 +155,7 @@ class VectorKeeper:
         self.sq = jnp.concatenate(
             [self.sq, jnp.zeros((pad_rows,), dtype=jnp.float32)])
         self.capacity = cap
+        self._replace()
 
     def flush(self) -> None:
         """Apply pending host mutations to the device arrays.
@@ -158,6 +195,7 @@ class VectorKeeper:
             self.valid = jnp.asarray(valid)
             self.sq = jnp.asarray(np.sum(data * data, axis=1,
                                          dtype=np.float32))
+            self._replace()
             return
 
         if len(del_rows):
@@ -204,6 +242,7 @@ class VectorKeeper:
         self.data = jnp.zeros((self.capacity, self.dims), dtype=jnp.float32)
         self.valid = jnp.zeros((self.capacity,), dtype=jnp.bool_)
         self.sq = jnp.zeros((self.capacity,), dtype=jnp.float32)
+        self._replace()
 
     def bulk_load(self, matrix: np.ndarray, start_row: int = 0) -> None:
         """Bulk ingest a [N, dims] block in one device transfer — the fast
@@ -243,6 +282,7 @@ class VectorKeeper:
                 np.sum(data * data, axis=1, dtype=np.float32))
             self.count = n
             self._max_row = max(self._max_row, start_row + n - 1)
+            self._replace()
             return
         prev_valid = int(np.asarray(self.valid[start_row: start_row + n]).sum())
         self.data = self.data.at[start_row: start_row + n].set(
@@ -319,3 +359,4 @@ class VectorKeeper:
                 np.sum(full * full, axis=1, dtype=np.float32))
             self.count = int(valid.sum())
             self._max_row = n - 1
+            self._replace()

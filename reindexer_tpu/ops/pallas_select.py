@@ -59,16 +59,19 @@ def v4_tuning():
     args reflect the measured-best variant without signature churn).
     RX_TPU_V4_PARK: limb|stack|bytes|f32; RX_TPU_V4_BITS: radix width.
 
-    Defaults = the measured-best exact variant (2026-08-18 on-chip matrix,
-    floor-differenced, same clean window as the limb reference which
-    reproduced its historical 0.305-0.312):
-      limb b32 0.314 / stack b32 0.292 / stack b20 0.187 ms/batch
-    (all cross-variant id-exact, overflow flag 0). bits=20 keeps the
-    exactness contract: a coarser radix threshold can only ADMIT more
-    candidate blocks; a slot overflow raises the kernel flag and the
-    engine reruns via the exact ladder (tests/test_quantization.py::
-    test_sq8_v3_engine_ladder_exact, test_pallas_select.py overflow
-    flag tests)."""
+    Defaults = the measured-best exact variant (2026-08-18 INTERLEAVED
+    on-chip matrix, tools/bench_v4_matrix.py — variants round-robin per
+    timing round so congestion is shared; limb reproduced its historical
+    0.311 in the same run): limb b32 0.311 / stack b32 0.293 /
+    stack b20 0.283 / bytes b32 0.296 / bytes b20 0.290 ms/batch, all
+    cross-variant id-exact, overflow flag 0. (An earlier sequential-block
+    run printed stack b20 = 0.187; three driver-style captures and the
+    interleaved matrix could not reproduce it — retracted, see
+    docs/performance.md.) bits=20 keeps the exactness contract: a coarser
+    radix threshold can only ADMIT more candidate blocks; a slot overflow
+    raises the kernel flag and the engine reruns via the exact ladder
+    (tests/test_quantization.py::test_sq8_v3_engine_ladder_exact,
+    test_pallas_select.py overflow flag tests)."""
     import os
     kw = {"park": os.environ.get("RX_TPU_V4_PARK", "stack"),
           "bits": int(os.environ.get("RX_TPU_V4_BITS", "20"))}

@@ -3,13 +3,15 @@
 Multi-chip analog of the reference's distributed FT select over sharded
 namespaces (core/shardingproxy.cc scatter + rank merge): each chip holds the
 CSR postings of its document partition, scores its local docs with the same
-scatter-max BM25 core (ft/scorer.py sum_ranks), takes a local top-k, and
-the per-shard candidate lists merge over ICI with one all_gather + top_k —
-O(k * n_shards) bytes on the interconnect (SURVEY.md §2.4 P8: "cross-chip
-BM25 merges with collectives").
+BM25 core (ft/scorer.py sum_ranks — proximity/full-match boosts included),
+takes a local top-k, and the per-shard candidate lists merge over ICI with
+one all_gather + top_k — O(k * n_shards) bytes on the interconnect
+(SURVEY.md §2.4 P8: "cross-chip BM25 merges with collectives").
 
 IDF is computed from *global* document frequencies on the host before the
-fan-out, so sharded scores equal the single-chip scores exactly.
+fan-out, so sharded scores equal the single-chip scores exactly. Proximity
+and full-match boosts are also per-doc quantities (every doc's postings
+live wholly in its shard), so they shard without approximation.
 """
 from __future__ import annotations
 
@@ -26,7 +28,10 @@ from ..ft.scorer import NEG_INF, sum_ranks
 
 def build_sharded_bm25(mesh: Mesh, t_count: int, cap_per_shard: int,
                        merge_k: int, bm25_type: str = "rx",
-                       shard_axis: str = "shards"):
+                       shard_axis: str = "shards", *,
+                       dist_w: float = 0.0, dist_b: float = 1.0,
+                       use_proximity: bool = False, n_terms: int = 0,
+                       fm_boost: float = 1.0, use_fullmatch: bool = False):
     """Returns a jitted fn over doc-sharded postings.
 
     Inputs (leading dim = n_shards, sharded over `shard_axis`):
@@ -35,12 +40,14 @@ def build_sharded_bm25(mesh: Mesh, t_count: int, cap_per_shard: int,
       post_doc/post_field int32[S, P], post_tf f32[S, P],
       post_minpos int32[S, P]          — per-shard CSR postings (LOCAL doc ids)
       doc_words f32[S, cap_per_shard]
+      field_words f32[S, F, cap_per_shard] — per-field doc lengths (fullmatch)
     Replicated: field/term parameter vectors + scalars k1/b/avg_len.
     Returns (scores f32[merge_k], doc_ids int32[merge_k]) with GLOBAL doc ids
     (shard offset folded in).
     """
     def local_fn(gather_idx, g_term, g_weight, g_idf,
                  post_doc, post_field, post_tf, post_minpos, doc_words,
+                 field_words,
                  field_boost, bb, bw, pb, pw,
                  term_boost, term_lenboost, must_mask, not_mask,
                  scalars):
@@ -51,7 +58,10 @@ def build_sharded_bm25(mesh: Mesh, t_count: int, cap_per_shard: int,
             doc_words[0],
             field_boost, bb, bw, pb, pw,
             term_boost, term_lenboost, must_mask, not_mask,
-            k1, b, avg_len, t_count, cap_per_shard, bm25_type)
+            k1, b, avg_len, t_count, cap_per_shard, bm25_type,
+            dist_w=dist_w, dist_b=dist_b, use_proximity=use_proximity,
+            field_words=field_words[0], n_terms=n_terms,
+            fm_boost=fm_boost, use_fullmatch=use_fullmatch)
         sum_rank = jnp.where(ok, sum_rank, NEG_INF)
         kk = min(merge_k, cap_per_shard)
         loc_s, loc_i = jax.lax.top_k(sum_rank[None, :], kk)
@@ -65,10 +75,11 @@ def build_sharded_bm25(mesh: Mesh, t_count: int, cap_per_shard: int,
         return best_s[0], best_i[0]
 
     sh = P(shard_axis, None)
+    sh3 = P(shard_axis, None, None)
     rep = P(None)
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, sh,
+        in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, sh, sh3,
                   rep, rep, rep, rep, rep, rep, rep, rep, rep, rep),
         out_specs=(P(None), P(None)),
         check_vma=False,
@@ -119,4 +130,13 @@ def shard_postings(holder, n_shards: int, cap_per_shard: int):
         lo, hi = s * cap_per_shard, min((s + 1) * cap_per_shard, n)
         if hi > lo:
             dw[s, : hi - lo] = holder.doc_words[lo:hi]
-    return packed, dw, remap_shard, remap_local, pad
+    # per-field doc lengths, doc-sharded (fullmatch boost input)
+    F = holder.field_words.shape[0]
+    fw = np.zeros((n_shards, F, cap_per_shard),
+                  dtype=holder.field_words.dtype)
+    nfw = holder.field_words.shape[1]
+    for s in range(n_shards):
+        lo, hi = s * cap_per_shard, min((s + 1) * cap_per_shard, nfw)
+        if hi > lo:
+            fw[s, :, : hi - lo] = holder.field_words[:, lo:hi]
+    return packed, dw, remap_shard, remap_local, pad, fw

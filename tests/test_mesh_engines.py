@@ -1,0 +1,205 @@
+"""Engine-integrated mesh execution (VERDICT r3 #3): the SAME Reindexer
+API, opened on a device mesh, must return oracle-exact (BF/IVF) or
+oracle-equal-to-single-device (HNSW/FT) results with row-sharded indexes.
+
+The reference proxies every API call through ShardingProxy
+(cpp_src/core/shardingproxy.cc + core/parallelexecutor.cc); here the proxy
+is `Reindexer(mesh=...)` — placement + shard_map selects, unchanged API.
+"""
+import numpy as np
+import jax
+import pytest
+
+from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts, IndexType,
+                           Query, Reindexer, VectorMetric)
+from reindexer_tpu.index.vector.params import (BruteForceSearchParams,
+                                               HnswSearchParams,
+                                               IvfSearchParams)
+from reindexer_tpu.parallel.context import make_mesh_context
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return make_mesh_context(8)
+
+
+def _vec_defs(dims, itype, **vo):
+    return [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("grp", "hash", "int"),
+        IndexDef("vec", itype, vector_opts=FloatVectorOpts(dims=dims, **vo)),
+    ]
+
+
+def _fill(db, ns, base, extra=None):
+    tx = db.new_transaction(ns)
+    for i, v in enumerate(base):
+        doc = {"id": i, "grp": i % 3, "vec": v.tolist()}
+        if extra is not None:
+            doc.update(extra(i))
+        tx.upsert(doc)
+    tx.commit()
+
+
+def test_bf_mesh_oracle_exact(ctx, rng):
+    n, dims, k = 3000, 24, 12
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    db = Reindexer(mesh=ctx)
+    db.open_namespace("m", _vec_defs(dims, IndexType.VEC_BF,
+                                     metric=VectorMetric.L2))
+    _fill(db, "m", base)
+    q = rng.normal(size=(dims,)).astype(np.float32)
+    res = db.select(Query("m").where_knn("vec", q,
+                                         BruteForceSearchParams(k=k)))
+    got = [d["id"] for d in res.docs()]
+    want = np.argsort(((base - q) ** 2).sum(1))[:k].tolist()
+    assert got == want
+    # verify the index really is mesh-resident (row-sharded device state)
+    ns = db.get_namespace("m")
+    idx = ns.get_index("vec")
+    assert idx._mesh_ctx is not None
+    assert len(idx.keeper.data.sharding.device_set) == 8
+
+    # deletes flow through the same sharded scan
+    victims = set(want[:3])
+    for rid in victims:
+        db.delete("m", {"id": rid})
+    res2 = db.select(Query("m").where_knn("vec", q,
+                                          BruteForceSearchParams(k=k)))
+    got2 = [d["id"] for d in res2.docs()]
+    d2 = ((base - q) ** 2).sum(1)
+    d2[list(victims)] = np.inf
+    assert got2 == np.argsort(d2)[:k].tolist()
+
+
+def test_bf_mesh_batch_matches_single(ctx, rng):
+    n, dims, k, B = 2000, 16, 8, 5
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    db = Reindexer(mesh=ctx)
+    db.open_namespace("mb", _vec_defs(dims, IndexType.VEC_BF,
+                                      metric=VectorMetric.INNER_PRODUCT))
+    _fill(db, "mb", base)
+    idx = db.get_namespace("mb").get_index("vec")
+    qs = rng.normal(size=(B, dims)).astype(np.float32)
+    outs = idx.select_batch(qs, BruteForceSearchParams(k=k))
+    sims = qs @ base.T
+    for b in range(B):
+        want = np.argsort(-sims[b])[:k].tolist()
+        assert outs[b].ids.tolist() == want
+
+
+def test_ivf_mesh_full_probe_exact(ctx, rng):
+    n, dims, k, nlist = 2048, 16, 10, 16
+    centers = rng.normal(size=(nlist, dims)).astype(np.float32) * 4
+    assign = rng.integers(0, nlist, size=n)
+    base = (centers[assign]
+            + 0.3 * rng.normal(size=(n, dims))).astype(np.float32)
+    db = Reindexer(mesh=ctx)
+    db.open_namespace("mi", _vec_defs(dims, IndexType.IVF,
+                                      metric=VectorMetric.L2,
+                                      centroids_count=nlist))
+    _fill(db, "mi", base)
+    q = base[7] + 0.05 * rng.normal(size=dims).astype(np.float32)
+    # probing EVERY list makes IVF exact -> oracle equality
+    res = db.select(Query("mi").where_knn(
+        "vec", q, IvfSearchParams(k=k, nprobe=nlist)))
+    got = [d["id"] for d in res.docs()]
+    want = np.argsort(((base - q) ** 2).sum(1))[:k].tolist()
+    assert got == want
+    # partial probe: results must be a subset of the probed lists and
+    # include the home cluster's neighbors
+    res2 = db.select(Query("mi").where_knn(
+        "vec", q, IvfSearchParams(k=k, nprobe=2)))
+    got2 = [d["id"] for d in res2.docs()]
+    assert 7 in got2
+
+
+def test_hnsw_mesh_recall_upper_layers_and_deletes(ctx, rng):
+    n, dims, k = 1600, 24, 10
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    db = Reindexer(mesh=ctx)
+    db.open_namespace("mh", _vec_defs(dims, IndexType.HNSW,
+                                      metric=VectorMetric.INNER_PRODUCT,
+                                      m=8, ef_construction=64))
+    _fill(db, "mh", base)
+    idx = db.get_namespace("mh").get_index("vec")
+    assert idx._mesh_shards is not None and len(idx._mesh_shards) == 8
+    idx.commit()
+    # at least one shard must have grown an upper layer (level sampling)
+    assert any(len(sh._upper) > 0 for sh in idx._mesh_shards)
+
+    q = base[42] + 0.01 * rng.normal(size=dims).astype(np.float32)
+    q = (q / np.linalg.norm(q)).astype(np.float32)
+    res = db.select(Query("mh").where_knn(
+        "vec", q, HnswSearchParams(k=k, ef=96)))
+    got = [d["id"] for d in res.docs()]
+    want = set(np.argsort(-(base @ q))[:k].tolist())
+    recall = len(set(got) & want) / k
+    assert recall >= 0.8, recall
+    assert 42 in got
+
+    # mark-delete on a sharded subgraph: deleted ids vanish from results
+    db.delete("mh", {"id": 42})
+    res2 = db.select(Query("mh").where_knn(
+        "vec", q, HnswSearchParams(k=k, ef=96)))
+    assert 42 not in [d["id"] for d in res2.docs()]
+
+
+def test_ft_mesh_matches_single_device(ctx, rng):
+    vocab = [f"w{i}" for i in range(30)]
+    n = 400
+    zipf = np.minimum(rng.zipf(1.4, size=(n, 8)) - 1, len(vocab) - 1)
+    texts = [" ".join(vocab[j] for j in zipf[i]) for i in range(n)]
+
+    def build(mesh):
+        db = Reindexer(mesh=mesh)
+        db.open_namespace("ft", [
+            IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+            IndexDef("txt", "text", "string", json_paths=("body",)),
+        ])
+        tx = db.new_transaction("ft")
+        for i, t in enumerate(texts):
+            tx.upsert({"id": i, "body": t})
+        tx.commit()
+        return db
+
+    db_m, db_s = build(ctx), build(None)
+    sel = db_m.get_namespace("ft").get_index("txt")._mesh_ctx
+    assert sel is not None
+    for dsl in ("w1", "w1 w2", "w0 -w3", "=w2 w5", "w1 w2 w3"):
+        rm = db_s.select(Query("ft").match("txt", dsl).limit(50))
+        mm = db_m.select(Query("ft").match("txt", dsl).limit(50))
+        ids_s = [d["id"] for d in rm.docs()]
+        ids_m = [d["id"] for d in mm.docs()]
+        assert set(ids_m) == set(ids_s), dsl
+        np.testing.assert_allclose(np.sort(mm.ranks()), np.sort(rm.ranks()),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_rrf_on_mesh(ctx, rng):
+    n, dims = 1500, 16
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    vocab = [f"t{i}" for i in range(20)]
+    db = Reindexer(mesh=ctx)
+    db.open_namespace("hy", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("grp", "hash", "int"),
+        IndexDef("txt", "text", "string", json_paths=("body",)),
+        IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+            dims=dims, metric=VectorMetric.L2)),
+    ])
+    tx = db.new_transaction("hy")
+    for i in range(n):
+        tx.upsert({"id": i, "grp": i % 2,
+                   "body": vocab[i % len(vocab)] + " filler",
+                   "vec": base[i].tolist()})
+    tx.commit()
+    q = rng.normal(size=(dims,)).astype(np.float32)
+    res = db.select(Query("hy").where("grp", "=", 0)
+                    .match("txt", "t4")
+                    .where_knn("vec", q, BruteForceSearchParams(k=1024))
+                    .sort("RRF()", desc=True).limit(10))
+    docs = list(res.docs())
+    assert docs
+    assert all(d["grp"] == 0 and d["body"].startswith("t4") for d in docs)

@@ -137,3 +137,66 @@ def test_sq8_v3_engine_ladder_exact(monkeypatch, rng):
         dm = ((base - q[b]) ** 2).sum(1)
         want = set(np.argsort(dm)[:k].tolist())
         assert set(outs[b].ids.tolist()) == want
+
+
+# ---------------------------------------------------------------------------
+# reference-semantics approximate SQ8 (VERDICT r4 item: quantizer.h:11-75 —
+# quantized scores, no exactness guarantee; opt-in via
+# QuantizationConfig.mode)
+# ---------------------------------------------------------------------------
+
+def make_index_mode(mode, dims=16, metric=VectorMetric.L2, min_elements=64):
+    idef = IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+        dims=dims, metric=metric,
+        quantization=QuantizationConfig(enabled=True,
+                                        min_elements=min_elements,
+                                        mode=mode)))
+    return BruteForceIndex(idef)
+
+
+def test_approx_sq8_mode_recall(rng):
+    """Approx mode returns quantized top-k directly (no eps ladder, no
+    exact fallback) with high-but-not-guaranteed recall."""
+    n, dims, k = 2000, 16, 10
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    idx = make_index_mode("approx", dims=dims)
+    for i, v in enumerate(base):
+        idx.upsert(i, v)
+    q = rng.normal(size=(dims,)).astype(np.float32)
+    res = idx.select(q, KnnSearchParams(k=k))
+    want = set(np.argsort(((base - q) ** 2).sum(1))[:k].tolist())
+    recall = len(set(res.ids.tolist()) & want) / k
+    assert recall >= 0.7, recall
+
+
+def test_approx_rerank_scores_are_exact_fp32(rng):
+    """approx_rerank: candidate set is approximate, but returned ranks are
+    the true fp32 metric values of the returned ids."""
+    n, dims, k = 1500, 16, 8
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    idx = make_index_mode("approx_rerank", dims=dims)
+    for i, v in enumerate(base):
+        idx.upsert(i, v)
+    q = rng.normal(size=(dims,)).astype(np.float32)
+    res = idx.select(q, KnnSearchParams(k=k))
+    ids = res.ids.astype(int)
+    true_d = ((base[ids] - q) ** 2).sum(1)
+    np.testing.assert_allclose(res.ranks, true_d, rtol=1e-4, atol=1e-4)
+    # ranks sorted ascending (L2)
+    assert (np.diff(res.ranks) >= -1e-6).all()
+
+
+def test_quantization_mode_validation():
+    import pytest as _pytest
+    from reindexer_tpu.core.errors import ParamsError
+    with _pytest.raises(ParamsError):
+        make_index_mode("bogus")
+
+
+def test_quantization_mode_roundtrips_index_def():
+    idef = IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+        dims=8, quantization=QuantizationConfig(enabled=True,
+                                                mode="approx")))
+    d = idef.to_dict()
+    back = IndexDef.from_dict(d)
+    assert back.vector_opts.quantization.mode == "approx"

@@ -77,7 +77,7 @@ def test_sharded_bm25_matches_single_chip(rng):
     cap_per = 32   # 64 docs + padding -> 32 per shard over 4 shards? 64/4=16
     cap_per = 16
     mesh = make_mesh(n_shards, axis_names=("shards",))
-    packed, dw, remap_shard, remap_local, ppad = shard_postings(
+    packed, dw, remap_shard, remap_local, ppad, fw = shard_postings(
         holder, n_shards, cap_per)
     # rebuild per-shard gathers from the global gather list
     G = 32
@@ -104,7 +104,7 @@ def test_sharded_bm25_matches_single_chip(rng):
                 jnp.asarray(packed["post_field"]),
                 jnp.asarray(packed["post_tf"]),
                 jnp.asarray(packed["post_minpos"]),
-                jnp.asarray(dw),
+                jnp.asarray(dw), jnp.asarray(fw),
                 jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(bw),
                 jnp.asarray(pb), jnp.asarray(pw), jnp.asarray(tb),
                 jnp.asarray(tlb), jnp.asarray(must), jnp.asarray(notm),
@@ -183,7 +183,7 @@ def test_sharded_bm25_three_terms_uneven_fill(rng):
     s1, i1 = np.asarray(s1), np.asarray(i1)
 
     mesh = make_mesh(n_shards, axis_names=("shards",))
-    packed, dw, remap_shard, remap_local, ppad = shard_postings(
+    packed, dw, remap_shard, remap_local, ppad, fw = shard_postings(
         holder, n_shards, cap_per)
     G = gpad
     sg_idx = np.zeros((n_shards, G), np.int32)
@@ -209,7 +209,7 @@ def test_sharded_bm25_three_terms_uneven_fill(rng):
                 jnp.asarray(packed["post_field"]),
                 jnp.asarray(packed["post_tf"]),
                 jnp.asarray(packed["post_minpos"]),
-                jnp.asarray(dw),
+                jnp.asarray(dw), jnp.asarray(fw),
                 jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(bw),
                 jnp.asarray(pb), jnp.asarray(pw), jnp.asarray(tb),
                 jnp.asarray(tlb), jnp.asarray(must), jnp.asarray(notm),
