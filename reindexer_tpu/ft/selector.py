@@ -72,6 +72,8 @@ class FtSelector:
         # process() API the single-chip path serves
         self.mesh_ctx = mesh_ctx
         self._mesh_fns: dict = {}
+        # device-resident dense scorer for frequent words (device_dense.py)
+        self._ddense = None
 
     # ------------------------------------------------------------------
     def process(self, dsl: str, normalize: bool = True) -> FtSelectResult:
@@ -257,17 +259,23 @@ class FtSelector:
                    and not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields)
                    and cap % self.mesh_ctx.n_shards == 0)
         dev = None if sharded else h.device_arrays()
-        host = None
+        host = dense = None
         if not sharded and \
                 not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields):
-            host = self._score_host(q, prep, merge_k=merge_k,
-                                    use_prox=use_prox, use_fm=use_fm,
-                                    n_pos_terms=n_pos_terms)
+            # frequent-word queries whose variants are all device-resident
+            # run the dense device scorer (device_dense.py, VERDICT r3 #5)
+            dense = self._try_dense(q, prep, merge_k, use_prox, use_fm)
+            if dense is None:
+                host = self._score_host(q, prep, merge_k=merge_k,
+                                        use_prox=use_prox, use_fm=use_fm,
+                                        n_pos_terms=n_pos_terms)
         if sharded:
             scores, docs = self._score_sharded(
                 prep, t_count, (term_boost, term_lenb, must, notm),
                 (fb, bb, bw, pb, pw), merge_k, use_prox, use_fm,
                 n_pos_terms)
+        elif dense is not None:
+            scores, docs = dense
         elif host is not None:
             scores, docs = host
         elif cfg.sum_ranks_by_fields_ratio > 0 and sum_fields:
@@ -592,6 +600,38 @@ class FtSelector:
         return scores, docs
 
     # ------------------------------------------------------------------
+    # Device-resident dense scorer for frequent words (device_dense.py):
+    # the reference's heaviest merges (multi-term zipf-head queries,
+    # mergerimpl.h:95-124) move from the 1-core host stream onto the chip.
+    # ------------------------------------------------------------------
+    def _device_dense(self):
+        if self.mesh_ctx is not None or os.environ.get(
+                "RX_FT_DEVICE_DENSE", "1") in ("0", "false"):
+            return None
+        if self._ddense is None:
+            from .device_dense import FtDeviceDense
+            self._ddense = FtDeviceDense(self.holder, self.cfg, self)
+        return self._ddense
+
+    def _try_dense(self, q, prep, merge_k: int, use_prox: bool,
+                   use_fm: bool):
+        """Single-query device-dense route; None -> host/device fallback."""
+        from .device_dense import DEVICE_MIN
+        if prep.get("_no_dense") or q.fields or prep["G"] < DEVICE_MIN:
+            return None
+        dd = self._device_dense()
+        if dd is None or not dd.ensure_built():
+            return None
+        pack = dd.pack_query(prep)
+        if pack is None:
+            return None
+        sv, sd, ovf = dd.score_batch([pack], merge_k, use_prox, use_fm)
+        if bool(ovf[0]):
+            prep["_no_dense"] = True      # exactness fallback
+            return None
+        return sv[0], sd[0]
+
+    # ------------------------------------------------------------------
     def process_batch(self, dsls: list[str]) -> list[FtSelectResult]:
         """Batched serving path: N DSL queries share ONE device program by
         occupying disjoint term-id blocks (scorer.score_and_merge_batch).
@@ -616,12 +656,42 @@ class FtSelector:
         from .dataholder import _native_module
         native = _native_module()
         host_ok = native is not None and hasattr(native, "score_merge_runs")
+        # frequent queries whose variant words are all device-resident run
+        # the dense device scorer in ONE stacked program (device_dense.py)
+        from .device_dense import DEVICE_MIN as _DD_MIN
+        dense_pairs, dense_set = [], set()
+        dd = None
+        if any(preps[i]["G"] >= _DD_MIN for i in live):
+            dd = self._device_dense()
+            if dd is not None and not dd.ensure_built():
+                dd = None
+        if dd is not None:
+            for i in live:
+                if preps[i]["G"] >= _DD_MIN:
+                    pack = dd.pack_query(preps[i])
+                    if pack is not None:
+                        dense_pairs.append((i, pack))
+                        dense_set.add(i)
         small, big = [], []
         for i in live:
+            if i in dense_set:
+                continue
             if host_ok and preps[i]["G"] <= self.HOST_SCORE_MAX:
                 small.append(i)
             else:
                 big.append(i)
+
+        # dispatch the dense-frequent program before anything blocks (its
+        # device work pipelines behind bucket dispatches + host merges)
+        dense_handle = None
+        if dense_pairs:
+            prox_d = (cfg.distance_weight > 0.0
+                      and any(len(preps[i]["terms"]) > 1
+                              for i, _ in dense_pairs))
+            dense_handle = dd.dispatch_batch(
+                [p for _, p in dense_pairs],
+                min(cfg.merge_limit, dd.cap), prox_d,
+                cfg.full_match_boost != 1.0)
 
         out: list[Optional[FtSelectResult]] = [empty] * len(queries)
         buckets: dict[int, list[int]] = {}
@@ -662,6 +732,25 @@ class FtSelector:
             for j, i in enumerate(idxs):
                 q, p = queries[i], preps[i]
                 s, d = scores[j], docs[j]
+                keep = d >= 0
+                s, d = s[keep], d[keep]
+                if q.phrase_distance and len(d):
+                    pm = self._verify_phrases(q, p["terms"], p["variants"],
+                                              d)
+                    s, d = s[pm], d[pm]
+                d2, ranks = normalize_ranks(d, s, cfg.min_rank)
+                out[i] = FtSelectResult(d2, ranks, p["matched_words"], h)
+
+        if dense_handle is not None:
+            sv, sdc, ovf = jax.device_get(dense_handle)
+            sv, sdc, ovf = np.asarray(sv), np.asarray(sdc), np.asarray(ovf)
+            for j, (i, _) in enumerate(dense_pairs):
+                q, p = queries[i], preps[i]
+                if bool(ovf[j]):
+                    p["_no_dense"] = True      # exactness fallback
+                    out[i] = self.process_query(q, _prep=p)
+                    continue
+                s, d = sv[j], sdc[j]
                 keep = d >= 0
                 s, d = s[keep], d[keep]
                 if q.phrase_distance and len(d):
