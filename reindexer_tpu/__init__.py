@@ -32,7 +32,10 @@ if _os.environ.get("RX_TPU_COMPILE_CACHE", "1") not in ("0", "false"):
 
 from .core.database import Reindexer
 from .core.errors import (ConflictError, LogicError, NotFoundError, ParamsError,
-                          QueryError, ReindexerError, StorageError)
+                          QueryCanceledError, QueryError, QueryTimeoutError,
+                          ReindexerError, StorageError)
+from .core.rdxcontext import RdxContext
+from .core import rdxcontext
 from .core.payload import (EmbeddingConfig, FloatVectorOpts, IndexDef, IndexOpts,
                            QuantizationConfig)
 from .core.transaction import Transaction
@@ -53,4 +56,5 @@ __all__ = [
     "CondType", "OpType", "IndexType", "FieldType", "AggType", "VectorMetric",
     "StrictMode", "ReindexerError", "QueryError", "ParamsError",
     "NotFoundError", "ConflictError", "LogicError", "StorageError",
+    "QueryCanceledError", "QueryTimeoutError", "RdxContext", "rdxcontext",
 ]

@@ -235,7 +235,15 @@ class Reindexer:
     # ------------------------------------------------------------------
     # queries
     # ------------------------------------------------------------------
-    def select(self, q: Union[Query, str]) -> QueryResults:
+    def select(self, q: Union[Query, str],
+               timeout_ms: Optional[float] = None,
+               cancel=None) -> QueryResults:
+        if timeout_ms is not None or cancel is not None:
+            # per-query deadline/cancellation (reference: RdxContext,
+            # core/rdxcontext.h; the cgo binding's ctx watcher)
+            from . import rdxcontext
+            with rdxcontext.context(timeout_ms=timeout_ms, cancel=cancel):
+                return self.select(q)
         if isinstance(q, str):
             from ..query.sql import parse_sql
             q = parse_sql(q)

@@ -29,3 +29,12 @@ class LogicError(ReindexerError):
 
 class StorageError(ReindexerError):
     """Persistence layer failure."""
+
+
+class QueryCanceledError(ReindexerError):
+    """Query canceled via its RdxContext token (reference: errCanceled,
+    cpp_src/core/rdxcontext.h)."""
+
+
+class QueryTimeoutError(QueryCanceledError):
+    """Query exceeded its execution deadline (reference: errTimeout)."""

@@ -54,6 +54,10 @@ DENSE_MIN_COUNT = _env_int("RX_FT_DENSE_MINC", 256)
 # minimum gathered postings before the device dense path engages (below
 # this the host C++ merge wins against a dispatch round-trip)
 DEVICE_MIN = _env_int("RX_FT_DEVICE_MIN", 1 << 19)
+# single-query crossover is higher: one dispatch+drain round-trip (~35ms
+# through the tunnel) vs the host dense merge at ~20ns/posting (measured
+# 23.6ms at G=1.2M) — host wins singles until ~2M gathered postings
+DEVICE_MIN_SINGLE = _env_int("RX_FT_DEVICE_MIN_SINGLE", 1 << 21)
 _MAX_T = 8
 _MAX_V = 8
 

@@ -327,6 +327,8 @@ class FtSelector:
                 field_words=dev["field_words"], n_terms=n_pos_terms,
                 fm_boost=cfg.full_match_boost, use_fullmatch=use_fm)
         import jax
+        from ..core.rdxcontext import check_cancel
+        check_cancel()          # between device dispatch and drain
         scores, docs = jax.device_get((scores, docs))
         scores, docs = np.asarray(scores), np.asarray(docs)
         keep = docs >= 0
@@ -615,9 +617,13 @@ class FtSelector:
 
     def _try_dense(self, q, prep, merge_k: int, use_prox: bool,
                    use_fm: bool):
-        """Single-query device-dense route; None -> host/device fallback."""
-        from .device_dense import DEVICE_MIN
-        if prep.get("_no_dense") or q.fields or prep["G"] < DEVICE_MIN:
+        """Single-query device-dense route; None -> host/device fallback.
+        Single-TERM queries always stay on host: its one-pass merge +
+        per-word materialized top-k cache beat a device round-trip."""
+        from .device_dense import DEVICE_MIN_SINGLE
+        if (prep.get("_no_dense") or q.fields
+                or len(prep["must"]) < 2
+                or prep["G"] < DEVICE_MIN_SINGLE):
             return None
         dd = self._device_dense()
         if dd is None or not dd.ensure_built():
@@ -667,7 +673,7 @@ class FtSelector:
                 dd = None
         if dd is not None:
             for i in live:
-                if preps[i]["G"] >= _DD_MIN:
+                if preps[i]["G"] >= _DD_MIN and len(preps[i]["must"]) >= 2:
                     pack = dd.pack_query(preps[i])
                     if pack is not None:
                         dense_pairs.append((i, pack))
@@ -726,7 +732,9 @@ class FtSelector:
             out[i] = self.process_query(queries[i], _prep=preps[i])
 
         import jax
+        from ..core.rdxcontext import check_cancel
         for idxs, scores, docs in staged:
+            check_cancel()      # between device dispatch and drain
             scores, docs = jax.device_get((scores, docs))
             scores, docs = np.asarray(scores), np.asarray(docs)
             for j, i in enumerate(idxs):

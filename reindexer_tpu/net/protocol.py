@@ -69,6 +69,7 @@ class Status(enum.IntEnum):
     CONFLICT = 4
     AUTH_ERROR = 5
     INTERNAL = 6
+    TIMEOUT = 7
 
 
 MODIFY_MODES = {0: "upsert", 1: "insert", 2: "update", 3: "delete"}

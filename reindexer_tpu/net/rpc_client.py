@@ -20,7 +20,7 @@ from typing import Any, Iterator, Optional, Sequence, Union
 
 from ..core import cjson
 from ..core.errors import (ConflictError, NotFoundError, ParamsError,
-                           QueryError, ReindexerError)
+                           QueryCanceledError, QueryError, ReindexerError)
 from ..core.payload import IndexDef
 from ..query.dsl import to_dsl
 from ..query.query import Query
@@ -29,7 +29,8 @@ from .protocol import Cmd, HEADER_SIZE, Status, pack_frame, unpack_header
 from .serializer import decode_args, encode_args
 
 _ERR_OF = {Status.QUERY_ERROR: QueryError, Status.PARAMS_ERROR: ParamsError,
-           Status.NOT_FOUND: NotFoundError, Status.CONFLICT: ConflictError}
+           Status.NOT_FOUND: NotFoundError, Status.CONFLICT: ConflictError,
+           Status.TIMEOUT: QueryCanceledError}
 
 
 def _page_docs(page, tag_state=None) -> list:
@@ -232,24 +233,27 @@ class RpcReindexer:
     def delete(self, ns: str, doc: dict) -> None:
         self._call(Cmd.MODIFY_ITEM, [ns, 3, cjson.encode_doc(doc)])
 
-    def select(self, q: Union[Query, str]) -> QueryResults:
+    def select(self, q: Union[Query, str],
+               timeout_ms: Optional[float] = None) -> QueryResults:
         # the result cursor is per-connection server-side: pin ONE pooled
         # connection for the select + fetch + close sequence
         slot = self._checkout()
         try:
-            return self._select_on(slot, q)
+            return self._select_on(slot, q, timeout_ms)
         finally:
             self._checkin(slot)
 
-    def _select_on(self, slot, q: Union[Query, str]) -> QueryResults:
+    def _select_on(self, slot, q: Union[Query, str],
+                   timeout_ms: Optional[float] = None) -> QueryResults:
+        t = float(timeout_ms) if timeout_ms else 0.0
         if isinstance(q, str):
-            out = self._call(Cmd.SELECT_SQL, [q, self.fetch_limit, 1],
+            out = self._call(Cmd.SELECT_SQL, [q, self.fetch_limit, 1, t],
                              slot=slot)
             ns = ""
         else:
             out = self._call(Cmd.SELECT_DSL,
                              [json.dumps(to_dsl(q), default=str),
-                              self.fetch_limit, 1], slot=slot)
+                              self.fetch_limit, 1, t], slot=slot)
             ns = q.namespace
         req_id, total, count, page, ranks, aggs_json = out
         docs = _page_docs(page, slot.tag_state)

@@ -18,7 +18,7 @@ import time
 from typing import Any, Optional
 
 from ..core.errors import (ConflictError, NotFoundError, ParamsError,
-                           QueryError, ReindexerError)
+                           QueryCanceledError, QueryError, ReindexerError)
 from ..core.payload import IndexDef
 from ..server.auth import ROLE_ORDER
 from ..query.dsl import parse_dsl
@@ -29,6 +29,12 @@ from .serializer import decode_args, encode_args
 
 _STATUS_OF = {QueryError: Status.QUERY_ERROR, ParamsError: Status.PARAMS_ERROR,
               NotFoundError: Status.NOT_FOUND, ConflictError: Status.CONFLICT}
+
+
+def _status_of(e: ReindexerError) -> Status:
+    if isinstance(e, QueryCanceledError):      # incl. QueryTimeoutError
+        return Status.TIMEOUT
+    return _STATUS_OF.get(type(e), Status.INTERNAL)
 
 
 def _load_doc(payload) -> Any:
@@ -176,7 +182,7 @@ class RpcServer:
                     out = pack_frame(seq, cmd, Status.OK,
                                      encode_args(result))
                 except ReindexerError as e:
-                    st = _STATUS_OF.get(type(e), Status.INTERNAL)
+                    st = _status_of(e)
                     out = pack_frame(seq, cmd, st, encode_args([str(e)]))
                 except Exception as e:   # pragma: no cover
                     out = pack_frame(seq, cmd, Status.INTERNAL,
@@ -271,10 +277,20 @@ class RpcServer:
         if cmd in (Cmd.SELECT_SQL, Cmd.SELECT_DSL):
             fetch_limit = int(args[1]) if len(args) > 1 else 100
             binary = len(args) > 2 and int(args[2]) == 1
-            if cmd == Cmd.SELECT_SQL:
-                res = db.select(args[0])
+            # optional execution deadline (reference: cproto execTimeout_)
+            timeout_ms = (float(args[3])
+                          if len(args) > 3 and args[3] else None)
+            import contextlib
+            if timeout_ms:
+                from ..core import rdxcontext
+                qctx = rdxcontext.context(timeout_ms=timeout_ms, tag="rpc")
             else:
-                res = db.select(parse_dsl(json.loads(args[0])))
+                qctx = contextlib.nullcontext()
+            with qctx:
+                if cmd == Cmd.SELECT_SQL:
+                    res = db.select(args[0])
+                else:
+                    res = db.select(parse_dsl(json.loads(args[0])))
             req_id = next(conn.ids)
             conn.cursors[req_id] = res
             total = (res.total_count if res.total_count is not None

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..core.errors import NotFoundError, QueryError
 from ..core.namespace import Namespace
+from ..core.rdxcontext import check_cancel
 from ..core.payload import get_json_path, set_json_path
 from ..core.type_consts import AggType, CondType, OpType, RankOrdering, StrictMode
 from ..index.base import SelectKeyResult
@@ -83,6 +84,7 @@ class Selecter:
         if fast is not None:
             return fast
         t_start = time.perf_counter()
+        check_cancel()
         ns = self.db.get_namespace(q.namespace)
         with ns.lock:
             ns.collect_expired()
@@ -431,6 +433,9 @@ class Selecter:
         mask: Optional[np.ndarray] = None
         sources: dict[str, RankSource] = {}
         for pos, (op, entry) in enumerate(entries):
+            # per-entry cancellation checkpoint (reference: RdxContext
+            # ThrowOnCancel inside the select loop, nsselecter.cc)
+            check_cancel()
             # AND short-circuit: once the conjunction is empty and no OR
             # can revive it, later entries cannot change the (empty) result
             # (reference analog: the leading SelectIterator driving the scan
@@ -562,6 +567,9 @@ class Selecter:
         if hasattr(index, "select_async"):
             drain = index.select_async(qv, entry.params)
             with ns.unlocked():
+                # cancellation between dispatch and drain: the device
+                # program keeps running, but the query stops blocking
+                check_cancel()
                 res = drain()
         else:                      # adapters without an async split
             res = index.select(qv, entry.params)
@@ -722,6 +730,7 @@ class Selecter:
                       ) -> tuple[np.ndarray, dict[int, list[int]]]:
         """Evaluate a join: boolean mask over main-ns rows + per-row matched
         joined rows (reference: joins/items_processor, preselect strategy)."""
+        check_cancel()
         joined_ns = self.db.get_namespace(jq.query.namespace)
         # preselect the joined namespace with its own filters; the preselect
         # rows + hash table are cached until the joined ns changes

@@ -27,6 +27,7 @@ from typing import Any, Callable, Optional
 
 from ..core.database import Reindexer
 from ..core.errors import (ConflictError, NotFoundError, ParamsError,
+                           QueryCanceledError,
                            QueryError, ReindexerError)
 from ..core.payload import IndexDef
 from ..core.transaction import Transaction
@@ -322,6 +323,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._dispatch(method, parts, qs)
         except _Forbidden as e:
             self._err(403, str(e))
+        except QueryCanceledError as e:
+            # reference: errTimeout/errCanceled -> HTTP 408 (httpserver.cc)
+            self._err(408, str(e))
         except NotFoundError as e:
             self._err(404, str(e))
         except (ParamsError, QueryError, json.JSONDecodeError) as e:
@@ -347,6 +351,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):
         self._route("DELETE")
+
+    @staticmethod
+    def _qctx(qs: dict):
+        """Per-request deadline from ?timeout_ms= (reference: the HTTP
+        server threads an execution deadline into RdxContext)."""
+        import contextlib
+        t = qs.get("timeout_ms", [None])[0]
+        if not t:
+            return contextlib.nullcontext()
+        from ..core import rdxcontext
+        return rdxcontext.context(timeout_ms=float(t), tag="http")
 
     # --- routing table (reference: httpserver.cc:1098-1164) -------------
     def _dispatch(self, method: str, p: list[str], qs: dict) -> None:
@@ -408,10 +423,12 @@ class _Handler(BaseHTTPRequestHandler):
         if head == "query":
             if method == "GET":
                 sql = qs.get("q", [""])[0]
-                return self._send_qres(db, db.select(sql))
+                with self._qctx(qs):
+                    return self._send_qres(db, db.select(sql))
             if method == "POST":
                 q = parse_dsl(self._body() or {})
-                return self._send_qres(db, db.select(q))
+                with self._qctx(qs):
+                    return self._send_qres(db, db.select(q))
             if method == "PUT":
                 q = parse_dsl(self._body() or {})
                 return self._send(200, _items_payload(db.update_query(q)))
@@ -423,10 +440,12 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0) or 0)
             sql = self.rfile.read(length).decode("utf-8")
             self._require(_sql_need(sql), db_name)
-            return self._send_qres(db, db.select(sql))
+            with self._qctx(qs):
+                return self._send_qres(db, db.select(sql))
         if head == "dslquery" and method == "POST":
             q = parse_dsl(self._body() or {})
-            return self._send_qres(db, db.select(q))
+            with self._qctx(qs):
+                return self._send_qres(db, db.select(q))
         if head == "protobuf_schema" and method == "GET":
             # reference: httpserver.cc:936 GetProtobufSchema (?ns=&ns[]=)
             from ..core.protobuf import schema_text

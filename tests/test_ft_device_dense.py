@@ -52,6 +52,7 @@ def _assert_same(a, b, q, ctx=""):
 @pytest.fixture()
 def dense_env(monkeypatch):
     monkeypatch.setattr(device_dense, "DEVICE_MIN", 1)
+    monkeypatch.setattr(device_dense, "DEVICE_MIN_SINGLE", 1)
     monkeypatch.setattr(device_dense, "DENSE_MIN_COUNT", 1)
     monkeypatch.setattr(device_dense, "DENSE_WORDS", 64)
     yield
@@ -91,13 +92,13 @@ def test_overflow_fallback_exact(dense_env, monkeypatch):
     per-segment prune cannot certify the cut, and the query must fall back
     to the host merge — still returning the exact top-merge_k set."""
     n = 1500
-    docs = [(i, ["w0 w0 w0"]) for i in range(n)]
+    docs = [(i, ["w0 w1 w0"]) for i in range(n)]
     cfg = FtFastConfig()
     cfg.merge_limit = 8
     holder = FtDataHolder(cfg, ["text"])
     holder.build(docs, n)
     sel = FtSelector(holder, cfg)
-    res = sel.process("w0")
+    res = sel.process("w0 w1")
     assert len(res.ids) == 8
     # identical scores -> doc-ascending tie-break (reference order)
     assert res.ids.tolist() == list(range(8))
@@ -146,8 +147,9 @@ def test_merge_k_boundary_pruned():
     # distinct doc lengths -> distinct scores (no tie ambiguity)
     n = 1500
     rng = np.random.default_rng(11)
-    docs = [(i, ["w0 " + " ".join(f"f{rng.integers(0, 1000)}"
-                                  for _ in range(int(rng.integers(1, 25)))),
+    docs = [(i, ["w0 w1 " + " ".join(f"f{rng.integers(0, 1000)}"
+                                     for _ in range(
+                                         int(rng.integers(1, 25)))),
                  ]) for i in range(n)]
     cfg = FtFastConfig()
     cfg.merge_limit = 64
@@ -156,12 +158,13 @@ def test_merge_k_boundary_pruned():
     sel = FtSelector(holder, cfg)
     import unittest.mock as mock
     with mock.patch.object(device_dense, "DEVICE_MIN", 1), \
+            mock.patch.object(device_dense, "DEVICE_MIN_SINGLE", 1), \
             mock.patch.object(device_dense, "DENSE_MIN_COUNT", 1):
-        got = sel.process("w0")
+        got = sel.process("w0 w1")
     os.environ["RX_FT_DEVICE_DENSE"] = "0"
     try:
         sel_host = FtSelector(holder, cfg)
-        want = sel_host.process("w0")
+        want = sel_host.process("w0 w1")
     finally:
         os.environ.pop("RX_FT_DEVICE_DENSE", None)
     assert len(got.ids) == len(want.ids) == 64
