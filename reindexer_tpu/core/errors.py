@@ -31,6 +31,11 @@ class StorageError(ReindexerError):
     """Persistence layer failure."""
 
 
+class OutdatedWalError(ReindexerError):
+    """Requested WAL range fell off the ring; follower must force-sync
+    (reference: errOutdatedWAL, wal/walselecter.cc)."""
+
+
 class QueryCanceledError(ReindexerError):
     """Query canceled via its RdxContext token (reference: errCanceled,
     cpp_src/core/rdxcontext.h)."""

@@ -77,9 +77,57 @@ class Selecter:
             return repr(vars(q))
 
     # ==================================================================
+    # WAL-as-query surface (reference: wal/walselecter.cc — followers and
+    # tooling SELECT from a namespace's WAL with `#lsn > N`; only
+    # #lsn/#slave_version conditions are legal in a WAL query)
+    # ==================================================================
+    def _wal_select(self, q: Query) -> QueryResults:
+        from ..core.errors import OutdatedWalError
+
+        lsn_e = None
+        for _, e in q.entries:
+            if (not isinstance(e, QueryEntry)
+                    or e.field not in ("#lsn", "#slave_version")):
+                raise QueryError(
+                    "WAL query may only contain #lsn/#slave_version "
+                    "conditions")
+            if e.field == "#lsn":
+                lsn_e = e
+        if (lsn_e is None
+                or lsn_e.condition not in (CondType.GT, CondType.GE)
+                or len(lsn_e.values) != 1):
+            raise QueryError("Query to WAL should contain one condition "
+                             "'#lsn > number' (walselecter.cc:23)")
+        self.db.get_namespace(q.namespace)       # validates existence
+        rs = getattr(self.db, "_replication_state", None)
+        if rs is None:
+            from ..replication import ReplicationState
+            rs = ReplicationState(self.db)
+        from_lsn = int(lsn_e.values[0])
+        if lsn_e.condition == CondType.GE:
+            from_lsn -= 1
+        recs = rs.wal.since(from_lsn)
+        if recs is None:
+            raise OutdatedWalError(
+                f"Query to WAL with outdated LSN {from_lsn}, "
+                f"LSN counter {rs.wal.last_lsn + 1}")
+        recs = [r for r in recs if r["ns"] == q.namespace]
+        total = len(recs)
+        off = q.offset_ or 0
+        end = off + q.limit_ if q.limit_ is not None else None
+        items = [ResultItem(doc=dict(r), row_id=-1, ns_name=q.namespace)
+                 for r in recs[off:end]]
+        return QueryResults(ns_name=q.namespace, items=items,
+                            total_count=total)
+
+    # ==================================================================
     # SELECT
     # ==================================================================
     def select(self, q: Query) -> QueryResults:
+        if any(isinstance(e, QueryEntry)
+               and e.field in ("#lsn", "#slave_version")
+               for _, e in q.entries):
+            return self._wal_select(q)
         fast = self._fast_point_select(q)
         if fast is not None:
             return fast

@@ -56,6 +56,66 @@ def _wal_record(op: str, payload) -> dict:
     return rec
 
 
+def repair_storage(path: str) -> dict:
+    """Offline storage repair (reference:
+    cmd/reindexer_tool/repair_tool.cc — validate each namespace's storage,
+    drop broken records, rewrite clean files).
+
+    For every namespace directory under `path`:
+      * `indexes.json` / `meta.json` must parse (else quarantined to
+        `<file>.broken` and reported);
+      * `items.jsonl` / `wal.jsonl` are rewritten without unparseable
+        (torn-tail / corrupt) lines.
+    Returns a per-namespace report dict."""
+    report: dict[str, dict] = {}
+    if not os.path.isdir(path):
+        return report
+    for entry in sorted(os.listdir(path)):
+        d = os.path.join(path, entry)
+        if not os.path.isdir(d):
+            continue
+        r = {"items_dropped": 0, "wal_dropped": 0, "quarantined": [],
+             "ok": True}
+        for name in ("indexes.json", "meta.json"):
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                try:
+                    with open(p, encoding="utf-8") as f:
+                        json.load(f)
+                except ValueError:
+                    os.replace(p, p + ".broken")
+                    r["quarantined"].append(name)
+                    r["ok"] = False
+        for name in ("items.jsonl", "wal.jsonl"):
+            p = os.path.join(d, name)
+            if not os.path.isfile(p):
+                continue
+            good, dropped = [], 0
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    s = line.strip()
+                    if not s:
+                        continue
+                    try:
+                        json.loads(s)
+                        good.append(s)
+                    except ValueError:
+                        dropped += 1
+            if dropped:
+                tmp = p + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write("\n".join(good) + ("\n" if good else ""))
+                os.replace(tmp, p)
+                r["items_dropped" if name == "items.jsonl"
+                  else "wal_dropped"] = dropped
+                r["ok"] = False
+        if (r["items_dropped"] or r["wal_dropped"] or r["quarantined"]
+                or os.path.isfile(os.path.join(d, "indexes.json"))
+                or os.path.isfile(os.path.join(d, "wal.jsonl"))):
+            report[entry] = r
+    return report
+
+
 def _replay_wal(ns, records) -> int:
     """Apply WAL records to a loaded namespace (reference: per-doc LSN
     replay, replication.md:39-44). Returns the number of bad records."""

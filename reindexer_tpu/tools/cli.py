@@ -115,6 +115,15 @@ def execute_line(db, line: str, out: TextIO) -> None:
                                      default=str) + "\n")
         else:
             dump(db, names, out)
+    elif cmd == "wal":
+        # WAL-as-query (reference: wal/walselecter.cc): \wal <ns> [from_lsn]
+        from ..query.query import Query
+        ns = parts[1]
+        from_lsn = int(parts[2]) if len(parts) > 2 else 0
+        res = db.select(Query(ns).where("#lsn", ">", from_lsn))
+        for doc in res.docs():
+            out.write(json.dumps(doc, ensure_ascii=False, default=str)
+                      + "\n")
     elif cmd in ("quit", "q", "exit"):
         raise EOFError
     else:
@@ -130,7 +139,21 @@ def main(argv: Optional[list[str]] = None) -> int:
     ap.add_argument("--filename", "-f", help="execute commands from file "
                     "(restore a dump)")
     ap.add_argument("--output", "-o", help="write output to file")
+    ap.add_argument("--repair", action="store_true",
+                    help="offline storage repair: validate + rewrite the "
+                         "namespace files under the builtin:// DSN path "
+                         "(reference: reindexer_tool --repair, "
+                         "cmd/reindexer_tool/repair_tool.cc)")
     args = ap.parse_args(argv)
+
+    if args.repair:
+        from ..storage.engine import repair_storage
+        path = args.dsn
+        if path.startswith("builtin://"):
+            path = path[len("builtin://"):]
+        report = repair_storage(path)
+        print(json.dumps(report, indent=2, sort_keys=True))
+        return 0 if all(r["ok"] for r in report.values()) else 1
 
     db = connect(args.dsn)
     out: TextIO = open(args.output, "w", encoding="utf-8") if args.output \
