@@ -5,7 +5,8 @@ from ..core.errors import ParamsError
 from ..core.payload import IndexDef
 from ..core.type_consts import FieldType, IndexType
 from .base import Index
-from .scalar import CompositeIndex, HashIndex, StoreIndex, TreeIndex, TtlIndex
+from .scalar import (CompositeIndex, HashIndex, StoreIndex, TreeIndex,
+                     TtlIndex, UuidIndex)
 
 
 def create_index(idef: IndexDef, mesh_ctx=None) -> Index:
@@ -23,6 +24,9 @@ def _create(idef: IndexDef) -> Index:
     if idef.is_composite:
         return CompositeIndex(idef, ordered=idef.index_type == IndexType.TREE)
     if idef.index_type == IndexType.HASH:
+        if idef.field_type == FieldType.UUID:
+            # dedicated 128-bit-key UUID index (uuid_index.cc)
+            return UuidIndex(idef)
         return HashIndex(idef)
     if idef.index_type == IndexType.TREE:
         return TreeIndex(idef)

@@ -1,23 +1,27 @@
 """Geometry point index (reference: cpp_src/core/index/rtree/).
 
-The reference builds an R-tree (5 split strategies: linear/quadratic/
-greene/rstar, indexrtree.cc) over 2-D points to serve DWithin. TPU-first
-re-design in two tiers:
+The reference builds a Guttman R-tree over 2-D points to serve DWithin,
+with four selectable split strategies (linear / quadratic / greene /
+rstar; indexrtree.cc wires MaxEntries 32 or 16, MinEntries 4, selected by
+IndexOpts.rtree_type). Two backends behind the same index:
 
-- small bases: one vectorized distance computation over all rows — the
-  branch-free batched analog of an R-tree range descent (bandwidth-bound,
-  beats pointer chasing at in-memory N);
-- large bases (>= _GRID_MIN points): a uniform GRID index — points bucket
-  into cells of side `cell`, sorted cell-major into a CSR, and DWithin
-  visits only the cells intersecting the query circle's bounding box, then
-  refines with the exact vectorized predicate. This is the array-friendly
-  equivalent of the R-tree's spatial pruning: contiguous CSR ranges
-  instead of tree nodes, no per-node branching, O(cells visited + output)
-  per query. The grid rebuilds lazily after mutations (same batch-commit
-  model as the vector indexes).
+- NATIVE (default when a compiler exists): a true array-pooled Guttman
+  R-tree in C++ (csrc/rtree_native.cpp) implementing all four reference
+  split strategies — incremental insert/delete with CondenseTree,
+  circle-vs-MBR DWithin descent. This is the reference's own data
+  structure and scaling (O(log n) descent), built native like the
+  reference's.
+- PYTHON fallback, two tiers (semantically identical results):
+  * small bases: one vectorized distance computation over all rows — the
+    branch-free batched analog of an R-tree range descent;
+  * large bases (>= _GRID_MIN points): a uniform GRID index — points
+    bucket into cells, sorted cell-major into a CSR, and DWithin visits
+    only the cells intersecting the query circle's bounding box, then
+    refines with the exact vectorized predicate.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -30,6 +34,24 @@ from .base import Index, SelectKeyResult
 _GRID_MIN = 8192      # below this a single vectorized scan wins
 _TARGET_PER_CELL = 64
 
+# reference split-strategy wiring (indexrtree.cc:136-160): linear and
+# quadratic use 32-entry nodes, greene and rstar 16-entry
+_SPLIT_CODES = {"linear": (0, 32), "quadratic": (1, 32),
+                "greene": (2, 16), "rstar": (3, 16)}
+
+_native = None
+_native_tried = False
+
+
+def _native_module():
+    global _native, _native_tried
+    if not _native_tried:
+        _native_tried = True
+        if os.environ.get("RX_RTREE_NATIVE", "1") not in ("0", "false"):
+            from .. import csrc
+            _native = csrc.load("rtree_native", "rtree_native.cpp")
+    return _native
+
 
 class RTreeIndex(Index):
     def __init__(self, definition: IndexDef):
@@ -39,6 +61,14 @@ class RTreeIndex(Index):
         self._size = 0
         self._grid: Optional[dict] = None
         self._dirty = True
+        self._tree = None
+        nat = _native_module()
+        if nat is not None:
+            code, max_entries = _SPLIT_CODES.get(
+                getattr(definition.opts, "rtree_type", "rstar"),
+                _SPLIT_CODES["rstar"])
+            self._tree = nat.rtree_new(code, max_entries)
+            self._nat = nat
 
     def _grow(self, need: int) -> None:
         if need <= len(self._pts):
@@ -55,16 +85,31 @@ class RTreeIndex(Index):
         self._size = max(self._size, row_id + 1)
         self._dirty = True
         if values is None:
+            if self._tree is not None and self._valid[row_id]:
+                old = self._pts[row_id]
+                self._nat.rtree_remove(self._tree, int(row_id),
+                                       float(old[0]), float(old[1]))
             self._valid[row_id] = False
             return
         pt = np.asarray(values, dtype=np.float64).reshape(-1)
         if pt.shape[0] != 2:
             raise QueryError("rtree point must have exactly 2 coordinates")
+        if self._tree is not None:
+            if self._valid[row_id]:
+                old = self._pts[row_id]
+                self._nat.rtree_remove(self._tree, int(row_id),
+                                       float(old[0]), float(old[1]))
+            self._nat.rtree_insert(self._tree, int(row_id),
+                                   float(pt[0]), float(pt[1]))
         self._pts[row_id] = pt
         self._valid[row_id] = True
 
     def delete(self, row_id: int, values: Any) -> None:
         if row_id < self._size:
+            if self._tree is not None and self._valid[row_id]:
+                old = self._pts[row_id]
+                self._nat.rtree_remove(self._tree, int(row_id),
+                                       float(old[0]), float(old[1]))
             self._valid[row_id] = False
             self._dirty = True
 
@@ -139,6 +184,13 @@ class RTreeIndex(Index):
         if condition == CondType.DWITHIN:
             (point, distance) = values
             center = np.asarray(point, dtype=np.float64).reshape(-1)
+            if self._tree is not None:
+                raw = self._nat.rtree_dwithin(
+                    self._tree, float(center[0]), float(center[1]),
+                    float(distance))
+                ids = np.frombuffer(raw, dtype=np.int32).astype(np.int64)
+                ids.sort()
+                return SelectKeyResult(ids)
             if self._dirty:
                 self._rebuild_grid()
             ids = self._dwithin_grid(center, float(distance))
@@ -160,8 +212,18 @@ class RTreeIndex(Index):
         self._size = 0
         self._grid = None
         self._dirty = True
+        if self._tree is not None:
+            code, max_entries = _SPLIT_CODES.get(
+                getattr(self.definition.opts, "rtree_type", "rstar"),
+                _SPLIT_CODES["rstar"])
+            self._tree = self._nat.rtree_new(code, max_entries)
 
     def memstat(self) -> dict:
-        return {"name": self.name,
-                "unique_keys_count": int(self._valid[: self._size].sum()),
-                "data_size": int(self._size * 16)}
+        out = {"name": self.name,
+               "unique_keys_count": int(self._valid[: self._size].sum()),
+               "data_size": int(self._size * 16)}
+        if self._tree is not None:
+            height, nodes, points = self._nat.rtree_stats(self._tree)
+            out["rtree"] = {"height": height, "nodes": nodes,
+                            "points": points}
+        return out

@@ -294,6 +294,30 @@ class StoreIndex(Index):
         pass
 
 
+class UuidIndex(HashIndex):
+    """Dedicated UUID hash index (reference: core/index/uuid_index.{h,cc} —
+    IndexUnordered specialized on 128-bit Uuid keys instead of strings,
+    core/keyvalue/uuid.cc ParseUuid for accepted forms).
+
+    Keys pack to one 128-bit int: vs the canonical 36-char dashed string
+    that's ~3x less key memory and single-word-pair hash/compare. Accepts
+    dashed or plain 32-hex input, case-insensitive; select results and the
+    comparator fallback (which reads canonicalized column strings) are
+    unchanged."""
+
+    def _keys_of(self, values: Any) -> list:
+        import uuid as _uuid
+        return [_uuid.UUID(coerce_scalar(v, FieldType.UUID)).int
+                for v in _as_iter(values)]
+
+    def memstat(self) -> dict:
+        return {"name": self.name, "unique_keys_count": len(self._post),
+                # 16-byte packed keys + 8-byte row ids
+                "data_size": (len(self._post) * 16
+                              + sum(len(s)
+                                    for s in self._post.sets.values()) * 8)}
+
+
 class TtlIndex(TreeIndex):
     """TTL index over int64 unix timestamps (reference:
     cpp_src/core/index/ttlindex.cc): rows whose value + expire_after < now

@@ -519,6 +519,7 @@ def test_rtree_grid_parity(rng):
     from reindexer_tpu.index.rtree import RTreeIndex, _GRID_MIN
 
     idx = RTreeIndex(_ID("pt", "rtree", "point"))
+    idx._tree = None        # force the Python grid backend under test
     n = _GRID_MIN * 2
     pts = rng.uniform(-50, 50, size=(n, 2))
     for i in range(n):
