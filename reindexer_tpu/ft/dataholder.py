@@ -318,6 +318,24 @@ class FtDataHolder:
         """C++ FT helpers (csrc/ft_native.cpp) or None (pure-Python path)."""
         return _native_module()
 
+    def match_positions(self, wids, doc: int, field_idx: int) -> np.ndarray:
+        """Token positions of the given words in (doc, field) — the
+        AreaHolder analog (reference: core/ft/areaholder.h — the merge
+        carries per-doc matched positions; highlight maps them to byte
+        offsets). Resolved from the positions CSR only for docs actually
+        being rendered."""
+        parts = []
+        for wid in wids:
+            s, e = self.posting_range(int(wid))
+            lo = s + int(np.searchsorted(self.post_doc[s:e], doc, "left"))
+            hi = s + int(np.searchsorted(self.post_doc[s:e], doc, "right"))
+            for p in range(lo, hi):
+                if int(self.post_field[p]) == field_idx:
+                    parts.append(self.positions_of(p))
+        if not parts:
+            return np.empty(0, dtype=np.int32)
+        return np.unique(np.concatenate(parts))
+
     def posting_range(self, wid: int) -> tuple[int, int]:
         return int(self.word_start[wid]), int(self.word_start[wid + 1])
 

@@ -2,10 +2,17 @@
 
 Semantic equivalents of the reference's select functions
 (cpp_src/core/ft/functions/: highlight.cc, snippet.cc, ft_function.cc)
-applied to result items. Instead of materialized area lists, matched-word
-sets flow from the selector (selector.py FtSelectResult.matched_words) and
-documents are re-tokenized with char offsets on demand (cheap: only the
-returned page is processed).
+applied to result items.
+
+Source-offset fidelity (reference: ft/areaholder.h — the merge carries
+per-doc matched AREAS): for FT-indexed fields the matched token POSITIONS
+resolve from the postings' positions CSR (RankSource.area_sources ->
+FtDataHolder.match_positions), and highlight maps positions to char spans
+by re-tokenizing only the rendered page with the exact index tokenization
+(stop words skipped without consuming a position). A word that matched in
+field A therefore does NOT highlight in field B, mirroring the reference's
+per-field areas. Non-FT-indexed display fields fall back to matched-word
+set highlighting.
 
 Function string format mirrors the Go connector (query.go Functions()):
     field = highlight(<b>,</b>)
@@ -51,12 +58,35 @@ def apply_select_function(ns, fn_str: str, items: list,
         _split_args(m.group("args"))
 
     matched: set = set()
+    area_sources: list = []
     for src in sources.values():
         mw = getattr(src, "matched_words", None)
         if mw:
             matched |= mw
+        asrc = getattr(src, "area_sources", None)
+        if asrc:
+            area_sources.extend(asrc)
     if not matched:
         return
+
+    def spans_of(it, text):
+        """Positionally-exact spans from the areas when the field is
+        FT-indexed (areaholder.h semantics); word-set spans otherwise."""
+        positional = False
+        positions: set = set()
+        cfg = None
+        for holder, wids, searched in area_sources:
+            if field in holder.field_names and wids:
+                positional = True
+                cfg = holder.cfg
+                f_idx = holder.field_names.index(field)
+                if searched is not None and f_idx not in searched:
+                    continue        # field not targeted by the query
+                pos = holder.match_positions(wids, int(it.row_id), f_idx)
+                positions.update(int(p) for p in pos)
+        if not positional:
+            return _match_spans(text, matched)
+        return _match_spans_positional(text, positions, cfg)
 
     if fn == "highlight":
         if len(args) < 2:
@@ -66,7 +96,8 @@ def apply_select_function(ns, fn_str: str, items: list,
             text = get_json_path(it.doc, field)
             if isinstance(text, str):
                 set_json_path(it.doc, field,
-                              _highlight(text, matched, pre, post))
+                              _highlight(text, pre, post,
+                                         spans_of(it, text)))
     elif fn in ("snippet", "snippet_n"):
         if len(args) < 4:
             raise QueryError(
@@ -78,8 +109,8 @@ def apply_select_function(ns, fn_str: str, items: list,
             text = get_json_path(it.doc, field)
             if isinstance(text, str):
                 set_json_path(it.doc, field,
-                              _snippet(text, matched, pre, post, before,
-                                       after, delim))
+                              _snippet(text, pre, post, before,
+                                       after, delim, spans_of(it, text)))
     elif fn == "debug_rank":
         for it in items:
             if it.rank is not None:
@@ -96,8 +127,30 @@ def _match_spans(text: str, matched: set) -> list[tuple[int, int]]:
     return spans
 
 
-def _highlight(text: str, matched: set, pre: str, post: str) -> str:
-    spans = _match_spans(text, matched)
+def _match_spans_positional(text: str, positions: set,
+                            cfg) -> list[tuple[int, int]]:
+    """Char spans of the tokens at the given index positions — the index
+    numbered kept (non-stop) tokens per field, so stop tokens are skipped
+    without consuming a position (dataholder._collect_python)."""
+    if not positions:
+        return []
+    from .mmseg import segmenter_for_config
+    extra = cfg.extra_word_symbols if cfg else "-/+_`'"
+    stop = cfg.stop_words if cfg else ()
+    seg = segmenter_for_config(cfg) if cfg else None
+    spans = []
+    p = 0
+    for tok, s, e in tokenize_with_offsets(text, extra, seg):
+        if stop and tok in stop:
+            continue
+        if p in positions:
+            spans.append((s, e))
+        p += 1
+    return spans
+
+
+def _highlight(text: str, pre: str, post: str,
+               spans: list[tuple[int, int]]) -> str:
     if not spans:
         return text
     out, last = [], 0
@@ -111,10 +164,10 @@ def _highlight(text: str, matched: set, pre: str, post: str) -> str:
     return "".join(out)
 
 
-def _snippet(text: str, matched: set, pre: str, post: str,
+def _snippet(text: str, pre: str, post: str,
              before: int, after: int, delim: str,
+             spans: list[tuple[int, int]],
              max_areas: int = 5) -> str:
-    spans = _match_spans(text, matched)
     if not spans:
         return ""
     # merge overlapping context windows (reference: areas merge,

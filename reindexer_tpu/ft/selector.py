@@ -55,6 +55,12 @@ class FtSelectResult:
     ranks: np.ndarray          # float32 0..255 (reference rank scale)
     matched_words: set         # vocabulary words that produced matches
     holder: Optional[FtDataHolder] = None
+    # vocabulary word ids behind matched_words: with the holder they
+    # resolve source-offset areas for highlight/snippet (areaholder.h)
+    matched_wids: set = dataclasses.field(default_factory=set)
+    # field indices actually searched (None = all): areas exclude fields
+    # the query did not target (reference: per-field merge areas)
+    searched_fields: Optional[set] = None
 
 
 class FtSelector:
@@ -124,6 +130,7 @@ class FtSelector:
         run_start_p, run_len_p, run_term_p = [], [], []
         run_w_p, run_idf_p = [], []
         matched_words: set = set()
+        matched_wids: set = set()
         bm25_type = cfg.bm25.bm25_type
         for t_idx, var in enumerate(variants):
             if not var:
@@ -140,6 +147,7 @@ class FtSelector:
             if terms[t_idx].op != "not":
                 for w in wids:
                     matched_words.add(h.words[w])
+                    matched_wids.add(int(w))
             nz = lens > 0
             run_start_p.append(starts[nz].astype(np.int64))
             run_len_p.append(lens[nz])
@@ -164,6 +172,7 @@ class FtSelector:
         return {
             "terms": terms, "variants": variants,
             "matched_words": matched_words,
+            "matched_wids": matched_wids,
             "run_start": run_start, "run_len": run_len,
             "run_term": np.concatenate(run_term_p),
             "run_w": np.concatenate(run_w_p),
@@ -343,14 +352,21 @@ class FtSelector:
             if len(docs) == 0:
                 return empty
 
+        wids = prep["matched_wids"]
+        searched = None
+        if q.fields:
+            fbv = self._field_params(q)[0]
+            searched = {i for i in range(len(h.field_names)) if fbv[i] > 0}
         if not normalize:
             # raw docRank sums (merged/normalized by the caller — the
             # incremental-step merge in index/text.py)
             return FtSelectResult(docs.astype(np.int64),
                                   scores.astype(np.float32),
-                                  matched_words, h)
+                                  matched_words, h, matched_wids=wids,
+                                  searched_fields=searched)
         docs, ranks = normalize_ranks(docs, scores, cfg.min_rank)
-        return FtSelectResult(docs, ranks, matched_words, h)
+        return FtSelectResult(docs, ranks, matched_words, h,
+                              matched_wids=wids, searched_fields=searched)
 
     # ------------------------------------------------------------------
     # Mesh-resident scoring (engine-integrated P8): postings doc-sharded
@@ -747,7 +763,8 @@ class FtSelector:
                                               d)
                     s, d = s[pm], d[pm]
                 d2, ranks = normalize_ranks(d, s, cfg.min_rank)
-                out[i] = FtSelectResult(d2, ranks, p["matched_words"], h)
+                out[i] = FtSelectResult(d2, ranks, p["matched_words"], h,
+                                        matched_wids=p["matched_wids"])
 
         if dense_handle is not None:
             sv, sdc, ovf = jax.device_get(dense_handle)
@@ -766,7 +783,8 @@ class FtSelector:
                                               d)
                     s, d = s[pm], d[pm]
                 d2, ranks = normalize_ranks(d, s, cfg.min_rank)
-                out[i] = FtSelectResult(d2, ranks, p["matched_words"], h)
+                out[i] = FtSelectResult(d2, ranks, p["matched_words"], h,
+                                        matched_wids=p["matched_wids"])
         return out
 
     def _batch_sorted(self, preps, live, n_q, t_count, cap, merge_k,

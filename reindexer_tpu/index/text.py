@@ -159,6 +159,11 @@ class FullTextIndex(Index):
             self._selector = FtSelector(self.holder, self.cfg, self._mesh_ctx)
         res = self._selector.process(dsl, normalize=False)
         ids, scores, matched = res.ids, res.ranks, res.matched_words
+        # source-offset area resolvers (reference: areaholder.h): each
+        # (holder, matched word ids) pair maps a rendered doc + field to
+        # the token positions that actually matched
+        area_sources = [(self.holder, res.matched_wids,
+                         res.searched_fields)]
         if self._overridden:
             keep = np.asarray([int(i) not in self._overridden for i in ids],
                               dtype=bool)
@@ -172,11 +177,13 @@ class FullTextIndex(Index):
             ids = np.concatenate([ids, d.ids])
             scores = np.concatenate([scores, d.ranks])
             matched = matched | d.matched_words
+            area_sources.append((self._delta_holder, d.matched_wids,
+                                 d.searched_fields))
             order = np.argsort(-scores, kind="stable")
             ids, scores = ids[order], scores[order]
         ids, ranks = normalize_ranks(ids, scores, self.cfg.min_rank)
         out = SelectKeyResult(ids, ranks, RankOrdering.DESC)
-        out.aux = {"matched_words": matched}
+        out.aux = {"matched_words": matched, "area_sources": area_sources}
         self._cache[dsl] = out
         while len(self._cache) > _CACHE_SIZE:
             self._cache.popitem(last=False)

@@ -567,7 +567,8 @@ class Selecter:
                              ranks=(res.ranks if res.ranks is not None
                                     else np.zeros(len(res.ids), dtype=np.float32)),
                              ordering=res.ordering,
-                             matched_words=(res.aux or {}).get("matched_words"))
+                             matched_words=(res.aux or {}).get("matched_words"),
+                             area_sources=(res.aux or {}).get("area_sources"))
             return self._ids_to_mask(res.ids, cap), src
 
         if index is not None and index.supports(entry.condition):
@@ -1272,7 +1273,14 @@ class Selecter:
     def _apply_select_functions(self, ns: Namespace, q: Query,
                                 items: list[ResultItem],
                                 sources: dict[str, RankSource]) -> None:
+        import copy
         from ..ft.functions import apply_select_function
+        # select functions rewrite result docs in place — detach them from
+        # the namespace's stored documents first, or a highlight() would
+        # permanently corrupt storage (reference renders into the result
+        # payload, never the item store)
+        for it in items:
+            it.doc = copy.deepcopy(it.doc)
         for fn in q.select_functions:
             apply_select_function(ns, fn, items, sources)
 

@@ -36,6 +36,9 @@ class RankSource:
     ordering: RankOrdering
     # FT: vocabulary words that matched (drives highlight/snippet)
     matched_words: Optional[set] = None
+    # FT: [(holder, matched word ids)] — source-offset areas for
+    # positionally-exact highlight (reference: ft/areaholder.h)
+    area_sources: Optional[list] = None
 
     def _index_of(self, rows: np.ndarray) -> np.ndarray:
         """Vectorized position lookup: index into self.ids per row, -1 for

@@ -508,3 +508,48 @@ def test_sorted_scorer_matches_dense():
         for q, a, b in zip(queries, dense_b, sortd_b):
             assert sorted(a.ids.tolist()) == sorted(b.ids.tolist()), \
                 f"batch ids diverge for {q!r}"
+
+
+def test_highlight_field_area_fidelity():
+    """Source-offset areas (reference: ft/areaholder.h): a field-scoped
+    match highlights only in the field where it matched — the same word
+    appearing in a non-matching context of another field is untouched."""
+    db = make_db()
+    db.upsert("docs", {"id": 50, "title": "orange juice",
+                       "body": "the word orange also appears here"})
+    # search restricted to title: body occurrences must NOT highlight
+    res = db.select(Query("docs").match("ft", "@title orange")
+                    .functions("body = highlight(<b>,</b>)"))
+    doc = [d for d in res.docs() if d["id"] == 50][0]
+    assert "<b>" not in doc["body"], doc["body"]
+    res2 = db.select(Query("docs").match("ft", "@title orange")
+                     .functions("title = highlight(<b>,</b>)"))
+    doc2 = [d for d in res2.docs() if d["id"] == 50][0]
+    assert doc2["title"] == "<b>orange</b> juice"
+    db.delete("docs", {"id": 50})
+
+
+def test_highlight_positional_stop_words():
+    """Positions skip stop words at index time; the highlight position walk
+    must count identically (dataholder._collect_python parity)."""
+    from reindexer_tpu.ft.config import FtFastConfig
+    cfg = {"stop_words": ["the", "a"]}
+    db = make_db(ft_config=cfg)
+    db.upsert("docs", {"id": 51, "title": "the quick brown dog",
+                       "body": "a dog sat on the mat"})
+    res = db.select(Query("docs").match("ft", "dog mat")
+                    .functions("body = highlight([,])"))
+    doc = [d for d in res.docs() if d["id"] == 51][0]
+    assert doc["body"] == "a [dog] sat on the [mat]", doc["body"]
+
+
+def test_select_functions_do_not_mutate_storage():
+    """highlight()/snippet() render into the RESULT page only — the stored
+    document must stay pristine (reference renders into the payload copy)."""
+    db = make_db()
+    db.upsert("docs", {"id": 60, "title": "t", "body": "orange here"})
+    db.select(Query("docs").match("ft", "orange")
+              .functions("body = highlight([,])"))
+    r = db.select(Query("docs").where("id", "=", 60))
+    assert r.docs()[0]["body"] == "orange here"
+    db.delete("docs", {"id": 60})
