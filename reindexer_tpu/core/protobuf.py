@@ -200,6 +200,93 @@ def encode_item(ns, doc: dict, fields=None) -> bytes:
     return bytes(out)
 
 
+def _decode_varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def decode_item(ns, data: bytes, fields=None) -> dict:
+    """proto3 message bytes -> document dict (inverse of encode_item;
+    reference analog: Item::FromProtobuf via the served schema). Unknown
+    field numbers are skipped; the trailing `_extra` JSON field is folded
+    back into the document."""
+    if fields is None:
+        fields = _ns_fields(ns)
+    by_num = {num: (fname, ptype, rep) for num, fname, ptype, rep in fields}
+    doc: dict[str, Any] = {}
+    pos = 0
+    n = len(data)
+    while pos < n:
+        tag, pos = _decode_varint(data, pos)
+        num, wt = tag >> 3, tag & 7
+        ent = by_num.get(num)
+        if wt == _WT_VARINT:
+            raw, pos = _decode_varint(data, pos)
+            if ent is None:
+                continue
+            fname, ptype, rep = ent
+            v: Any = (bool(raw) if ptype == "bool"
+                      else _unzigzag(raw) if ptype == "sint64" else raw)
+            _dec_store(doc, fname, v, rep)
+        elif wt == _WT_I64:
+            if ent is not None:
+                _dec_store(doc, ent[0],
+                           struct.unpack_from("<d", data, pos)[0], ent[2])
+            pos += 8
+        elif wt == _WT_I32:
+            if ent is not None:
+                _dec_store(doc, ent[0],
+                           struct.unpack_from("<f", data, pos)[0], ent[2])
+            pos += 4
+        elif wt == _WT_LEN:
+            ln, pos = _decode_varint(data, pos)
+            raw = data[pos: pos + ln]
+            pos += ln
+            if ent is None:
+                continue
+            fname, ptype, rep = ent
+            if fname == _EXTRA_FIELD:
+                try:
+                    doc.update(json.loads(raw.decode("utf-8")))
+                except Exception:
+                    pass
+            elif ptype == "float":            # packed floats (vector)
+                doc[fname] = list(
+                    struct.unpack(f"<{ln // 4}f", raw))
+            elif ptype == "double":           # packed doubles
+                for i in range(0, ln, 8):
+                    _dec_store(doc, fname,
+                               struct.unpack_from("<d", raw, i)[0], True)
+            elif ptype == "sint64":           # packed varints
+                p = 0
+                while p < ln:
+                    x, p = _decode_varint(raw, p)
+                    _dec_store(doc, fname, _unzigzag(x), True)
+            else:
+                _dec_store(doc, fname, raw.decode("utf-8"), rep)
+        else:
+            raise ValueError(f"bad wire type {wt}")
+    return doc
+
+
+def _dec_store(doc: dict, fname: str, v: Any, rep: bool) -> None:
+    if rep:
+        doc.setdefault(fname, []).append(v)
+    else:
+        doc[fname] = v
+
+
 def encode_query_results(ns, payload: dict) -> bytes:
     """JSON-shaped query-result envelope -> QueryResults message bytes
     (reference: httpserver.cc:1752 queryResultsProtobuf)."""
