@@ -76,18 +76,25 @@ def _build_score_fn():
     @functools.partial(
         jax.jit,
         static_argnames=("T", "V", "merge_k", "use_prox", "use_fm",
-                         "chunks", "seg", "m_per_seg"))
+                         "chunks", "seg", "m_per_seg", "packed"))
     def dense_score_select(S, M, FW, searched, idx, w, notm, must,
                            n_must, n_pos, scalars,
                            T: int, V: int, merge_k: int,
                            use_prox: bool, use_fm: bool, chunks: int,
-                           seg: int, m_per_seg: int):
+                           seg: int, m_per_seg: int, packed: bool = False):
         """S/M: [G+1, cap] resident folds; FW: [F, cap] field word counts;
         idx [B,T,V] i32 slots (G = padding), w [B,T,V] f32 rboost (0 = pad),
         notm/must [B,T] bool, n_must/n_pos [B] i32,
-        scalars = [c1, c2, fm_boost] f32.
+        scalars = [c1, c2, fm_boost, min_rank] f32.
         Returns (top scores [B, merge_k] f32, top docs [B, merge_k] i32
-        (-1 = none), overflow [B] bool)."""
+        (-1 = none), overflow [B] bool); with packed=True the scores/docs
+        pair is replaced by ONE i32 array (normalized rank byte << 24 |
+        doc, -1 = none) — the tunnel's device->host download is the
+        serving bottleneck at ~33 MB/s, and the reference's own rank
+        contract is an integer 0..255 (mergerimpl.h:107 docRank), so the
+        byte rank halves the bytes without leaving reference fidelity.
+        The min_rank cut happens HERE in exact f32 (same arithmetic as
+        selector.normalize_ranks), so returned doc SETS stay exact."""
         B = idx.shape[0]
         cap = S.shape[1]
         C = cap // chunks
@@ -180,6 +187,15 @@ def _build_score_fn():
             segm = top_v[:, :, m_per_seg - 1]
             ovf = jnp.any((segm > 0.0) & (segm >= kth[:, None]), axis=1)
         sel_d = jnp.where(sel_v > 0.0, sel_d, -1)
+        if packed:
+            # sel_v is sorted desc, so column 0 is allmax; mirror
+            # normalize_ranks: rank = score * (255 / max(allmax, 1e-30))
+            smax = sel_v[:, :1]
+            rank = sel_v * (255.0 / jnp.maximum(smax, 1e-30))
+            keep = (sel_d >= 0) & (rank >= scalars[3])
+            byte = jnp.clip(jnp.round(rank), 0.0, 255.0).astype(jnp.int32)
+            pk = jnp.where(keep, (byte << 24) | sel_d, jnp.int32(-1))
+            return pk, ovf
         return sel_v, sel_d, ovf
 
     return dense_score_select
@@ -296,11 +312,13 @@ class FtDeviceDense:
 
     # ------------------------------------------------------------------
     def dispatch_batch(self, packs: list[dict], merge_k: int,
-                       use_prox: bool, use_fm: bool):
+                       use_prox: bool, use_fm: bool, packed: bool = False):
         """Run a batch of packed queries in ONE device program. Returns
         DEVICE arrays (scores [B, merge_k] f32, docs [B, merge_k] i32,
         ovf [B] bool) — drain with jax.device_get when needed; callers must
-        re-route ovf rows to the host merge."""
+        re-route ovf rows to the host merge. With packed=True (requires
+        self.packable) the pair collapses to one i32 rank-byte|doc array
+        (half the ~33 MB/s tunnel download; see dense_score_select)."""
         import jax.numpy as jnp
 
         h, cfg = self.holder, self.cfg
@@ -326,7 +344,7 @@ class FtDeviceDense:
         scalars = np.asarray(
             [1.0 - cfg.distance_weight,
              cfg.distance_boost * cfg.distance_weight,
-             cfg.full_match_boost], np.float32)
+             cfg.full_match_boost, cfg.min_rank], np.float32)
         dev = h.device_arrays()
         seg = min(_SEG, self.cap)
         mk = min(merge_k, self.cap)
@@ -342,6 +360,16 @@ class FtDeviceDense:
                 and rows * (self.cap // chunks) * 4 > (1 << 26):
             chunks *= 2
         fn = _get_score_fn()
+        if packed:
+            assert self.packable, "packed mode needs cap <= 2^23"
+            pk, ovf = fn(
+                self.S, self.M, dev["field_words"], self._searched,
+                jnp.asarray(idx), jnp.asarray(w), jnp.asarray(notm),
+                jnp.asarray(must), jnp.asarray(n_must), jnp.asarray(n_pos),
+                jnp.asarray(scalars),
+                T=T, V=V, merge_k=mk, use_prox=use_prox, use_fm=use_fm,
+                chunks=chunks, seg=seg, m_per_seg=m_per_seg, packed=True)
+            return pk, ovf
         sv, sd, ovf = fn(
             self.S, self.M, dev["field_words"], self._searched,
             jnp.asarray(idx), jnp.asarray(w), jnp.asarray(notm),
@@ -350,6 +378,23 @@ class FtDeviceDense:
             T=T, V=V, merge_k=mk, use_prox=use_prox, use_fm=use_fm,
             chunks=chunks, seg=seg, m_per_seg=m_per_seg)
         return sv, sd, ovf
+
+    @property
+    def packable(self) -> bool:
+        """The packed download encodes docs in 24 bits and reserves the
+        all-ones word for "none": safe while cap <= 2^23 (doc ids then
+        never fill the low 24 bits)."""
+        return self.cap <= (1 << 23)
+
+    @staticmethod
+    def unpack_row(pk_row: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """One packed i32 row -> (ranks f32 0..255, docs i64), valid
+        prefix only (rows are sorted rank desc / doc asc on device)."""
+        valid = pk_row != -1
+        pk = pk_row[valid].astype(np.int64)
+        ranks = ((pk >> 24) & 0xFF).astype(np.float32)
+        docs = pk & 0xFFFFFF
+        return ranks, docs
 
     def score_batch(self, packs: list[dict], merge_k: int, use_prox: bool,
                     use_fm: bool):

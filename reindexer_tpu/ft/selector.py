@@ -273,7 +273,14 @@ class FtSelector:
                 not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields):
             # frequent-word queries whose variants are all device-resident
             # run the dense device scorer (device_dense.py, VERDICT r3 #5)
-            dense = self._try_dense(q, prep, merge_k, use_prox, use_fm)
+            dense = self._try_dense(q, prep, merge_k, use_prox, use_fm,
+                                    normalize=normalize)
+            if dense is not None and dense[0] == "norm":
+                # device already normalized + min_rank-cut (packed
+                # download); no phrase queries take this route
+                _, ranks, docs = dense
+                return FtSelectResult(docs, ranks, matched_words, h,
+                                      matched_wids=prep["matched_wids"])
             if dense is None:
                 host = self._score_host(q, prep, merge_k=merge_k,
                                         use_prox=use_prox, use_fm=use_fm,
@@ -284,7 +291,7 @@ class FtSelector:
                 (fb, bb, bw, pb, pw), merge_k, use_prox, use_fm,
                 n_pos_terms)
         elif dense is not None:
-            scores, docs = dense
+            scores, docs = dense[1], dense[2]
         elif host is not None:
             scores, docs = host
         elif cfg.sum_ranks_by_fields_ratio > 0 and sum_fields:
@@ -632,10 +639,14 @@ class FtSelector:
         return self._ddense
 
     def _try_dense(self, q, prep, merge_k: int, use_prox: bool,
-                   use_fm: bool):
+                   use_fm: bool, normalize: bool = True):
         """Single-query device-dense route; None -> host/device fallback.
         Single-TERM queries always stay on host: its one-pass merge +
-        per-word materialized top-k cache beat a device round-trip."""
+        per-word materialized top-k cache beat a device round-trip.
+        Returns ("norm", ranks, docs) when the device also normalized +
+        min_rank-cut (packed download: half the tunnel bytes), else
+        ("raw", scores, docs)."""
+        import jax
         from .device_dense import DEVICE_MIN_SINGLE
         if (prep.get("_no_dense") or q.fields
                 or len(prep["must"]) < 2
@@ -647,11 +658,20 @@ class FtSelector:
         pack = dd.pack_query(prep)
         if pack is None:
             return None
+        packed = normalize and not q.phrase_distance and dd.packable
+        if packed:
+            pk, ovf = jax.device_get(dd.dispatch_batch(
+                [pack], merge_k, use_prox, use_fm, packed=True))
+            if bool(np.asarray(ovf)[0]):
+                prep["_no_dense"] = True  # exactness fallback
+                return None
+            ranks, docs = dd.unpack_row(np.asarray(pk)[0])
+            return "norm", ranks, docs
         sv, sd, ovf = dd.score_batch([pack], merge_k, use_prox, use_fm)
         if bool(ovf[0]):
             prep["_no_dense"] = True      # exactness fallback
             return None
-        return sv[0], sd[0]
+        return "raw", sv[0], sd[0]
 
     # ------------------------------------------------------------------
     def process_batch(self, dsls: list[str]) -> list[FtSelectResult]:
@@ -706,14 +726,20 @@ class FtSelector:
         # dispatch the dense-frequent program before anything blocks (its
         # device work pipelines behind bucket dispatches + host merges)
         dense_handle = None
+        dense_packed = False
         if dense_pairs:
             prox_d = (cfg.distance_weight > 0.0
                       and any(len(preps[i]["terms"]) > 1
                               for i, _ in dense_pairs))
+            # packed download (rank byte | doc in one i32) halves the
+            # ~33 MB/s tunnel drain — the batched-serving bottleneck;
+            # phrase queries need raw scores for post-verify renormalize
+            dense_packed = (dd.packable and not any(
+                queries[i].phrase_distance for i, _ in dense_pairs))
             dense_handle = dd.dispatch_batch(
                 [p for _, p in dense_pairs],
                 min(cfg.merge_limit, dd.cap), prox_d,
-                cfg.full_match_boost != 1.0)
+                cfg.full_match_boost != 1.0, packed=dense_packed)
 
         out: list[Optional[FtSelectResult]] = [empty] * len(queries)
         buckets: dict[int, list[int]] = {}
@@ -766,7 +792,19 @@ class FtSelector:
                 out[i] = FtSelectResult(d2, ranks, p["matched_words"], h,
                                         matched_wids=p["matched_wids"])
 
-        if dense_handle is not None:
+        if dense_handle is not None and dense_packed:
+            pk, ovf = jax.device_get(dense_handle)
+            pk, ovf = np.asarray(pk), np.asarray(ovf)
+            for j, (i, _) in enumerate(dense_pairs):
+                q, p = queries[i], preps[i]
+                if bool(ovf[j]):
+                    p["_no_dense"] = True      # exactness fallback
+                    out[i] = self.process_query(q, _prep=p)
+                    continue
+                ranks, d2 = dd.unpack_row(pk[j])
+                out[i] = FtSelectResult(d2, ranks, p["matched_words"], h,
+                                        matched_wids=p["matched_wids"])
+        elif dense_handle is not None:
             sv, sdc, ovf = jax.device_get(dense_handle)
             sv, sdc, ovf = np.asarray(sv), np.asarray(sdc), np.asarray(ovf)
             for j, (i, _) in enumerate(dense_pairs):

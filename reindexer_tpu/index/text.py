@@ -157,6 +157,21 @@ class FullTextIndex(Index):
         self.commit()
         if self._selector is None:
             self._selector = FtSelector(self.holder, self.cfg, self._mesh_ctx)
+        # steady state (no delta holder to merge, no overridden rows):
+        # let the selector normalize — that unlocks the device-dense
+        # packed download (rank byte | doc in one i32, half the tunnel
+        # bytes; device_dense.py) for frequent-word queries
+        if self._delta_holder is None and not self._overridden \
+                and not self._delta_docs:
+            res = self._selector.process(dsl)
+            out = SelectKeyResult(res.ids, res.ranks, RankOrdering.DESC)
+            out.aux = {"matched_words": res.matched_words,
+                       "area_sources": [(self.holder, res.matched_wids,
+                                         res.searched_fields)]}
+            self._cache[dsl] = out
+            while len(self._cache) > _CACHE_SIZE:
+                self._cache.popitem(last=False)
+            return out
         res = self._selector.process(dsl, normalize=False)
         ids, scores, matched = res.ids, res.ranks, res.matched_words
         # source-offset area resolvers (reference: areaholder.h): each

@@ -169,4 +169,6 @@ def test_merge_k_boundary_pruned():
         os.environ.pop("RX_FT_DEVICE_DENSE", None)
     assert len(got.ids) == len(want.ids) == 64
     assert got.ids.tolist() == want.ids.tolist()
-    np.testing.assert_allclose(got.ranks, want.ranks, rtol=1e-4)
+    # packed download quantizes ranks to the reference's integer 0..255
+    # scale (mergerimpl.h docRank) — ids/order stay exact
+    np.testing.assert_allclose(got.ranks, want.ranks, atol=0.5)

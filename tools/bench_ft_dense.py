@@ -57,9 +57,13 @@ def main():
     print(f"# warm single (build+upload+compile): "
           f"{time.perf_counter()-t0:.1f}s results={len(r.ids)}",
           file=sys.stderr, flush=True)
-    dd = sel._ddense
-    print(f"# dense resident words={len(dd.wid2slot) if dd else 0} "
-          f"cap={dd.cap if dd else 0}", file=sys.stderr, flush=True)
+    # the single-query route keeps G<2M on the host by design
+    # (DEVICE_MIN_SINGLE); force-build the resident matrices so the
+    # dispatch/drain split below measures the device path directly
+    dd = sel._device_dense()
+    assert dd is not None and dd.ensure_built(), "dense build failed"
+    print(f"# dense resident words={len(dd.wid2slot)} cap={dd.cap}",
+          file=sys.stderr, flush=True)
 
     # dispatch/drain split at B=16 to see where time goes
     preps = [sel._prepare(sel_parse(q)) for q in freq[:16]]
