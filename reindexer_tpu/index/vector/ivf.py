@@ -222,7 +222,7 @@ class IvfIndex(FloatVectorIndexBase):
                              * (self._d_perm >= 0)[:, None])
 
 
-    def _stage2(self, qd, nprobe: int, k):
+    def _stage2(self, qd, nprobe: int, k, q_host=None):
         """Candidate scoring. Default: SEGMENT SCAN over the list-contiguous
         reorder — the Pallas pipeline DMAs exactly the probed 128-row blocks
         at HBM bandwidth, so cost scales with nprobe (ops/ivf_kernels.
@@ -243,21 +243,46 @@ class IvfIndex(FloatVectorIndexBase):
             return scan_lists_batch(
                 qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
                 cand, ok, kk, self.metric)
+        nlist = self.centroids.shape[0]
+        npb = min(nprobe, nlist)
+        # stage 1 on the host centroid mirror by default: the table is
+        # ~3 MB and the matmul ~25 MFLOP at batch 16, while a device
+        # probe costs a full dispatch+readback round trip (~24 ms
+        # measured) that serializes ahead of stage 2
+        if os.environ.get("RX_IVF_HOST_STAGE1", "1") in ("0", "false"):
+            probes = np.asarray(probe_centroids(
+                qd, self.centroids, npb, self.metric))
+        else:
+            # q_host avoids a device->host round-trip on the just-uploaded
+            # query batch (np.asarray of a device array costs a tunnel RTT)
+            probes = self._probe_host(
+                q_host if q_host is not None else np.asarray(qd), npb)
         use_segments = os.environ.get("RX_IVF_SEGMENTS", "1") not in (
             "0", "false")
         if use_segments:
+            # cost-based route: segment DMA moves 128-row blocks at
+            # ~10-20 GB/s effective (measured, tools/probe_ivf_phases),
+            # the masked full sweep reads contiguously at ~819 GB/s —
+            # segments only win when the probed fraction (batch-summed,
+            # probe sets of distinct queries do not dedup) is tiny
+            penalty = float(os.environ.get("RX_IVF_SEG_PENALTY", "48"))
+            seg_rows = None
+            if getattr(self, "_seg_blocks", None) is not None:
+                from ...ops.ivf_kernels import SEG_BLK
+                seg_rows = int(self._seg_blocks[probes].sum()) * SEG_BLK
+            seg_wins = (seg_rows is not None
+                        and seg_rows * penalty < self.keeper.capacity)
             try:
-                if jax.default_backend() == "tpu":
-                    return self._stage2_segments(qd, nprobe, k)
+                if seg_wins and jax.default_backend() == "tpu":
+                    return self._stage2_segments(qd, nprobe, k,
+                                                 probes=probes)
             except Exception:
                 pass
             if os.environ.get("RX_IVF_SEGMENTS", "") in ("1", "true"):
                 # explicit opt-in (tests): interpret-mode segments
-                return self._stage2_segments(qd, nprobe, k, interpret=True)
-        nlist = self.centroids.shape[0]
-        probes = probe_centroids(qd, self.centroids,
-                                 min(nprobe, nlist), self.metric)
-        sel = probe_mask(probes, nlist)
+                return self._stage2_segments(qd, nprobe, k, probes=probes,
+                                             interpret=True)
+        sel = probe_mask(jnp.asarray(probes), nlist)
         kk = _pow2(min(k, self.keeper.capacity), 16)
         return scan_probed_full(
             qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
@@ -287,39 +312,78 @@ class IvfIndex(FloatVectorIndexBase):
         return fn(qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
                   self._d_assign, sel)
 
-    def _stage2_segments(self, qd, nprobe: int, k: int, interpret=False):
+    def _host_centroids(self) -> np.ndarray:
+        """Host mirror of the (tiny) centroid table, refreshed whenever
+        the device array identity changes (train/rebuild)."""
+        c = getattr(self, "_c_np", None)
+        if c is None or c[0] is not self.centroids:
+            self._c_np = (self.centroids, np.asarray(self.centroids))
+        return self._c_np[1]
+
+    def _probe_host(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        """Stage 1 on host: the centroid table is ~3 MB and the matmul is
+        ~25 MFLOP at batch 16 — a device round-trip through the ~30 ms-RTT
+        tunnel costs more than computing it here (measured: the r4 ivf1m
+        capture was FLAT ~55 qps across nprobe because fixed per-select
+        overheads, led by the probe dispatch+readback, swamped the
+        probe-proportional DMA)."""
+        cn = self._host_centroids()
+        nlist = cn.shape[0]
+        npb = min(nprobe, nlist)
+        dots = q @ cn.T
+        if self.metric == VectorMetric.L2:
+            dots = 2.0 * dots - np.sum(cn * cn, axis=1)[None, :]
+        part = np.argpartition(-dots, npb - 1, axis=1)[:, :npb]
+        order = np.argsort(-np.take_along_axis(dots, part, axis=1),
+                           kind="stable", axis=1)
+        return np.take_along_axis(part, order, axis=1).astype(np.int32)
+
+    def _stage2_segments(self, qd, nprobe: int, k: int, probes=None,
+                         interpret=False):
         """Probe-proportional stage 2: host expands the probed lists into a
-        query-major block list (tiny), the segment kernel streams exactly
-        those blocks, and segment_topk folds them with original row ids."""
+        query-major block list (tiny, fully vectorized), the segment kernel
+        streams exactly those blocks, and segment_topk folds them with
+        original row ids. Stage 1 runs on the host centroid mirror
+        (RX_IVF_HOST_STAGE1=0 restores the device probe) so one select =
+        ONE device dispatch chain with a single drain."""
         from ...ops.ivf_kernels import (SEG_BLK, scan_segments, segment_topk)
         nlist = self.centroids.shape[0]
-        probes = np.asarray(probe_centroids(
-            qd, self.centroids, min(nprobe, nlist), self.metric))
+        if probes is None:
+            if os.environ.get("RX_IVF_HOST_STAGE1", "1") in ("0", "false"):
+                probes = np.asarray(probe_centroids(
+                    qd, self.centroids, min(nprobe, nlist), self.metric))
+            else:
+                probes = self._probe_host(np.asarray(qd), nprobe)
         B, P = probes.shape
         blk_cnt = self._seg_blocks[probes]               # [B, P]
         lens = np.diff(self._list_start)
         per_q = blk_cnt.sum(axis=1)
         sq_ = _pow2(max(int(per_q.max()), 1), 4)
-        starts = np.full((B, sq_), self._pad_block, dtype=np.int32)
-        counts = np.zeros((B, sq_), dtype=np.int32)
-        for b in range(B):
-            o = 0
-            for p in range(P):
-                li = probes[b, p]
-                nb = int(blk_cnt[b, p])
-                fb = int(self._seg_first_block[li])
-                starts[b, o: o + nb] = np.arange(fb, fb + nb,
-                                                 dtype=np.int32)
-                rem = int(lens[li])
-                for j in range(nb):
-                    counts[b, o + j] = min(rem - j * SEG_BLK, SEG_BLK)
-                o += nb
+        # vectorized run expansion (the python B x P x blocks loop cost
+        # ~10s of ms on the 1-core host at nprobe=128)
+        cnt = blk_cnt.reshape(-1)                        # [B*P]
+        total = int(cnt.sum())
+        starts_f = np.full(B * sq_, self._pad_block, dtype=np.int32)
+        counts_f = np.zeros(B * sq_, dtype=np.int32)
+        if total:
+            off = np.zeros((B, P), np.int64)
+            off[:, 1:] = np.cumsum(blk_cnt, axis=1)[:, :-1]
+            pos0 = (np.arange(B, dtype=np.int64)[:, None] * sq_
+                    + off).reshape(-1)                   # [B*P]
+            csum = np.cumsum(cnt) - cnt
+            within = np.arange(total, dtype=np.int64) - np.repeat(csum, cnt)
+            flat = np.repeat(pos0, cnt) + within
+            fb = self._seg_first_block[probes].reshape(-1)
+            starts_f[flat] = np.repeat(fb, cnt) + within
+            rem = np.repeat(lens[probes].reshape(-1), cnt) \
+                - within * SEG_BLK
+            counts_f[flat] = np.minimum(rem, SEG_BLK).astype(np.int32)
         qids = np.repeat(np.arange(B, dtype=np.int32), sq_)
         seg_scores = scan_segments(
-            jnp.asarray(starts.reshape(-1)), jnp.asarray(qids),
-            jnp.asarray(counts.reshape(-1)), qd,
+            jnp.asarray(starts_f), jnp.asarray(qids),
+            jnp.asarray(counts_f), qd,
             self._d_reordered, self.metric, interpret)
-        return segment_topk(seg_scores, jnp.asarray(starts.reshape(-1)),
+        return segment_topk(seg_scores, jnp.asarray(starts_f),
                             self._d_perm, qd, min(k, self.keeper.capacity),
                             self.metric)
 
@@ -352,7 +416,7 @@ class IvfIndex(FloatVectorIndexBase):
         nprobe = getattr(params, "nprobe", 1) or 1
         q = self.keeper.prepare_query(query)[None, :]
         qd = jnp.asarray(q)
-        scores_d, ids_d = self._stage2(qd, nprobe, params.k)
+        scores_d, ids_d = self._stage2(qd, nprobe, params.k, q_host=q)
 
         def drain() -> SelectKeyResult:
             if scores_d is None:
@@ -388,7 +452,7 @@ class IvfIndex(FloatVectorIndexBase):
         q = np.stack([self.keeper.prepare_query(v) for v in queries])
         qd = jnp.asarray(q)
         B = len(queries)
-        scores_d, ids_d = self._stage2(qd, nprobe, params.k)
+        scores_d, ids_d = self._stage2(qd, nprobe, params.k, q_host=q)
 
         def drain() -> list[SelectKeyResult]:
             if scores_d is None:

@@ -75,6 +75,9 @@ def v4_tuning():
     import os
     kw = {"park": os.environ.get("RX_TPU_V4_PARK", "stack"),
           "bits": int(os.environ.get("RX_TPU_V4_BITS", "20"))}
+    ct = int(os.environ.get("RX_TPU_V4_CT", "1"))
+    if ct > 1:        # compaction super-chunking (stack park only)
+        kw["ct"] = ct
     return kw
 
 
@@ -995,7 +998,7 @@ def twinsweep_select_sq8(queries, eps, q_alpha, shift, codes, sq_eff, base,
 # ---------------------------------------------------------------------------
 
 def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
-                           ablate=''):
+                           ablate='', ct=1):
     G = n // BLK
     n_tiles = n // TILE
     kb = float(min(k + MARGIN, G))
@@ -1042,7 +1045,44 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                     else:
                         cand[:] = jnp.zeros_like(cand)
 
-                if ablate != "thresh":
+                if ablate != "thresh" and park == "stack" and ct > 1:
+                    # compaction SUPER-CHUNKS: one dot per ct tiles
+                    # (contraction ct*GL instead of GL) amortizes MXU
+                    # pass overheads; memory-safe under the same
+                    # overwrite discipline — at step (r, t=ct*c) the
+                    # selection consumes limb lanes [t*GL, (t+ct)*GL) of
+                    # batch r-1 BEFORE the sweeps of steps t..t+ct-1
+                    # overwrite them one tile at a time
+                    @pl.when(jnp.remainder(t, ct) == 0)
+                    def _():
+                        CTL = ct * GL
+                        dn = (((2,), (1,)), ((0,), (0,)))
+                        stk = hi_s[:, :, pl.ds(t * GL, CTL)]   # [Q,*,CTL]
+                        rk = rank_gq[pl.ds(t * GL, CTL), :].T  # [Q, CTL]
+                        s_iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (Qn, CTL, S_SLOTS), 2)
+                        sel_b = (rk[:, :, None].astype(jnp.int32)
+                                 == s_iota).astype(jnp.bfloat16)
+                        gid = ((t * GL).astype(jnp.float32)
+                               + jax.lax.broadcasted_iota(
+                                   jnp.int32, (Qn, 1, CTL), 2).astype(
+                                       jnp.float32))
+                        ghi = jnp.floor(gid * (1.0 / 256.0))   # <= 7
+                        glo = gid - 256.0 * ghi                # <= 255
+                        aug2 = jnp.concatenate(
+                            [ghi, glo], axis=1).astype(jnp.bfloat16)
+                        xs = jnp.concatenate([stk, aug2], axis=1)
+                        o3 = jax.lax.dot_general(
+                            xs, sel_b, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+                        out = (o3[:, :BLK, :] + o3[:, BLK:2 * BLK, :]
+                               + o3[:, 2 * BLK:3 * BLK, :])
+                        out = jnp.concatenate(
+                            [out, o3[:, 3 * BLK:, :],
+                             jnp.zeros((Qn, CR - BLK - 2, S_SLOTS),
+                                       jnp.float32)], axis=1)
+                        cand[:] += out
+                elif ablate != "thresh":
                     dn = (((2,), (1,)), ((0,), (0,)))
                     s_iota = jax.lax.broadcasted_iota(
                         jnp.int32, (Qn, GL, S_SLOTS), 2)
@@ -1199,9 +1239,9 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "interpret", "bits",
-                                    "xla_tail", "park", "ablate"))
+                                    "xla_tail", "park", "ablate", "ct"))
 def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
-                     xla_tail="bitonic", park="limb", ablate=""):
+                     xla_tail="bitonic", park="limb", ablate="", ct=1):
     """Exact top-k for R query batches in ONE kernel launch: round r's
     sweep (tile DMA + scoring + limb parking) runs while round r's
     selection steps consume batch r-1's parked limbs chunk-by-chunk —
@@ -1215,6 +1255,9 @@ def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
     batches). Same per-batch contract as onesweep_select."""
     R, Qn, d = queries.shape
     n = base.shape[0]
+    if ct > 1:
+        assert park == "stack", "ct>1 implemented for stack park only"
+        assert (n // TILE) % ct == 0, "ct must divide n_tiles"
     kpad = 128
     oshape = (Qn, 8, S2) if xla_tail is True else (Qn, 1, kpad)
     full_o = (R * Qn,) + oshape[1:]
@@ -1254,7 +1297,7 @@ def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
             pltpu.VMEM((Qn, BLK, G), jnp.bfloat16)]    # lo_s
     outs = pl.pallas_call(
         _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
-                               ablate),
+                               ablate, ct=ct),
         grid=((R + 1) * n_tiles,),
         in_specs=[
             pl.BlockSpec((Qn, d), q_idx, memory_space=pltpu.VMEM),
@@ -1289,9 +1332,9 @@ def pipelined_select(queries, base, k, metric, interpret=False, bits=32,
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
                                              "bits", "tail", "park",
-                                             "ablate"))
+                                             "ablate", "ct"))
 def knn_scan_fused_v4(queries, base, k, metric, interpret=False, bits=32,
-                      tail="bitonic", park="limb", ablate=""):
+                      tail="bitonic", park="limb", ablate="", ct=1):
     """Exact top-k for a [R, Qb, D] stack of query batches, pipelined
     through ONE kernel launch (see pipelined_select). Same per-batch
     result contract as knn_scan_fused_v3; flag is the max over batches
@@ -1302,7 +1345,7 @@ def knn_scan_fused_v4(queries, base, k, metric, interpret=False, bits=32,
     s3, i3, flag = pipelined_select(
         qf, base, k, metric, interpret, bits=bits,
         xla_tail=(True if tail == "xla" else tail), park=park,
-        ablate=ablate)
+        ablate=ablate, ct=ct)
     corr = (-jnp.sum(qf * qf, axis=2, keepdims=True)[:, :, :1]
             if metric == VectorMetric.L2 else
             jnp.zeros((R, qf.shape[1], 1), jnp.float32))
