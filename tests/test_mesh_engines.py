@@ -177,6 +177,64 @@ def test_ft_mesh_matches_single_device(ctx, rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_ft_mesh_prefix_typo_phrase(ctx, rng):
+    """Variant expansion (prefix/typo) and phrase verification run the
+    same host pipeline on mesh; only scoring shards — results must match
+    the single-device engine for every DSL shape."""
+    words = ["alpha", "alphabet", "alpine", "beta", "betamax", "gamma",
+             "gamble", "delta"]
+    n = 300
+    texts = [" ".join(words[(i + j) % len(words)] for j in range(4))
+             for i in range(n)]
+
+    def build(mesh):
+        db = Reindexer(mesh=mesh)
+        db.open_namespace("ftv", [
+            IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+            IndexDef("txt", "text", "string", json_paths=("body",)),
+        ])
+        tx = db.new_transaction("ftv")
+        for i, t in enumerate(texts):
+            tx.upsert({"id": i, "body": t})
+        tx.commit()
+        return db
+
+    db_m, db_s = build(ctx), build(None)
+    for dsl in ("alph*", "beta~", '"alpha beta"~3', "gam* -delta",
+                "+alpha +beta"):
+        rm = db_s.select(Query("ftv").match("txt", dsl).limit(100))
+        mm = db_m.select(Query("ftv").match("txt", dsl).limit(100))
+        assert {d["id"] for d in mm.docs()} == \
+            {d["id"] for d in rm.docs()}, dsl
+
+
+def test_ivf_mesh_recall_partial_probe(ctx, rng):
+    """Sharded IVF at a partial probe keeps recall: clustered corpus,
+    queries drawn from cluster centers, nprobe=4/16 must recover >=90%
+    of the exact top-10 (same contract the 1M on-chip bench gates)."""
+    n, dims, k, nlist = 4096, 16, 10, 16
+    centers = rng.normal(size=(nlist, dims)).astype(np.float32) * 4
+    assign = rng.integers(0, nlist, size=n)
+    base = (centers[assign]
+            + 0.3 * rng.normal(size=(n, dims))).astype(np.float32)
+    db = Reindexer(mesh=ctx)
+    db.open_namespace("mir", _vec_defs(dims, IndexType.IVF,
+                                       metric=VectorMetric.L2,
+                                       centroids_count=nlist))
+    _fill(db, "mir", base)
+    hits = total = 0
+    for c in range(8):
+        q = (centers[c]
+             + 0.2 * rng.normal(size=dims)).astype(np.float32)
+        res = db.select(Query("mir").where_knn(
+            "vec", q, IvfSearchParams(k=k, nprobe=4)))
+        got = {d["id"] for d in res.docs()}
+        want = set(np.argsort(((base - q) ** 2).sum(1))[:k].tolist())
+        hits += len(got & want)
+        total += k
+    assert hits / total >= 0.9, hits / total
+
+
 def test_hybrid_rrf_on_mesh(ctx, rng):
     n, dims = 1500, 16
     base = rng.normal(size=(n, dims)).astype(np.float32)
