@@ -214,12 +214,22 @@ class IvfIndex(FloatVectorIndexBase):
         self._seg_first_block = (seg_start_rows[:-1] // SEG_BLK).astype(
             np.int64)
         self._pad_block = int(seg_start_rows[-1]) // SEG_BLK
+        # block -> list id map (host, -1 on padding blocks): the masked
+        # sweep resolves probe membership per BLOCK from this table
+        # instead of gathering per-row list ids on device
+        block_list = np.full(npad // SEG_BLK, -1, dtype=np.int32)
+        owned = np.repeat(np.arange(nlist, dtype=np.int32),
+                          blocks.astype(np.int64))
+        block_list[: len(owned)] = owned
+        self._block_list = block_list
         self._d_perm = jnp.asarray(perm)
         # reordered base on device: row-gather once per rebuild; padding
         # rows zero (the kernel's sumsq validity check needs exact zeros)
         safe = jnp.maximum(self._d_perm, 0)
         self._d_reordered = (self.keeper.data[safe]
                              * (self._d_perm >= 0)[:, None])
+        self._d_reordered_sq = (self.keeper.sq[safe]
+                                * (self._d_perm >= 0))
 
 
     def _stage2(self, qd, nprobe: int, k, q_host=None):
@@ -282,8 +292,24 @@ class IvfIndex(FloatVectorIndexBase):
                 # explicit opt-in (tests): interpret-mode segments
                 return self._stage2_segments(qd, nprobe, k, probes=probes,
                                              interpret=True)
-        sel = probe_mask(jnp.asarray(probes), nlist)
         kk = _pow2(min(k, self.keeper.capacity), 16)
+        if getattr(self, "_block_list", None) is not None:
+            # block-masked sweep over the list-contiguous reorder: the
+            # membership table is per 128-row block and host-computed
+            # (B x n_blocks bool, ~100 KB), replacing scan_probed_full's
+            # per-element assignment gather (the TPU gather anti-pattern
+            # — measured ~220 ms of a ~5 ms scan at 1M x 768, B=16)
+            from ...ops.ivf_kernels import scan_reordered_masked
+            B = probes.shape[0]
+            psel = np.zeros((B, nlist), np.bool_)
+            psel[np.arange(B)[:, None], probes] = True
+            bl = self._block_list
+            bmask = np.where(bl[None, :] >= 0,
+                             psel[:, np.maximum(bl, 0)], False)
+            return scan_reordered_masked(
+                qd, self._d_reordered, self._d_reordered_sq, self._d_perm,
+                jnp.asarray(bmask), kk, self.metric)
+        sel = probe_mask(jnp.asarray(probes), nlist)
         return scan_probed_full(
             qd, self.keeper.data, self.keeper.sq, self.keeper.valid,
             self._d_assign, sel, kk, self.metric)

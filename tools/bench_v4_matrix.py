@@ -30,12 +30,13 @@ q_flat = jnp.asarray(rng.normal(size=(192, QB, D)).astype(np.float32))
 
 VARIANTS = [
     ("limb b32 R8",  {"park": "limb"},               8),
-    ("stack b32 R8", {"park": "stack"},              8),
     ("stack b20 R8", {"park": "stack", "bits": 20},  8),
-    ("bytes b32 R8", {"park": "bytes"},              8),
-    ("bytes b20 R8", {"park": "bytes", "bits": 20},  8),
-    ("stack b20 R16", {"park": "stack", "bits": 20}, 16),
-    ("stack b20 R24", {"park": "stack", "bits": 20}, 24),
+    # round-4: compaction super-chunks — one one-hot dot per ct tiles
+    # (contraction ct*128) amortizes MXU pass overheads; bit-exact vs
+    # ct=1 in interpret mode
+    ("stack b20 ct2", {"park": "stack", "bits": 20, "ct": 2},  8),
+    ("stack b20 ct4", {"park": "stack", "bits": 20, "ct": 4},  8),
+    ("stack b20 ct8", {"park": "stack", "bits": 20, "ct": 8},  8),
 ]
 
 
