@@ -441,6 +441,27 @@ def test_v4_stack_b20_matches_limb_b32(rng):
     assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0, atol=0)
 
 
+def test_v4_ct_superchunk_matches_ct1(rng):
+    """Compaction super-chunking (ct tiles per one-hot dot, RX_TPU_V4_CT)
+    must be bit-identical to the per-tile formulation: same parked limbs,
+    same threshold, only the dot granularity changes."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_fused_v4
+    n, d, R, Q, k = 4 * TILE, 128, 2, 8, 50
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(R, Q, d)).astype(np.float32)
+    sl, il, _ = knn_scan_fused_v4(
+        jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+        interpret=True, park="stack", bits=20)
+    for ct in (2, 4):
+        ss, is_, fs = knn_scan_fused_v4(
+            jnp.asarray(q), jnp.asarray(base), k, VectorMetric.L2,
+            interpret=True, park="stack", bits=20, ct=ct)
+        assert float(fs) <= 0.0
+        assert (np.asarray(il) == np.asarray(is_)).all(), ct
+        assert np.allclose(np.asarray(sl), np.asarray(ss), rtol=0,
+                           atol=0), ct
+
+
 def test_v3_stack_b20_matches_limb_b32(rng):
     """The production tuning (park=stack, bits=20) must stay id-exact vs
     the limb/32-bit reference: a coarser radix threshold only admits
