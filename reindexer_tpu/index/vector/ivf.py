@@ -275,7 +275,12 @@ class IvfIndex(FloatVectorIndexBase):
             # the masked full sweep reads contiguously at ~819 GB/s —
             # segments only win when the probed fraction (batch-summed,
             # probe sets of distinct queries do not dedup) is tiny
-            penalty = float(os.environ.get("RX_IVF_SEG_PENALTY", "48"))
+            # default 128: block DMA runs at ~10-20 GB/s vs 819 contiguous
+            # (ratio 41-82), and on the tunnel deployment the segment path
+            # pays ~15 ms extra fixed dispatch cost (3 uploads + 2 kernels;
+            # measured single nprobe=8 at 1M: segments 56 ms vs masked
+            # 41 ms) — co-located deployments can lower this to ~48
+            penalty = float(os.environ.get("RX_IVF_SEG_PENALTY", "128"))
             seg_rows = None
             if getattr(self, "_seg_blocks", None) is not None:
                 from ...ops.ivf_kernels import SEG_BLK
