@@ -27,42 +27,82 @@ _ERR_BY_CODE = {400: QueryError, 404: NotFoundError, 409: ConflictError}
 
 
 class RemoteTransaction:
-    def __init__(self, client: "RemoteReindexer", tx_id: str):
+    """Client-side tx with BATCHED item shipping (the Go connector's async
+    tx batching analog, bindings/cproto tx pipelining): consecutive steps
+    of the same mode buffer locally and flush as ONE bulk items request
+    (the server's tx items route accepts JSON lists), so an N-item tx
+    costs ~N/batch_size round trips instead of N."""
+
+    def __init__(self, client: "RemoteReindexer", tx_id: str,
+                 batch_size: int = 500):
         self._c = client
         self._id = tx_id
+        self._batch = int(batch_size)
+        self._mode: Optional[str] = None
+        self._buf: list[dict] = []
+
+    def _flush(self) -> None:
+        if self._buf:
+            self._c._call(self._mode, f"/transactions/{self._id}/items",
+                          self._buf)
+            self._buf = []
+
+    def _step(self, mode: str, doc: dict) -> "RemoteTransaction":
+        if mode != self._mode:
+            self._flush()
+            self._mode = mode
+        self._buf.append(doc)
+        if len(self._buf) >= self._batch:
+            self._flush()
+        return self
 
     def upsert(self, doc: dict) -> "RemoteTransaction":
-        self._c._call("PUT", f"/transactions/{self._id}/items", doc)
-        return self
+        return self._step("PUT", doc)
 
     def insert(self, doc: dict) -> "RemoteTransaction":
-        self._c._call("POST", f"/transactions/{self._id}/items", doc)
-        return self
+        return self._step("POST", doc)
 
     def update(self, doc: dict) -> "RemoteTransaction":
-        self._c._call("PATCH", f"/transactions/{self._id}/items", doc)
-        return self
+        return self._step("PATCH", doc)
 
     def delete(self, doc: dict) -> "RemoteTransaction":
-        self._c._call("DELETE", f"/transactions/{self._id}/items", doc)
-        return self
+        return self._step("DELETE", doc)
 
     def commit(self) -> None:
+        self._flush()
         self._c._call("POST", f"/transactions/{self._id}/commit")
+        self._c._cache_invalidate(getattr(self, "_ns", ""))
 
     def rollback(self) -> None:
+        self._buf = []
         self._c._call("POST", f"/transactions/{self._id}/rollback")
 
 
 class RemoteReindexer:
-    """Client facade mirroring the embedded `Reindexer` API."""
+    """Client facade mirroring the embedded `Reindexer` API.
 
-    def __init__(self, url: str, db: str, create: bool = True):
+    `cache_queries` > 0 enables a client-side LRU of decoded results
+    keyed by the query (the Go connector's deep-copy object cache
+    analog, readme.md "object cache"): repeated selects skip the
+    network; ANY write to a namespace through this client invalidates
+    that namespace's cached queries. Writes from OTHER clients are not
+    observed (same staleness contract as the Go cache)."""
+
+    def __init__(self, url: str, db: str, create: bool = True,
+                 cache_queries: int = 0):
         self.base = url.rstrip("/")
         self.db = db
+        self._qcache_size = int(cache_queries)
+        self._qcache: "dict[tuple, QueryResults]" = {}
         if create:
             self._request("POST", "/api/v1/db", {"name": db},
                           ignore_codes=(409,))
+
+    # --- client-side query cache -----------------------------------
+    def _cache_invalidate(self, ns: str) -> None:
+        if self._qcache:
+            for key in [k for k in self._qcache if k[0] == ns]:
+                del self._qcache[key]
 
     # --- transport ------------------------------------------------------
     def _request(self, method: str, path: str, body: Any = None,
@@ -122,32 +162,50 @@ class RemoteReindexer:
     # --- items ----------------------------------------------------------
     def upsert(self, ns: str, doc: dict) -> None:
         self._call("PUT", f"/namespaces/{ns}/items", doc)
+        self._cache_invalidate(ns)
 
     def insert(self, ns: str, doc: dict) -> None:
         self._call("POST", f"/namespaces/{ns}/items", doc)
+        self._cache_invalidate(ns)
 
     def update(self, ns: str, doc: dict) -> None:
         self._call("PATCH", f"/namespaces/{ns}/items", doc)
+        self._cache_invalidate(ns)
 
     def delete(self, ns: str, doc: dict) -> None:
         self._call("DELETE", f"/namespaces/{ns}/items", doc)
+        self._cache_invalidate(ns)
 
     # --- queries --------------------------------------------------------
     def select(self, q: Union[Query, str]) -> QueryResults:
+        ns = q.namespace if isinstance(q, Query) else ""
+        key = None
+        if self._qcache_size > 0:
+            key = (ns, q if isinstance(q, str)
+                   else json.dumps(to_dsl(q), sort_keys=True, default=str))
+            hit = self._qcache.get(key)
+            if hit is not None:
+                return hit
         if isinstance(q, str):
             resp = self._call(
                 "GET", "/query?q=" + urllib.parse.quote(q))
         else:
             resp = self._call("POST", "/query", to_dsl(q))
-        return self._decode_results(
-            resp, q.namespace if isinstance(q, Query) else "")
+        res = self._decode_results(resp, ns)
+        if key is not None:
+            self._qcache[key] = res
+            while len(self._qcache) > self._qcache_size:
+                self._qcache.pop(next(iter(self._qcache)))
+        return res
 
     def update_query(self, q: Query) -> QueryResults:
         resp = self._call("PUT", "/query", to_dsl(q))
+        self._cache_invalidate(q.namespace)
         return self._decode_results(resp, q.namespace)
 
     def delete_query(self, q: Query) -> int:
         resp = self._call("DELETE", "/query", to_dsl(q))
+        self._cache_invalidate(q.namespace)
         return int(resp.get("updated", 0))
 
     def _decode_results(self, resp: dict, ns: str) -> QueryResults:
@@ -181,4 +239,6 @@ class RemoteReindexer:
 
     def new_transaction(self, ns: str) -> RemoteTransaction:
         resp = self._call("POST", f"/namespaces/{ns}/transactions/begin")
-        return RemoteTransaction(self, resp["tx_id"])
+        tx = RemoteTransaction(self, resp["tx_id"])
+        tx._ns = ns
+        return tx

@@ -51,6 +51,43 @@ def test_remote_crud_and_query(server):
         c.select(Query("missing_ns"))
 
 
+def test_tx_batching_and_query_cache(server):
+    """Go-connector analogs: tx items ship in bulk batches (one request
+    per <=batch_size same-mode run), and the client query cache serves
+    repeats without a request until a write invalidates the namespace."""
+    c = RemoteReindexer(f"http://127.0.0.1:{server.port}", "clidb2",
+                        cache_queries=8)
+    c.open_namespace("b", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True))])
+    calls = []
+    orig = c._call
+    c._call = lambda m, p, body=None: (calls.append((m, p)),
+                                       orig(m, p, body))[1]
+
+    tx = c.new_transaction("b")
+    for i in range(1200):
+        tx.upsert({"id": i})
+    tx.delete({"id": 0})
+    tx.commit()
+    item_calls = [x for x in calls if "/items" in x[1]]
+    # 1200 upserts at batch 500 -> 3 PUTs; mode switch -> 1 DELETE
+    assert len(item_calls) == 4, item_calls
+    assert [m for m, _ in item_calls] == ["PUT", "PUT", "PUT", "DELETE"]
+    assert len(c.select(Query("b"))) == 1199
+
+    # cache: repeat select is served locally
+    calls.clear()
+    q = Query("b").where("id", "<", 10)
+    r1 = c.select(q)
+    r2 = c.select(Query("b").where("id", "<", 10))
+    assert len([x for x in calls if "/query" in x[1]]) == 1
+    assert r2 is r1
+    # a write through this client invalidates the namespace's entries
+    c.upsert("b", {"id": 5000})
+    c.select(Query("b").where("id", "<", 10))
+    assert len([x for x in calls if "/query" in x[1]]) == 2
+
+
 def test_cli_dump_restore(tmp_path):
     db = Reindexer()
     db.open_namespace("d", [
