@@ -160,17 +160,31 @@ class RemoteReindexer:
         return [IndexDef.from_dict(d) for d in resp.get("items", [])]
 
     # --- items ----------------------------------------------------------
-    def upsert(self, ns: str, doc: dict) -> None:
-        self._call("PUT", f"/namespaces/{ns}/items", doc)
+    @staticmethod
+    def _items_path(ns: str, precepts) -> str:
+        path = f"/namespaces/{ns}/items"
+        if precepts:
+            import urllib.parse
+            path += "?" + "&".join(
+                "precepts=" + urllib.parse.quote(p) for p in precepts)
+        return path
+
+    def _modify(self, method: str, ns: str, doc: dict, precepts) -> None:
+        resp = self._call(method, self._items_path(ns, precepts), doc)
+        if precepts and isinstance(resp, dict) and resp.get("items"):
+            # server returns precept-computed items (serial()/now())
+            doc.clear()
+            doc.update(resp["items"][0])
         self._cache_invalidate(ns)
 
-    def insert(self, ns: str, doc: dict) -> None:
-        self._call("POST", f"/namespaces/{ns}/items", doc)
-        self._cache_invalidate(ns)
+    def upsert(self, ns: str, doc: dict, precepts=None) -> None:
+        self._modify("PUT", ns, doc, precepts)
 
-    def update(self, ns: str, doc: dict) -> None:
-        self._call("PATCH", f"/namespaces/{ns}/items", doc)
-        self._cache_invalidate(ns)
+    def insert(self, ns: str, doc: dict, precepts=None) -> None:
+        self._modify("POST", ns, doc, precepts)
+
+    def update(self, ns: str, doc: dict, precepts=None) -> None:
+        self._modify("PATCH", ns, doc, precepts)
 
     def delete(self, ns: str, doc: dict) -> None:
         self._call("DELETE", f"/namespaces/{ns}/items", doc)

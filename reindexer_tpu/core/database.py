@@ -193,15 +193,20 @@ class Reindexer:
     # ------------------------------------------------------------------
     # item CRUD (reference: reindexer.h Insert/Update/Upsert/Delete)
     # ------------------------------------------------------------------
-    def insert(self, ns_name: str, doc: dict) -> int:
-        doc = self._embed_upsert(ns_name, doc)
-        return self.get_namespace(ns_name).upsert(doc, mode="insert")
+    def insert(self, ns_name: str, doc: dict,
+               precepts: Optional[list[str]] = None) -> int:
+        doc = self._embed_upsert(ns_name, doc, precepts)
+        return self.get_namespace(ns_name).upsert(doc, mode="insert",
+                                                  precepts=precepts)
 
-    def update(self, ns_name: str, doc: dict) -> int:
-        doc = self._embed_upsert(ns_name, doc)
-        return self.get_namespace(ns_name).upsert(doc, mode="update")
+    def update(self, ns_name: str, doc: dict,
+               precepts: Optional[list[str]] = None) -> int:
+        doc = self._embed_upsert(ns_name, doc, precepts)
+        return self.get_namespace(ns_name).upsert(doc, mode="update",
+                                                  precepts=precepts)
 
-    def upsert(self, ns_name: str, doc: dict) -> int:
+    def upsert(self, ns_name: str, doc: dict,
+               precepts: Optional[list[str]] = None) -> int:
         if ns_name == "#config":
             # dynamic config application (reference: #config watcher,
             # core/dbconfig.cc — upserting a typed section applies it)
@@ -211,8 +216,9 @@ class Reindexer:
                 self._apply_config_actions(section, doc[section])
                 return 0
             raise ParamsError("#config document requires a 'type' section")
-        doc = self._embed_upsert(ns_name, doc)
-        return self.get_namespace(ns_name).upsert(doc, mode="upsert")
+        doc = self._embed_upsert(ns_name, doc, precepts)
+        return self.get_namespace(ns_name).upsert(doc, mode="upsert",
+                                                  precepts=precepts)
 
     def _apply_config_actions(self, section: str, value: Any) -> None:
         """`action` commands (reference: float_vector.md:741-799)."""
@@ -411,10 +417,16 @@ class Reindexer:
                 out.append(QueryResults(ns_name=ns_name, items=items))
             return out
 
-    def update_query(self, q: Query) -> QueryResults:
+    def update_query(self, q: Union[Query, str]) -> QueryResults:
+        if isinstance(q, str):
+            from ..query.sql import parse_sql
+            q = parse_sql(q)
         return self._selecter.update(q)
 
-    def delete_query(self, q: Query) -> int:
+    def delete_query(self, q: Union[Query, str]) -> int:
+        if isinstance(q, str):
+            from ..query.sql import parse_sql
+            q = parse_sql(q)
         return self._selecter.delete(q)
 
     def explain(self, q: Query) -> dict:
@@ -468,15 +480,23 @@ class Reindexer:
             self._embedders[emb.cache_tag or emb.endpoint] = fn
         return np.asarray(fn([text])[0], dtype=np.float32)
 
-    def _embed_upsert(self, ns_name: str, doc: dict) -> dict:
-        """Upsert-side auto-embedding (reference: embedder.cc upsert embedders)."""
+    def _embed_upsert(self, ns_name: str, doc: dict,
+                      precepts: Optional[list[str]] = None) -> dict:
+        """Upsert-side auto-embedding (reference: embedder.cc upsert
+        embedders; skip_embedding precepts per itemimpl.cc:555-575)."""
         ns = self._namespaces.get(ns_name)
         if ns is None:
             return doc
         from .payload import get_json_path, set_json_path
+        from .precepts import skip_embedding_fields
+        skip_all, skip_fields = skip_embedding_fields(precepts)
+        if skip_all:
+            return doc
         for idef in ns.payload_type.indexes:
             vo = idef.vector_opts
             if vo is None or vo.embedding is None or not vo.embedding.fields:
+                continue
+            if idef.name in skip_fields:
                 continue
             emb = vo.embedding
             current = get_json_path(doc, idef.json_paths[0])

@@ -232,10 +232,19 @@ class Namespace:
             raise QueryError(f"document misses PK field '{pkdef.json_paths[0]}'")
         return self.find_by_pk(pk_val), pk_val
 
-    def upsert(self, doc: dict, mode: str = "upsert") -> int:
-        """mode: upsert | insert | update (reference: ModifyMode)."""
+    def upsert(self, doc: dict, mode: str = "upsert",
+               precepts: Optional[list[str]] = None) -> int:
+        """mode: upsert | insert | update (reference: ModifyMode).
+
+        `precepts` are atomic on-update functions evaluated under the
+        namespace lock (reference: setFieldsBasedOnPrecepts,
+        namespaceimpl.cc:4191); computed values are written back into
+        the caller's doc, matching the reference's item write-back."""
         t0 = time.perf_counter()
         with self.lock:
+            if precepts:
+                from .precepts import apply_precepts
+                apply_precepts(self, doc, precepts)
             row, _ = self._row_of(doc)
             if mode == "insert" and row is not None:
                 raise ConflictError("item already exists")

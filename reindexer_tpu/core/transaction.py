@@ -23,6 +23,7 @@ class _TxStep:
     doc: Optional[dict] = None
     query: Optional[Query] = None
     meta_kv: Optional[tuple[str, str]] = None
+    precepts: Optional[list] = None   # atomic on-update functions
 
 
 class Transaction:
@@ -36,19 +37,22 @@ class Transaction:
         if self._finished:
             raise LogicError("transaction already committed or rolled back")
 
-    def upsert(self, doc: dict) -> "Transaction":
+    def upsert(self, doc: dict, precepts: Optional[list[str]] = None
+               ) -> "Transaction":
         self._check()
-        self._steps.append(_TxStep("upsert", doc=doc))
+        self._steps.append(_TxStep("upsert", doc=doc, precepts=precepts))
         return self
 
-    def insert(self, doc: dict) -> "Transaction":
+    def insert(self, doc: dict, precepts: Optional[list[str]] = None
+               ) -> "Transaction":
         self._check()
-        self._steps.append(_TxStep("insert", doc=doc))
+        self._steps.append(_TxStep("insert", doc=doc, precepts=precepts))
         return self
 
-    def update(self, doc: dict) -> "Transaction":
+    def update(self, doc: dict, precepts: Optional[list[str]] = None
+               ) -> "Transaction":
         self._check()
-        self._steps.append(_TxStep("update", doc=doc))
+        self._steps.append(_TxStep("update", doc=doc, precepts=precepts))
         return self
 
     def delete(self, doc: dict) -> "Transaction":
@@ -84,7 +88,8 @@ class Transaction:
         with ns.lock:
             for step in self._steps:
                 if step.op in ("upsert", "insert", "update"):
-                    ns.upsert(step.doc, mode=step.op)
+                    ns.upsert(step.doc, mode=step.op,
+                              precepts=step.precepts)
                 elif step.op == "delete":
                     ns.delete(step.doc)
                 elif step.op == "update_query":

@@ -102,20 +102,22 @@ class RpcTransaction:
         self._id = tx_id
         self._slot = slot
 
-    def _op(self, mode: int, doc: dict) -> "RpcTransaction":
-        self._c._call(Cmd.TX_MODIFY,
-                      [self._id, mode, cjson.encode_doc(doc)],
-                      slot=self._slot)
+    def _op(self, mode: int, doc: dict,
+            precepts: Optional[list[str]] = None) -> "RpcTransaction":
+        args: list = [self._id, mode, cjson.encode_doc(doc)]
+        if precepts:
+            args.append(json.dumps(precepts))
+        self._c._call(Cmd.TX_MODIFY, args, slot=self._slot)
         return self
 
-    def upsert(self, doc: dict) -> "RpcTransaction":
-        return self._op(0, doc)
+    def upsert(self, doc: dict, precepts=None) -> "RpcTransaction":
+        return self._op(0, doc, precepts)
 
-    def insert(self, doc: dict) -> "RpcTransaction":
-        return self._op(1, doc)
+    def insert(self, doc: dict, precepts=None) -> "RpcTransaction":
+        return self._op(1, doc, precepts)
 
-    def update(self, doc: dict) -> "RpcTransaction":
-        return self._op(2, doc)
+    def update(self, doc: dict, precepts=None) -> "RpcTransaction":
+        return self._op(2, doc, precepts)
 
     def delete(self, doc: dict) -> "RpcTransaction":
         return self._op(3, doc)
@@ -221,14 +223,28 @@ class RpcReindexer:
     def drop_index(self, ns: str, name: str) -> None:
         self._call(Cmd.DROP_INDEX, [ns, name])
 
-    def upsert(self, ns: str, doc: dict) -> None:
-        self._call(Cmd.MODIFY_ITEM, [ns, 0, cjson.encode_doc(doc)])
+    def _modify(self, ns: str, mode: int, doc: dict,
+                precepts: Optional[list[str]] = None) -> Optional[dict]:
+        args: list = [ns, mode, cjson.encode_doc(doc)]
+        if precepts:
+            args.append(json.dumps(precepts))
+        ret = self._call(Cmd.MODIFY_ITEM, args)
+        if precepts and ret:
+            # server echoes the precept-computed item (serial()/now())
+            computed = json.loads(ret[0])
+            doc.clear()
+            doc.update(computed)
+            return computed
+        return None
 
-    def insert(self, ns: str, doc: dict) -> None:
-        self._call(Cmd.MODIFY_ITEM, [ns, 1, cjson.encode_doc(doc)])
+    def upsert(self, ns: str, doc: dict, precepts=None) -> None:
+        self._modify(ns, 0, doc, precepts)
 
-    def update(self, ns: str, doc: dict) -> None:
-        self._call(Cmd.MODIFY_ITEM, [ns, 2, cjson.encode_doc(doc)])
+    def insert(self, ns: str, doc: dict, precepts=None) -> None:
+        self._modify(ns, 1, doc, precepts)
+
+    def update(self, ns: str, doc: dict, precepts=None) -> None:
+        self._modify(ns, 2, doc, precepts)
 
     def delete(self, ns: str, doc: dict) -> None:
         self._call(Cmd.MODIFY_ITEM, [ns, 3, cjson.encode_doc(doc)])

@@ -269,11 +269,16 @@ class RpcServer:
             return []
         if cmd == Cmd.MODIFY_ITEM:
             ns, mode, doc = args[0], MODIFY_MODES[args[1]], _load_doc(args[2])
+            # optional 4th arg: JSON list of precepts (reference:
+            # rpcserver.cc modifyItem reads item precepts from the args)
+            precepts = (json.loads(args[3])
+                        if len(args) > 3 and args[3] else None)
             if mode == "delete":
                 db.delete(ns, doc)
-            else:
-                getattr(db, mode)(ns, doc)
-            return []
+                return []
+            getattr(db, mode)(ns, doc, precepts=precepts)
+            # return the precept-computed item so clients see serial()/now()
+            return [json.dumps(doc, default=str)] if precepts else []
         if cmd in (Cmd.SELECT_SQL, Cmd.SELECT_DSL):
             fetch_limit = int(args[1]) if len(args) > 1 else 100
             binary = len(args) > 2 and int(args[2]) == 1
@@ -324,7 +329,12 @@ class RpcServer:
             if tx is None:
                 raise NotFoundError("transaction not found")
             mode, doc = MODIFY_MODES[args[1]], _load_doc(args[2])
-            getattr(tx, mode)(doc)
+            precepts = (json.loads(args[3])
+                        if len(args) > 3 and args[3] else None)
+            if mode == "delete":
+                tx.delete(doc)
+            else:
+                getattr(tx, mode)(doc, precepts=precepts)
             return []
         if cmd == Cmd.COMMIT_TX:
             tx = conn.txs.pop(int(args[0]), None)

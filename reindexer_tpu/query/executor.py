@@ -22,6 +22,7 @@ from typing import Any, Optional
 
 import numpy as np
 
+from ..core import precepts as _precepts
 from ..core.errors import NotFoundError, QueryError
 from ..core.namespace import Namespace
 from ..core.rdxcontext import check_cancel
@@ -1329,6 +1330,17 @@ class Selecter:
                 cur.pop(parts[-1], None)
             return
         if ue.mode == "set_expression":
+            expr = str(ue.values[0]).strip()
+            fm = _precepts._FUNC_RE.match(expr)
+            if fm and fm.group("name").lower() in ("now", "serial"):
+                # atomic on-update functions in UPDATE ... SET
+                # (reference: function.cc:27-30 via ExpressionEvaluator)
+                args = [a.strip() for a in fm.group("args").split(",")
+                        if a.strip()]
+                val = _precepts.eval_function(
+                    ns, fm.group("name").lower(), args, ue.field)
+                set_json_path(doc, ue.field, val)
+                return
             evaluator = SortExprEvaluator(ns, np.asarray([row]), {})
             val = float(evaluator.evaluate(str(ue.values[0]))[0])
             if val.is_integer():

@@ -189,8 +189,23 @@ class _Parser:
                 while True:
                     field = self.next()[1]
                     self.expect("=")
-                    if self.peek()[1] == "[":
+                    kind, v = self.peek()
+                    if v == "[":
                         q.set(field, self.bracket_list())
+                    elif (kind == "name"
+                          and self.toks[self.pos + 1][1] == "("):
+                        # function-call value — now()/serial()/rank()-style
+                        # set expressions (reference: sqlparser
+                        # UpdateField with ExpressionEvaluator)
+                        name = self.next()[1]
+                        self.expect("(")
+                        args = []
+                        while self.peek()[1] != ")":
+                            args.append(self.next()[1])
+                            if self.peek()[1] == ",":
+                                self.next()
+                        self.expect(")")
+                        q.set_expression(field, f"{name}({', '.join(args)})")
                     else:
                         q.set(field, self.value())
                     if not self.accept(","):

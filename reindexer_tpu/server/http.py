@@ -584,20 +584,27 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send_qres(db, db.select(q))
         body = self._body()
         docs = body if isinstance(body, list) else [body]
+        # atomic on-update functions, repeated query param (reference:
+        # httpserver.cc:1225 modifyItemsJSON precepts)
+        precepts = qs.get("precepts") or None
         n = 0
         for doc in docs:
             if doc is None:
                 continue
             if method == "POST":
-                db.insert(ns, doc)
+                db.insert(ns, doc, precepts=precepts)
             elif method == "PUT":
-                db.upsert(ns, doc)
+                db.upsert(ns, doc, precepts=precepts)
             elif method == "PATCH":
-                db.update(ns, doc)
+                db.update(ns, doc, precepts=precepts)
             elif method == "DELETE":
                 db.delete(ns, doc)
             n += 1
-        return self._send(200, {"success": True, "updated": n})
+        resp: dict[str, Any] = {"success": True, "updated": n}
+        if precepts:
+            # reference returns the precept-computed items back
+            resp["items"] = [d for d in docs if d is not None]
+        return self._send(200, resp)
 
     def _index_routes(self, db: Reindexer, ns: str, method: str,
                       p: list[str]) -> None:
