@@ -85,6 +85,13 @@ class FtFastConfig:
     min_rank: int = 5
     max_typos: int = 2
     max_typo_len: int = 15
+    # detailed typos config (reference: FtTyposDetailedConfig,
+    # ftconfig.h:186-231 + fulltext.md "Typos handling details";
+    # -1 = unlimited for all four)
+    max_typo_distance: int = 0
+    max_symbol_permutation_distance: int = 1
+    max_missing_letters: int = 2
+    max_extra_letters: int = 2
     max_rebuild_steps: int = 50
     max_step_size: int = 4000
     bm25: Bm25Config = dataclasses.field(default_factory=Bm25Config)
@@ -139,6 +146,16 @@ class FtFastConfig:
         cfg.max_typos = int(d.get("max_typos", d.get("max_typos_in_word",
                                                      cfg.max_typos)))
         cfg.max_typo_len = int(d.get("max_typo_len", cfg.max_typo_len))
+        tdc = d.get("typos_detailed_config") or {}
+        cfg.max_typo_distance = int(
+            tdc.get("max_typo_distance", cfg.max_typo_distance))
+        cfg.max_symbol_permutation_distance = int(
+            tdc.get("max_symbol_permutation_distance",
+                    cfg.max_symbol_permutation_distance))
+        cfg.max_missing_letters = int(
+            tdc.get("max_missing_letters", cfg.max_missing_letters))
+        cfg.max_extra_letters = int(
+            tdc.get("max_extra_letters", cfg.max_extra_letters))
         cfg.max_rebuild_steps = int(d.get("max_rebuild_steps", cfg.max_rebuild_steps))
         cfg.max_step_size = int(d.get("max_step_size", cfg.max_step_size))
         cfg.distance_boost = float(d.get("distance_boost", cfg.distance_boost))

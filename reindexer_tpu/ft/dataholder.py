@@ -299,7 +299,13 @@ class FtDataHolder:
         commit, dataprocessor buildTyposMap; we defer to first `~` query).
         Uses the native C++ builder (csrc/typos_native.cpp) when available."""
         if self._typo_dict is None:
-            td = TypoDict(self.cfg.max_typos, self.cfg.max_typo_len)
+            td = TypoDict(
+                self.cfg.max_typos, self.cfg.max_typo_len,
+                max_typo_distance=self.cfg.max_typo_distance,
+                max_symbol_permutation_distance=(
+                    self.cfg.max_symbol_permutation_distance),
+                max_missing_letters=self.cfg.max_missing_letters,
+                max_extra_letters=self.cfg.max_extra_letters)
             native = _typos_native_module()
             if native is not None:
                 td.map = native.build_typo_dict(

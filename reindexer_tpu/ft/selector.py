@@ -1042,8 +1042,12 @@ class FtSelector:
         if t.typos:
             td = h.typo_dict
             for wid, ntypos in td.candidates(pat, h.word_id, h.word_of).items():
+                # reference proc formula (variants/typos.h:82-86): penalty
+                # scales with the typo count and shrinks for longer words
+                wlen = len(h.word_of(wid))
                 add(wid, max(1.0, procs.typo
-                             - procs.typo_penalty * max(ntypos - 1, 0)))
+                             - procs.typo_penalty * ntypos
+                             / max((wlen - ntypos) / 3.0, 1.0)))
 
         # stem variants as prefix searches (reference: selecterimpl.h:204-220)
         if not t.prefix and not t.suffix:

@@ -2,15 +2,29 @@
 
 Semantic equivalent of the reference typo engine (cpp_src/core/ft/typos.cc +
 per-step typo maps in ft_fast/dataholder.h): the index side stores every
-word's single-character-deletion forms; the query side generates the query
-term's deletion forms and intersects. A hit through one deletion on either
-side = 1 typo; through deletions on both sides = 2 typos — bounded by
-FTConfig::maxTypos (MaxTyposInWord deletions per word, ftconfig.h:219) and
-maxTypoLen (typo search skipped for longer terms).
+word's deletion forms (up to MaxTyposInWord = ceil(maxTypos/2) deletions,
+ftconfig.h:219); the query side generates the query term's deletion forms
+and intersects. Every candidate is then verified against the reference's
+typo model (fulltext.md "Typos handling details" + FtTyposDetailedConfig,
+ftconfig.h:186-231):
+
+- a typo decomposes into x deletions from the query term plus y deletions
+  from the dictionary word with x + y <= maxTypos (TyposHandler::Process,
+  variants/typos.h:41); the typo COUNT is max(x, y) ("each letter switch
+  equals to 1 typo", typos.h:82);
+- the query-side surplus (x - y) is bounded by MaxExtraLetters and the
+  word-side surplus (y - x) by MaxMissingLetters (typos.h:51-67;
+  -1 = unlimited);
+- deletions on opposite sides pair up injectively (smaller side fully
+  paired); each pair must satisfy |posT - posW| <= MaxTypoDistance
+  (positions corrected by earlier same-side deletions, -1 = unlimited,
+  checkMaxTyposDist) OR have EQUAL deleted characters within
+  MaxSymbolPermutationDistance (switched letters, checkMaxLettPermDist).
 """
 from __future__ import annotations
 
-from typing import Iterable
+import itertools
+from typing import Iterable, Optional
 
 
 def deletions(word: str, max_deletes: int = 1) -> set[str]:
@@ -29,17 +43,39 @@ def deletions(word: str, max_deletes: int = 1) -> set[str]:
     return forms
 
 
+def _del_sets(s: str, k: int) -> Iterable[tuple[int, ...]]:
+    return itertools.combinations(range(len(s)), k)
+
+
+def _apply(s: str, dels: tuple[int, ...]) -> str:
+    if not dels:
+        return s
+    keep = [c for i, c in enumerate(s) if i not in dels]
+    return "".join(keep)
+
+
 class TypoDict:
     """deletion-form -> word ids map built at FT commit."""
 
     def __init__(self, max_typos: int = 2, max_typo_len: int = 15,
-                 min_word_len: int = 3, max_candidates: int = 64):
+                 min_word_len: int = 3, max_candidates: int = 64,
+                 max_typo_distance: int = 0,
+                 max_symbol_permutation_distance: int = 1,
+                 max_missing_letters: int = 2,
+                 max_extra_letters: int = 2):
         # deletions per word on the index side (reference MaxTyposInWord)
         self.index_deletes = (max_typos // 2) + (max_typos % 2)
         self.max_typos = max_typos
         self.max_typo_len = max_typo_len
         self.min_word_len = min_word_len
         self.max_candidates = max_candidates
+        self.max_typo_distance = max_typo_distance
+        self.max_perm_distance = max_symbol_permutation_distance
+        # surplus bounds; -1 = unlimited (ftconfig.h:220-223 accessors)
+        self.max_missing = (max_missing_letters if max_missing_letters >= 0
+                            else self.index_deletes)
+        self.max_extra = (max_extra_letters if max_extra_letters >= 0
+                          else self.index_deletes)
         self.map: dict[str, list[int]] = {}
 
     def add_word(self, word: str, word_id: int) -> None:
@@ -50,6 +86,74 @@ class TypoDict:
             if len(lst) < self.max_candidates:
                 lst.append(word_id)
 
+    # --- verification (reference typo model) ----------------------------
+    def _pair_ok(self, pt: int, ct: str, pw: int, cw: str) -> bool:
+        """checkMaxTyposDist OR (equal chars) checkMaxLettPermDist."""
+        if (self.max_typo_distance < 0
+                or abs(pt - pw) <= self.max_typo_distance):
+            return True
+        return ct == cw and (self.max_perm_distance < 0
+                             or abs(pt - pw) <= self.max_perm_distance)
+
+    @staticmethod
+    def _corrected(s: str, dels: tuple[int, ...]) -> list[tuple[int, str]]:
+        """(position corrected by earlier same-side deletions, deleted char)
+        — the reference compares `foundRight - 1` style shifted positions
+        (variants/typos.cc:25-30,95-97)."""
+        return [(p - k, s[p]) for k, p in enumerate(sorted(dels))]
+
+    def _pairing_ok(self, term: str, word: str,
+                    dels_t: tuple[int, ...], dels_w: tuple[int, ...]) -> bool:
+        """Opposite-side deletions pair injectively (smaller side fully
+        paired, leftovers are pure missing/extra); every pair must pass
+        _pair_ok under some assignment (checkMaxTyposDist/LettPermDist
+        case tables generalized)."""
+        a = self._corrected(term, dels_t)
+        b = self._corrected(word, dels_w)
+        if len(a) > len(b):
+            a, b = b, a
+        if not a:
+            return True
+        for chosen in itertools.permutations(b, len(a)):
+            if all(self._pair_ok(pa, ca, pb, cb)
+                   for (pa, ca), (pb, cb) in zip(a, chosen)):
+                return True
+        return False
+
+    def typo_count(self, term: str, word: str) -> Optional[int]:
+        """Minimal max(x, y) over valid deletion alignments, or None
+        (reference tcount, variants/typos.h:82)."""
+        if term == word:
+            return 0
+        dlen = len(word) - len(term)
+        best = None
+        # x deletions from the query term, y from the dictionary word
+        for x in range(self.index_deletes + 1):
+            y = x + dlen
+            if y < 0 or y > self.index_deletes or x + y > self.max_typos:
+                continue
+            if x + y == 0:
+                continue
+            if x - y > self.max_extra or y - x > self.max_missing:
+                continue
+            tcount = max(x, y)
+            if best is not None and tcount >= best:
+                continue
+            hit = False
+            for dels_t in _del_sets(term, x):
+                tstr = _apply(term, dels_t)
+                for dels_w in _del_sets(word, y):
+                    if tstr != _apply(word, dels_w):
+                        continue
+                    if self._pairing_ok(term, word, dels_t, dels_w):
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                best = tcount
+        return best
+
     def candidates(self, term: str, vocab_get, word_of_id) -> dict[int, int]:
         """word_id -> typo count for words within maxTypos of `term`.
 
@@ -58,47 +162,21 @@ class TypoDict:
         """
         if not (self.min_word_len <= len(term) <= self.max_typo_len):
             return {}
-        out: dict[int, int] = {}
+        cand: set[int] = set()
+        # query term == indexed word's deletion (extra letters in doc)
+        cand.update(self.map.get(term, ()))
         term_forms = deletions(term, self.index_deletes)
-        # query deletion == indexed word  (missing letter in doc word: 1 typo)
         for form in term_forms:
+            # query deletion == indexed word (missing letters in doc)
             wid = vocab_get(form)
             if wid is not None:
-                out.setdefault(wid, 1)
-        # query term == indexed word's deletion (extra letter in doc: 1 typo)
-        for wid in self.map.get(term, ()):
-            out.setdefault(wid, 1)
-        # deletion == deletion (substitution/transposition: counts as 2 typos
-        # unless it is actually 1 edit — verify with edit distance)
-        if self.max_typos >= 2:
-            for form in term_forms:
-                for wid in self.map.get(form, ()):
-                    if wid in out:
-                        continue
-                    w = word_of_id(wid)
-                    d = _damerau_bounded(term, w, 2)
-                    if d is not None and d <= self.max_typos:
-                        out[wid] = d
+                cand.add(wid)
+            # deletion == deletion (changed/switched symbols)
+            if self.max_typos >= 2:
+                cand.update(self.map.get(form, ()))
+        out: dict[int, int] = {}
+        for wid in cand:
+            n = self.typo_count(term, word_of_id(wid))
+            if n is not None and 0 < n <= self.max_typos:
+                out[wid] = n
         return out
-
-
-def _damerau_bounded(a: str, b: str, bound: int) -> int | None:
-    """Damerau-Levenshtein distance, early-exit when > bound."""
-    if abs(len(a) - len(b)) > bound:
-        return None
-    prev2: list[int] = []
-    prev = list(range(len(b) + 1))
-    for i in range(1, len(a) + 1):
-        cur = [i] + [0] * len(b)
-        row_min = cur[0]
-        for j in range(1, len(b) + 1):
-            cost = 0 if a[i - 1] == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
-                    and a[i - 2] == b[j - 1]):
-                cur[j] = min(cur[j], prev2[j - 2] + 1)
-            row_min = min(row_min, cur[j])
-        if row_min > bound:
-            return None
-        prev2, prev = prev, cur
-    return prev[len(b)] if prev[len(b)] <= bound else None

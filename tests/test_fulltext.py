@@ -13,7 +13,7 @@ import pytest
 from reindexer_tpu import (IndexDef, IndexOpts, Query, Reindexer)
 from reindexer_tpu.ft.dsl import parse_ft_dsl
 from reindexer_tpu.ft.stemmer import stem_en, stem_ru
-from reindexer_tpu.ft.typos import deletions, _damerau_bounded
+from reindexer_tpu.ft.typos import TypoDict, deletions
 
 
 def make_db(ft_config=None):
@@ -89,12 +89,77 @@ def test_snowball_ru():
 
 # --- typos -----------------------------------------------------------------
 
-def test_deletions_and_damerau():
+def test_deletions_and_typo_count():
     assert "back" in deletions("black", 1)
-    assert _damerau_bounded("black", "block", 2) == 1
-    assert _damerau_bounded("black", "blask", 2) == 1
-    assert _damerau_bounded("abc", "cba", 2) == 2
-    assert _damerau_bounded("abc", "xyz", 2) is None
+    td = TypoDict(max_typos=2)
+    assert td.typo_count("black", "block") == 1   # 1 changed symbol
+    # (reference tcount = max(x, y): "each letter switch equals to 1
+    # typo", variants/typos.h:82)
+    assert td.typo_count("black", "blak") == 1    # 1 missing letter
+    assert td.typo_count("black", "blacks") == 1  # 1 extra letter
+    assert td.typo_count("abc", "xyz") is None
+
+
+def _typo_words(query_term, words, **cfg):
+    """Which of `words` the typo engine matches for query_term~."""
+    td = TypoDict(**cfg)
+    vocab = {w: i for i, w in enumerate(words)}
+    for w, i in vocab.items():
+        td.add_word(w, i)
+    got = td.candidates(query_term, vocab.get, lambda i: words[i])
+    return {words[i] for i in got}
+
+
+def test_typos_reference_ladder():
+    """The MaxTypos 1-4 ladder (fulltext.md 'Typos handling details',
+    verified against the TyposHandler code semantics in
+    variants/typos.h/.cc — 'wards' needs max_typo_distance=-1)."""
+    words = ["world", "word", "worlds", "sward", "sword", "swords",
+             "swards", "ward", "wards", "war", "dword", "words"]
+    # MaxTypos=1: 1 missing or 1 extra symbol only
+    assert _typo_words("world", words, max_typos=1) \
+        == {"word", "worlds"}
+    # MaxTypos=2: + 1 changed symbol (same position by default)
+    assert _typo_words("sward", words, max_typos=2) \
+        == {"sword", "ward", "swards"}
+    # MaxTypos=3: + 1 changed AND 1 extra/missing at the same time
+    got3 = _typo_words("sward", words, max_typos=3)
+    # 'word' rides 1 changed + 1 extra: sward-{s,a} == word-{o}
+    assert got3 == {"sword", "swords", "ward", "war", "swards", "word"}
+    # 'wards' = the leading 's' moved 4 places: needs unlimited typo
+    # distance (reference checkMaxTyposDist rejects it by default)
+    got3d = _typo_words("sward", words, max_typos=3, max_typo_distance=-1)
+    assert "wards" in got3d and got3d >= got3
+    # MaxTypos=4: + 2 changed symbols
+    got4 = _typo_words("sward", words, max_typos=4)
+    assert "dword" in got4 and got4 >= got3
+
+
+def test_typos_distance_knobs():
+    """MaxTypoDistance / MaxSymbolPermutationDistance semantics
+    (fulltext.md examples)."""
+    words = ["sword", "words"]
+    # default MaxTypoDistance=0: changed symbol must keep its position
+    assert _typo_words("dword", words, max_typos=2) == {"sword"}
+    # -1 = unlimited: the changed symbol may move anywhere
+    assert _typo_words("dword", words, max_typos=2,
+                       max_typo_distance=-1) == {"sword", "words"}
+    # switched neighbours ride MaxSymbolPermutationDistance, not
+    # MaxTypoDistance
+    assert _typo_words("wsord", ["sword"], max_typos=2) == {"sword"}
+    assert _typo_words("wsord", ["sword"], max_typos=2,
+                       max_symbol_permutation_distance=0) == set()
+
+
+def test_typos_missing_extra_limits():
+    """Reference surplus semantics (variants/typos.h:51-67): extra =
+    query-side deletion surplus (the typed term has extra letters),
+    missing = word-side surplus (the typed term misses letters)."""
+    words = ["world", "word", "worlds"]
+    assert _typo_words("world", words, max_typos=2,
+                       max_extra_letters=0) == {"worlds"}
+    assert _typo_words("world", words, max_typos=2,
+                       max_missing_letters=0) == {"word"}
 
 
 # --- end-to-end search -----------------------------------------------------
