@@ -75,6 +75,8 @@ class Reindexer:
         self._config = {k: (dict(v) if isinstance(v, dict) else list(v))
                         for k, v in DEFAULT_CONFIG.items()}
         self._embedders: dict[str, Any] = {}
+        # cache_tag -> ({text: vector}, {text: request count})
+        self._embed_caches: dict[str, tuple[dict, dict]] = {}
         self._activity: list[dict] = []
         # per-normalized-query latency stats (reference: #queriesperfstats,
         # core/queryperfstat.h — queries aggregate under a values-stripped
@@ -234,6 +236,13 @@ class Reindexer:
             if self.storage is not None and hasattr(self.storage, "ann_cache"):
                 self.storage.ann_cache.drop(value.get("namespace", ""),
                                             value.get("index"))
+        elif cmd == "clear_embedders_cache":
+            # reference: float_vector.md:785-799
+            self._clear_embedders_cache(value.get("cache_tag", "*"))
+        elif cmd == "create_embeddings":
+            # (re)embed existing documents (reference: float_vector.md:762-784)
+            self._create_embeddings(value.get("namespace", "*"),
+                                    int(value.get("batch_size", 100)))
 
     def delete(self, ns_name: str, doc: dict) -> bool:
         return self.get_namespace(ns_name).delete(doc)
@@ -467,6 +476,80 @@ class Reindexer:
         """
         self._embedders[tag] = fn
 
+    def _embed_cache_spec(self, tag: str) -> Optional[dict]:
+        """#config type=embedders cache spec for a cache_tag; '*' matches
+        any non-empty tag unless a specialization exists
+        (reference: float_vector.md:229-287)."""
+        if not tag:
+            return None
+        sect = self._config.get("embedders")
+        caches = sect.get("caches", []) if isinstance(sect, dict) else \
+            (sect if isinstance(sect, list) else [])
+        spec = next((c for c in caches if c.get("cache_tag") == tag), None)
+        if spec is None:
+            spec = next((c for c in caches if c.get("cache_tag") == "*"),
+                        None)
+        return spec
+
+    def _invoke_embedder(self, tag: str, fn, text: str):
+        """One embedding call behind the hit_to_cache/max_cache_items
+        result cache (reference: embedders cache, float_vector.md:229)."""
+        spec = self._embed_cache_spec(tag)
+        if not spec or not int(spec.get("max_cache_items", 1_000_000)):
+            return fn([text])[0]
+        cache, hits = self._embed_caches.setdefault(tag, ({}, {}))
+        if text in cache:
+            return cache[text]
+        hit_to_cache = int(spec.get("hit_to_cache", 1))
+        hits[text] = hits.get(text, 0) + 1
+        vec = fn([text])[0]
+        if hits[text] >= hit_to_cache:
+            if len(cache) >= int(spec.get("max_cache_items", 1_000_000)):
+                cache.pop(next(iter(cache)))
+            cache[text] = vec
+            hits.pop(text, None)
+        return vec
+
+    def _clear_embedders_cache(self, tag: str = "*") -> None:
+        if tag == "*":
+            self._embed_caches.clear()
+        else:
+            self._embed_caches.pop(tag, None)
+
+    def _create_embeddings(self, target: str, batch_size: int = 100) -> None:
+        """Run upsert embedders over EXISTING documents, batched through
+        transactions (reference: create_embeddings action,
+        float_vector.md:762-784; strategy rules apply per embedder)."""
+        names = (list(self._namespaces) if target == "*" else [target])
+        for name in names:
+            ns = self._namespaces.get(name)
+            if ns is None or not any(
+                    d.vector_opts is not None
+                    and d.vector_opts.embedding is not None
+                    and d.vector_opts.embedding.fields
+                    for d in ns.payload_type.indexes):
+                continue
+            with ns.lock:
+                docs = [dict(doc) for doc in ns.items if doc is not None]
+            tx = None
+            pending = 0
+            for doc in docs:
+                try:
+                    new = self._embed_upsert(name, doc)
+                except ParamsError:
+                    continue   # strict strategy on an already-filled vector
+                if new is doc:
+                    continue   # nothing embedded (strategy skipped it)
+                if tx is None:
+                    tx = self.new_transaction(name)
+                tx.upsert(new)
+                pending += 1
+                if pending >= batch_size:
+                    tx.commit()
+                    tx, pending = None, 0
+            if tx is not None:
+                tx.commit()
+
     def embed_query(self, ns: Namespace, field: str, text: str) -> np.ndarray:
         idef = ns.index_def(field)
         if idef is None or idef.vector_opts is None or idef.vector_opts.embedding is None:
@@ -478,7 +561,8 @@ class Reindexer:
             from ..server.embedders import HttpEmbedder
             fn = HttpEmbedder(emb.endpoint)
             self._embedders[emb.cache_tag or emb.endpoint] = fn
-        return np.asarray(fn([text])[0], dtype=np.float32)
+        vec = self._invoke_embedder(emb.cache_tag, fn, text)
+        return np.asarray(vec, dtype=np.float32)
 
     def _embed_upsert(self, ns_name: str, doc: dict,
                       precepts: Optional[list[str]] = None) -> dict:
@@ -512,7 +596,7 @@ class Reindexer:
             fn = self._embedders.get(emb.cache_tag or emb.endpoint)
             if fn is None:
                 continue  # no embedder wired: leave the doc unchanged
-            vec = fn([" ".join(src)])[0]
+            vec = self._invoke_embedder(emb.cache_tag, fn, " ".join(src))
             doc = dict(doc)
             set_json_path(doc, idef.json_paths[0], list(map(float, vec)))
         return doc

@@ -61,6 +61,9 @@ class RankSource:
 
     def rank_of(self, rows: np.ndarray, default: float = 0.0) -> np.ndarray:
         j = self._index_of(rows)
+        if self.ranks is None or not len(self.ranks):
+            # rank-less source (e.g. KNN over an empty namespace)
+            return np.full(len(j), default, dtype=np.float64)
         return np.where(j >= 0, self.ranks[np.maximum(j, 0)],
                         default).astype(np.float64)
 
