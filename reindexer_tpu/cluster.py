@@ -52,6 +52,8 @@ class ClusterNode:
     def __init__(self, server_id: int, db: Optional[Reindexer] = None):
         self.server_id = server_id
         self.db = db or Reindexer()
+        # lets `#config` actions reach the RAFT layer (set_leader_node)
+        self.db._cluster_node = self
         self.peers: dict[int, "ClusterNode"] = {}
         # RAFT state (reference: RaftManager)
         self.term = 0
@@ -70,6 +72,34 @@ class ClusterNode:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.alive = True
+
+    def set_desired_leader(self, server_id: int) -> None:
+        """Manual leadership transfer (reference: set_leader_node action,
+        replication.md:498-505; clusterproxy SetDesiredLeaderId). The
+        target runs an election immediately with a bumped term — stale
+        leaders step down when they see the newer term (request_vote /
+        heartbeat term rules); local siblings are additionally demoted and
+        held back so the target wins the race deterministically."""
+        target = (self if server_id == self.server_id
+                  else self.peers.get(server_id))
+        if target is None or not getattr(target, "alive", True):
+            from .core.errors import ParamsError
+            raise ParamsError(
+                f"no alive cluster node with server id {server_id}")
+        for node in [self, *self.peers.values()]:
+            if node is target or not hasattr(node, "_run_election") \
+                    or not node.alive:
+                continue   # remote (RpcPeer) siblings self-correct via terms
+            with node._lock:
+                if node.role == Role.LEADER:
+                    node.role = Role.FOLLOWER
+                    node.leader_id = None
+                # hold other nodes back so the target wins the race
+                node._election_deadline = node._new_deadline() + 1.0
+        if hasattr(target, "_run_election"):
+            target._run_election()
+        else:
+            target.set_desired_leader(server_id)   # forward over TCP
 
     # --- topology -------------------------------------------------------
     def connect(self, nodes: list["ClusterNode"]) -> None:

@@ -236,6 +236,13 @@ class Reindexer:
             if self.storage is not None and hasattr(self.storage, "ann_cache"):
                 self.storage.ann_cache.drop(value.get("namespace", ""),
                                             value.get("index"))
+        elif cmd == "set_leader_node":
+            # manual RAFT leadership transfer (reference: replication.md:498)
+            node = getattr(self, "_cluster_node", None)
+            if node is None:
+                raise ParamsError(
+                    "set_leader_node: this instance is not a cluster node")
+            node.set_desired_leader(int(value["server_id"]))
         elif cmd == "clear_embedders_cache":
             # reference: float_vector.md:785-799
             self._clear_embedders_cache(value.get("cache_tag", "*"))

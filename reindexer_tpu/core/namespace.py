@@ -33,6 +33,19 @@ from ..index.factory import create_index
 from ..index.scalar import TtlIndex
 
 
+def _item_hash(doc: dict) -> int:
+    """Stable 64-bit per-item checksum (reference: calculateItemChecksum /
+    PayloadChecksum, namespaceimpl.cc:748 — XORed incrementally into the
+    namespace dataHash). blake2b over canonical JSON so the hash is
+    process- and insert-order-independent."""
+    import hashlib
+    import json
+    blob = json.dumps(doc, sort_keys=True, separators=(",", ":"),
+                      default=str).encode()
+    return int.from_bytes(hashlib.blake2b(blob, digest_size=8).digest(),
+                          "little")
+
+
 class PerfCounters:
     """Per-namespace operation counters (reference: core/perfstatcounter.h)."""
 
@@ -74,6 +87,10 @@ class Namespace:
         self.meta: dict[str, str] = {}
         self.lock = threading.RLock()
         self.version = 0          # bumped on each mutation (reader snapshots)
+        # incremental XOR of per-item checksums (reference: repl_.dataHash,
+        # namespaceimpl.cc:748,1968 — followers compare it against the
+        # leader's to detect replication divergence cheaply)
+        self.data_hash = 0
         self.perf = PerfCounters()
         self.schema: Optional[dict] = None  # JSON schema (reference SetSchema)
         # WAL observer hooks: fn(op, payload) — wired by storage/replication
@@ -260,6 +277,9 @@ class Namespace:
                 vals = self._extract_values(doc, idef)
                 self._set_column(idef, row, vals)
                 index.upsert(row, vals)
+            if self.items[row] is not None:
+                self.data_hash ^= _item_hash(self.items[row])
+            self.data_hash ^= _item_hash(doc)
             self.items[row] = doc
             self.version += 1
             self._wal("upsert", {"row": row, "doc": doc})
@@ -289,6 +309,7 @@ class Namespace:
                 return
             old_doc = self.items[row]
             self._delete_row_from_indexes(row)
+            self.data_hash ^= _item_hash(old_doc)
             self.items[row] = None
             self.free_rows.append(row)
             self.version += 1
@@ -304,6 +325,7 @@ class Namespace:
                 index.clear()
             for col in self.columns.values():
                 col.size = 0
+            self.data_hash = 0
             self.version += 1
             self._wal("truncate", {})
 
@@ -381,5 +403,7 @@ class Namespace:
         return {
             "name": self.name,
             "items_count": self.item_count(),
+            # reference: #memstats replication.data_hash (memstats.h)
+            "replication": {"data_hash": self.data_hash},
             "indexes": [ix.memstat() for ix in self.indexes],
         }

@@ -125,6 +125,10 @@ class ClusterServer:
         if cmd == Cmd.RAFT_CLIENT_WRITE:
             node._replicate(args[0], args[1], json.loads(args[2]))
             return []
+        if cmd == Cmd.RAFT_SET_LEADER:
+            # manual leadership transfer (reference: set_leader_node)
+            node.set_desired_leader(int(args[0]))
+            return []
         raise ValueError(f"unknown cluster verb {cmd}")
 
 
@@ -225,6 +229,9 @@ class RpcPeer:
 
     def client_write(self, ns: str, op: str, payload: dict) -> None:
         self._call(Cmd.RAFT_CLIENT_WRITE, [ns, op, json.dumps(payload)])
+
+    def set_desired_leader(self, server_id: int) -> None:
+        self._call(Cmd.RAFT_SET_LEADER, [server_id])
 
 
 def make_tcp_cluster(n: int):

@@ -59,6 +59,7 @@ class Cmd(enum.IntEnum):
     RAFT_RECORDS_SINCE = 115   # (index) -> records_json
     RAFT_INFO = 116            # () -> info_json
     RAFT_CLIENT_WRITE = 117    # (ns, op, payload_json) proxied write
+    RAFT_SET_LEADER = 118      # (server_id) manual leadership transfer
 
 
 class Status(enum.IntEnum):

@@ -125,12 +125,19 @@ class ReplicationState:
             if op in _REPLICATED_OPS else None)
 
     # --- protocol verbs (reference: RPC UpdatesStream / GetSnapshot) ----
+    def data_hashes(self) -> dict:
+        """Per-namespace incremental checksums (reference: repl_.dataHash —
+        the follower compares them to detect divergence, replication.md:67)."""
+        return {name: self.db.get_namespace(name).data_hash
+                for name in self.db.namespace_names()}
+
     def updates(self, from_lsn: int) -> dict:
         recs = self.wal.since(from_lsn)
         if recs is None:
             return {"force_sync": True, "last_lsn": self.wal.last_lsn}
         return {"force_sync": False, "updates": recs,
-                "last_lsn": self.wal.last_lsn}
+                "last_lsn": self.wal.last_lsn,
+                "data_hash": self.data_hashes()}
 
     def snapshot(self) -> dict:
         """Full-state snapshot for force sync (reference:
@@ -263,6 +270,8 @@ class AsyncReplicator:
         self.last_lsn = 0
         self.force_syncs = 0
         self.force_sync_chunks = 0
+        self.data_hash_mismatches = 0
+        self._hash_mismatch_streak = 0
         self.applied = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -287,6 +296,32 @@ class AsyncReplicator:
         for rec in resp.get("updates", []):
             self._apply(rec)
             self.last_lsn = rec["lsn"]
+        self._verify_data_hash(resp)
+
+    def _verify_data_hash(self, resp: dict) -> None:
+        """Data-integrity check (reference: replication.md:67-70 Checksum/
+        DataHash): once caught up, compare per-ns checksums; a mismatch
+        stable across two rounds (leader may mutate between building the
+        update list and reading the hashes) forces a resync."""
+        hashes = resp.get("data_hash")
+        if not hashes or self.last_lsn != resp.get("last_lsn"):
+            self._hash_mismatch_streak = 0
+            return
+        mismatch = False
+        for name, want in hashes.items():
+            if name not in self.db._namespaces:
+                continue
+            if self.db.get_namespace(name).data_hash != want:
+                mismatch = True
+                break
+        if not mismatch:
+            self._hash_mismatch_streak = 0
+            return
+        self._hash_mismatch_streak += 1
+        if self._hash_mismatch_streak >= 2:
+            self.data_hash_mismatches += 1
+            self._hash_mismatch_streak = 0
+            self._force_sync()
 
     def wait_sync(self, leader_state_or_lsn, timeout: float = 10.0) -> bool:
         """Poll until follower LSN catches the leader (reference:

@@ -102,3 +102,31 @@ def test_revived_node_catches_up(cluster):
             pass
         time.sleep(0.05)
     assert len(follower.select(Query("r"))) == 5
+
+
+def test_manual_leader_transfer(cluster):
+    """set_leader_node action (reference: replication.md:498-505)."""
+    old = wait_leader(cluster)
+    target = next(n for n in cluster if n.server_id != old.server_id)
+    # the action rides #config on ANY node (reference: upsert #config)
+    old.db.upsert("#config", {"type": "action", "action": {
+        "command": "set_leader_node", "server_id": target.server_id}})
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if target.role == Role.LEADER:
+            break
+        time.sleep(0.02)
+    assert target.role == Role.LEADER
+    # the cluster still accepts writes through the new leader
+    target.open_namespace("m", IDX)
+    target.upsert("m", {"id": 1})
+    time.sleep(0.2)
+    assert sum(1 for n in cluster if n.role == Role.LEADER) == 1
+
+
+def test_set_leader_unknown_node(cluster):
+    from reindexer_tpu import ParamsError
+    leader = wait_leader(cluster)
+    with pytest.raises(ParamsError):
+        leader.db.upsert("#config", {"type": "action", "action": {
+            "command": "set_leader_node", "server_id": 99}})

@@ -361,3 +361,30 @@ def test_reshard_under_write():
     for rid, (si, loc) in seen.items():
         want = 1 if loc == "a" else 0
         assert si == want, (rid, si, loc)
+
+
+def test_data_hash_divergence_forces_resync():
+    """Data integrity check (reference: replication.md:67-70 DataHash):
+    a follower whose data silently diverged must detect the checksum
+    mismatch and force-resync."""
+    leader, state = make_leader()
+    follower = Reindexer()
+    repl = AsyncReplicator(follower, LeaderChannel(state))
+    leader.upsert("t", {"id": 1, "name": "a"})
+    leader.upsert("t", {"id": 2, "name": "b"})
+    repl.sync_once()
+    assert follower.get_namespace("t").data_hash \
+        == leader.get_namespace("t").data_hash
+
+    # corrupt the follower BEHIND the replicator's back
+    follower.get_namespace("t").upsert({"id": 2, "name": "CORRUPT"})
+    assert follower.get_namespace("t").data_hash \
+        != leader.get_namespace("t").data_hash
+    repl.sync_once()       # mismatch round 1 (streak guard)
+    repl.sync_once()       # mismatch round 2 -> force resync
+    assert repl.data_hash_mismatches == 1
+    docs = {d["id"]: d["name"]
+            for d in follower.select(Query("t")).docs()}
+    assert docs == {1: "a", 2: "b"}
+    assert follower.get_namespace("t").data_hash \
+        == leader.get_namespace("t").data_hash
