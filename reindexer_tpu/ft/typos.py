@@ -47,6 +47,15 @@ def _del_sets(s: str, k: int) -> Iterable[tuple[int, ...]]:
     return itertools.combinations(range(len(s)), k)
 
 
+def _is_subseq(small: str, big: str) -> bool:
+    """small is obtainable from big by deletions only."""
+    it = iter(big)
+    return all(c in it for c in small)
+
+
+_MISS = object()
+
+
 def _apply(s: str, dels: tuple[int, ...]) -> str:
     if not dels:
         return s
@@ -77,6 +86,7 @@ class TypoDict:
         self.max_extra = (max_extra_letters if max_extra_letters >= 0
                           else self.index_deletes)
         self.map: dict[str, list[int]] = {}
+        self._verify_cache: dict[tuple[str, str], Optional[int]] = {}
 
     def add_word(self, word: str, word_id: int) -> None:
         if not (self.min_word_len <= len(word) <= self.max_typo_len):
@@ -122,37 +132,49 @@ class TypoDict:
 
     def typo_count(self, term: str, word: str) -> Optional[int]:
         """Minimal max(x, y) over valid deletion alignments, or None
-        (reference tcount, variants/typos.h:82)."""
+        (reference tcount, variants/typos.h:82). Memoized per dict —
+        words repeat across query terms and candidate forms."""
         if term == word:
             return 0
+        hit = self._verify_cache.get((term, word), _MISS)
+        if hit is not _MISS:
+            return hit
+        out = self._typo_count_impl(term, word)
+        if len(self._verify_cache) >= 100_000:
+            self._verify_cache.clear()
+        self._verify_cache[(term, word)] = out
+        return out
+
+    def _typo_count_impl(self, term: str, word: str) -> Optional[int]:
         dlen = len(word) - len(term)
-        best = None
-        # x deletions from the query term, y from the dictionary word
+        # (tcount, x, y) candidates ordered cheapest-count first
+        cands = []
         for x in range(self.index_deletes + 1):
             y = x + dlen
-            if y < 0 or y > self.index_deletes or x + y > self.max_typos:
-                continue
-            if x + y == 0:
+            if y < 0 or y > self.index_deletes or x + y > self.max_typos \
+                    or x + y == 0:
                 continue
             if x - y > self.max_extra or y - x > self.max_missing:
                 continue
-            tcount = max(x, y)
-            if best is not None and tcount >= best:
-                continue
-            hit = False
-            for dels_t in _del_sets(term, x):
-                tstr = _apply(term, dels_t)
-                for dels_w in _del_sets(word, y):
-                    if tstr != _apply(word, dels_w):
-                        continue
-                    if self._pairing_ok(term, word, dels_t, dels_w):
-                        hit = True
-                        break
-                if hit:
-                    break
-            if hit:
-                best = tcount
-        return best
+            cands.append((max(x, y), x, y))
+        for tcount, x, y in sorted(cands):
+            if x == 0:
+                # pure missing letters: no opposite-side pair to check
+                if _is_subseq(term, word):
+                    return tcount
+            elif y == 0:
+                # pure extra letters
+                if _is_subseq(word, term):
+                    return tcount
+            else:
+                for dels_t in _del_sets(term, x):
+                    tstr = _apply(term, dels_t)
+                    for dels_w in _del_sets(word, y):
+                        if tstr != _apply(word, dels_w):
+                            continue
+                        if self._pairing_ok(term, word, dels_t, dels_w):
+                            return tcount
+        return None
 
     def candidates(self, term: str, vocab_get, word_of_id) -> dict[int, int]:
         """word_id -> typo count for words within maxTypos of `term`.
