@@ -614,18 +614,71 @@ class Selecter:
         # device round-trip (~30ms tunnel RTT) no longer serializes
         # concurrent queries on this namespace (see Namespace.unlocked)
         qv = np.asarray(value, dtype=np.float32)
-        if hasattr(index, "select_async"):
+        res = self._knn_select_batched(ns, index, qv, entry.params)
+        if res is None and hasattr(index, "select_async"):
             drain = index.select_async(qv, entry.params)
             with ns.unlocked():
                 # cancellation between dispatch and drain: the device
                 # program keeps running, but the query stops blocking
                 check_cancel()
                 res = drain()
-        else:                      # adapters without an async split
+        elif res is None:          # adapters without an async split
             res = index.select(qv, entry.params)
         src = RankSource(field=entry.field, kind="knn", ids=res.ids,
                          ranks=res.ranks, ordering=res.ordering)
         return self._ids_to_mask(res.ids, cap), src
+
+    def _knn_select_batched(self, ns: Namespace, index, qv: np.ndarray,
+                            params) -> Optional[SelectKeyResult]:
+        """Continuous batching for concurrent KNN serving (query/dynbatch.py):
+        coalesce single-query selects that pile up behind an in-flight
+        device dispatch into ONE batched program. Returns None when
+        batching does not apply (disabled, radius-only, or the index has
+        no batched async path) — the caller falls back to the single path."""
+        from . import dynbatch
+        if (not dynbatch.enabled() or params.k is None
+                or not hasattr(index, "select_batch_async")):
+            return None
+        batchers = self._ns_cache(ns, "knn_batchers")
+        batcher = batchers.get(id(index))
+        if batcher is None:
+            batcher = batchers.setdefault(id(index), dynbatch.KnnBatcher())
+        key = (type(params).__name__,
+               tuple(sorted(params.to_dict().items())), len(qv))
+        p = dynbatch.PendingQuery(qv)
+        batch = None
+        with ns.unlocked():
+            # waiters park with the namespace lock released; the elected
+            # leader returns here and re-acquires it on exit
+            batch = batcher.join(key, p)
+        while batch is not None:
+            # leader: one device program for the whole coalesced batch
+            # (dispatch under the ns lock, drain with it released — same
+            # isolation class as the single-query path)
+            try:
+                qs = np.stack([b.query for b in batch])
+                pad = dynbatch.bucket_of(len(batch))
+                if pad > len(batch):
+                    # pad to a shape bucket: the tunnel compiles at most
+                    # len(BUCKETS) programs per params key
+                    qs = np.concatenate(
+                        [qs, np.repeat(qs[-1:], pad - len(batch), axis=0)])
+                drain = index.select_batch_async(qs, params)
+                with ns.unlocked():
+                    if len(batch) == 1:
+                        # solo leader: safe to cancel between dispatch and
+                        # drain; a shared batch must not die on one
+                        # query's deadline
+                        check_cancel()
+                    results = drain()
+            except BaseException as e:
+                batcher.finish(batch, None, error=e)
+                raise
+            batcher.finish(batch, results)
+            batch = None
+        if p.error is not None:
+            raise p.error
+        return p.result
 
     def _eval_between_fields(self, ns: Namespace, entry: BetweenFieldsEntry,
                              cap: int) -> np.ndarray:

@@ -129,6 +129,20 @@ def main():
         words[i % 50] + "' LIMIT 10"
         for i, q in enumerate(qvecs)]
 
+    # warm the dynamic-batch shape buckets (deployment warmup: the batcher
+    # pads coalesced dispatches to B in dynbatch.BUCKETS; compile each
+    # bucket once so serving never hits a remote compile)
+    from reindexer_tpu.index.vector.params import KnnSearchParams
+    from reindexer_tpu.query import dynbatch
+    ix = db.get_namespace("items").get_index("vec")
+    t0 = time.time()
+    for kk in (10, 50):
+        for b in dynbatch.BUCKETS:
+            qb = np.stack([qvecs[i % len(qvecs)] for i in range(b)])
+            ix.select_batch(qb.astype(np.float32), KnnSearchParams(k=kk))
+    print(f"# warmed dynbatch buckets {dynbatch.BUCKETS} in "
+          f"{time.time()-t0:.1f}s", flush=True)
+
     for name, sqls in (("knn", knn_sqls), ("hybrid", hybrid_sqls)):
         post_sql(port, "bench", sqls[0])      # warm
         q1 = run_clients(port, sqls, 1)
