@@ -11,6 +11,11 @@ import dataclasses
 from typing import Optional
 
 
+def _default_morpheme_stop_words() -> set:
+    from .stopwords import DEFAULT_MORPHEME_STOP_WORDS
+    return set(DEFAULT_MORPHEME_STOP_WORDS)
+
+
 @dataclasses.dataclass
 class SubTermProcs:
     """Per-variant base relevancy percentages (reference: FtSubTermProcs,
@@ -67,9 +72,12 @@ class FtFastConfig:
     enable_kb_layout: bool = True
     enable_numbers_search: bool = False
     stop_words: set = dataclasses.field(default_factory=set)
-    # stop words that are still indexed but skipped in queries
-    # (reference: StopWord::Type::Morpheme)
-    morpheme_stop_words: set = dataclasses.field(default_factory=set)
+    # stop words of morpheme type (reference: StopWord::Type::Morpheme) —
+    # skipped at index time like plain stop words; the bundled en/ru
+    # dictionaries apply BY DEFAULT (ftconfig.cc:30-36) and a custom
+    # "stop_words" config key replaces them (ftconfig.cc:248-251)
+    morpheme_stop_words: set = dataclasses.field(
+        default_factory=lambda: _default_morpheme_stop_words())
     synonyms: list[Synonym] = dataclasses.field(default_factory=list)
     log_level: int = 0
     extra_word_symbols: str = "-/+_`'"   # reference kDefaultExtraWordsSymbols
@@ -118,7 +126,12 @@ class FtFastConfig:
         cfg.enable_kb_layout = bool(d.get("enable_kb_layout", cfg.enable_kb_layout))
         cfg.enable_numbers_search = bool(
             d.get("enable_numbers_search", cfg.enable_numbers_search))
-        for sw in d.get("stop_words", []):
+        if "stop_words" in d:
+            # a custom list REPLACES the bundled defaults
+            # (reference: ftconfig.cc:248-251 stopWords.clear())
+            cfg.stop_words = set()
+            cfg.morpheme_stop_words = set()
+        for sw in d.get("stop_words") or []:
             if isinstance(sw, dict):
                 # {"word": ..., "is_morpheme": bool} (reference: stop-word obj)
                 if sw.get("is_morpheme"):

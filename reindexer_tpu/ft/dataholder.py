@@ -112,6 +112,8 @@ class FtDataHolder:
             self._collect_native(docs)
         if collected is None:
             collected = self._collect_python(docs)
+        if collected is not None and self.cfg.enable_numbers_search:
+            collected = self._add_virtual_number_words(collected)
         if collected is None:
             self.doc_words = np.zeros(cap, dtype=np.float32)
             self.field_words = np.zeros(
@@ -174,6 +176,42 @@ class FtDataHolder:
         self._typo_dict = None
         self._device = None
 
+    def _add_virtual_number_words(self, collected) -> tuple:
+        """Numbers search: numeric tokens additionally index their Russian
+        spelling as "virtual words" at the same (doc, field, pos)
+        (reference: dataprocessor.cc:274-277 + buildVirtualWord
+        :325-345, numtotext.cc). Word counts bump per virtual word, as the
+        reference bumps vdocWordsCounts."""
+        from .numtotext import is_number, num_to_text
+        words, tok_wid, doc_arr, field_arr, pos_arr = collected
+        vmap = {}
+        for i, w in enumerate(words):
+            if is_number(w):
+                vw = num_to_text(w)
+                if vw:
+                    vmap[i] = vw
+        if not vmap:
+            return collected
+        vw_all = sorted({v for vws in vmap.values() for v in vws})
+        new_words = np.unique(np.concatenate(
+            [words, np.asarray(vw_all, dtype=object)]))
+        old_remap = np.searchsorted(new_words, words)
+        vw_id = {v: int(np.searchsorted(new_words, v)) for v in vw_all}
+        parts_w = [old_remap[tok_wid]]
+        parts_d, parts_f, parts_p = [doc_arr], [field_arr], [pos_arr]
+        for wid, vws in vmap.items():
+            sel = np.flatnonzero(tok_wid == wid)
+            if len(sel) == 0:
+                continue
+            for v in vws:
+                parts_w.append(np.full(len(sel), vw_id[v], dtype=np.int64))
+                parts_d.append(doc_arr[sel])
+                parts_f.append(field_arr[sel])
+                parts_p.append(pos_arr[sel])
+        return (new_words, np.concatenate(parts_w),
+                np.concatenate(parts_d), np.concatenate(parts_f),
+                np.concatenate(parts_p))
+
     # ------------------------------------------------------------------
     # token collection: native C++ fast path with pure-Python fallback
     # ------------------------------------------------------------------
@@ -182,7 +220,10 @@ class FtDataHolder:
         t_doc: list[np.ndarray] = []
         t_field: list[np.ndarray] = []
         t_pos: list[np.ndarray] = []
-        stop = self.cfg.stop_words
+        # BOTH stop-word types skip indexing (reference: dataprocessor.cc
+        # :259 looks up the combined map; Stop vs Morpheme only differs on
+        # the query side, ftdsl.cc:224)
+        stop = self.cfg.stop_words | self.cfg.morpheme_stop_words
         extra = self.cfg.extra_word_symbols
         for row, field_texts in docs:
             for f_idx, text in enumerate(field_texts):
@@ -229,7 +270,7 @@ class FtDataHolder:
         pos_arr = np.frombuffer(pos_b, dtype=np.int32)
 
         vocab_arr = np.asarray(vocab, dtype=object)
-        stop = self.cfg.stop_words
+        stop = self.cfg.stop_words | self.cfg.morpheme_stop_words
         if stop:
             stop_mask = np.asarray([w in stop for w in vocab], dtype=bool)
             if stop_mask.any():

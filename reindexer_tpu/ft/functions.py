@@ -136,7 +136,7 @@ def _match_spans_positional(text: str, positions: set,
         return []
     from .mmseg import segmenter_for_config
     extra = cfg.extra_word_symbols if cfg else "-/+_`'"
-    stop = cfg.stop_words if cfg else ()
+    stop = ((cfg.stop_words | cfg.morpheme_stop_words) if cfg else ())
     seg = segmenter_for_config(cfg) if cfg else None
     spans = []
     p = 0

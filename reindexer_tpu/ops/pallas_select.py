@@ -407,7 +407,8 @@ def _bitonic_desc_1024(keys, rid, Qn):
 
 
 def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
-               k, kf, Qn, xla_tail, bits=RADIX_BITS, stack=False):
+               k, kf, Qn, xla_tail, bits=RADIX_BITS, stack=False,
+               ablate=""):
     """Fine per-8 selection + emission from the compacted candidate buffer
     (`cand` scratch ref [Qn, BLK+8, S_SLOTS], block ids in the augmented
     rows). Shared between the v2 select kernel and the v3 one-sweep
@@ -440,6 +441,11 @@ def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
     # but ref reads at 128-multiple lane offsets are fine
     rank2_s[:] = jnp.where(mask2 > 0.0, incl2 - mask2,
                            jnp.float32(S2))            # [Q, 1, 8S]
+    if ablate == "fine_fgm":   # measurement: stop after fgm+radix+ranks
+        out_s_ref[:] = jnp.zeros_like(out_s_ref)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+        flag_ref[:] = count2[:1, :, 0] * 0.0
+        return
 
     # second compaction: fori so chunk temporaries are reused; the
     # same augmented-row trick folds the rid pieces into the ONE
@@ -491,6 +497,12 @@ def _fine_emit(cand, count_s, rank2_s, out_s_ref, out_i_ref, flag_ref,
 
     out2a = jax.lax.fori_loop(
         0, 8, chunk, jnp.zeros((Qn, 16, S2), jnp.float32))
+    if ablate == "fine_chunk":   # measurement: stop after 2nd compaction
+        out_s_ref[:] = (jnp.zeros_like(out_s_ref)
+                        + out2a[:, 0:1, :out_s_ref.shape[2]] * 0.0)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+        flag_ref[:] = out2a[:1, 0:1, 0] * 0.0
+        return
     out2 = out2a[:, :8, :]
     kidc = (256.0 * out2a[:, 8:9, :] + out2a[:, 9:10, :])
     occ = out2a[:, 10:11, :]
@@ -1137,16 +1149,52 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                         aug2 = jnp.concatenate(
                             [ghi, glo], axis=1).astype(jnp.bfloat16)
                         xs = jnp.concatenate([stk, aug2], axis=1)
-                        o3 = jax.lax.dot_general(
-                            xs, sel_b, dimension_numbers=dn,
-                            preferred_element_type=jnp.float32)
-                        out = (o3[:, :BLK, :] + o3[:, BLK:2 * BLK, :]
-                               + o3[:, 2 * BLK:3 * BLK, :])
-                        out = jnp.concatenate(
-                            [out, o3[:, 3 * BLK:, :],
-                             jnp.zeros((Qn, CR - BLK - 2, S_SLOTS),
-                                       jnp.float32)], axis=1)
-                        cand[:] += out
+                        if ablate == "nodot":
+                            # measurement: full operand builds, the MXU
+                            # dot + limb reduce replaced by one cheap
+                            # elementwise combine (keeps builds live)
+                            cand[:] += (xs[:, :CR, :S_SLOTS].astype(
+                                jnp.float32)
+                                * sel_b[:, :CR, :].astype(jnp.float32))
+                        elif ablate == "eyesel":
+                            # measurement: dot against a broadcast
+                            # identity selector — removes the rank
+                            # slice/transpose + one-hot compare build
+                            eye = (jax.lax.broadcasted_iota(
+                                jnp.int32, (1, GL, S_SLOTS), 1)
+                                == jax.lax.broadcasted_iota(
+                                    jnp.int32, (1, GL, S_SLOTS), 2)
+                            ).astype(jnp.bfloat16)
+                            sel_e = jnp.broadcast_to(
+                                eye, (Qn, GL, S_SLOTS))
+                            o3 = jax.lax.dot_general(
+                                xs, sel_e, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+                            out = (o3[:, :BLK, :] + o3[:, BLK:2 * BLK, :]
+                                   + o3[:, 2 * BLK:3 * BLK, :])
+                            out = jnp.concatenate(
+                                [out, o3[:, 3 * BLK:, :],
+                                 jnp.zeros((Qn, CR - BLK - 2, S_SLOTS),
+                                           jnp.float32)], axis=1)
+                            cand[:] += out
+                        elif ablate == "noreduce":
+                            # measurement: dot kept, limb-sum reduce +
+                            # concat replaced by a direct slice accumulate
+                            o3 = jax.lax.dot_general(
+                                xs, sel_b, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+                            cand[:] += o3[:, :CR, :]
+                        else:
+                            o3 = jax.lax.dot_general(
+                                xs, sel_b, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+                            out = (o3[:, :BLK, :] + o3[:, BLK:2 * BLK, :]
+                                   + o3[:, 2 * BLK:3 * BLK, :])
+                            out = jnp.concatenate(
+                                [out, o3[:, 3 * BLK:, :],
+                                 jnp.zeros((Qn, CR - BLK - 2, S_SLOTS),
+                                           jnp.float32)], axis=1)
+                            cand[:] += out
                     else:
                         aug = jnp.concatenate(
                             [ghi, glo, jnp.zeros((Qn, CR - BLK - 2, GL),
@@ -1200,7 +1248,8 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
                         _fine_emit(cand, count_s, rank2_s, out_s_ref,
                                    out_i_ref, flag_tmp, k, kf, Qn,
                                    xla_tail, bits=bits,
-                                   stack=(park in ("stack", "bytes")))
+                                   stack=(park in ("stack", "bytes")),
+                                   ablate=ablate)
                     flag_acc[:] = jnp.maximum(flag_acc[:], flag_tmp[:])
         else:
             @pl.when((r >= 1) & (t == n_tiles - 1))

@@ -672,3 +672,76 @@ def test_select_functions_do_not_mutate_storage():
     r = db.select(Query("docs").where("id", "=", 60))
     assert r.docs()[0]["body"] == "orange here"
     db.delete("docs", {"id": 60})
+
+
+# ---------------------------------------------------------------------------
+# round 5: bundled default stop words + numbers search
+# ---------------------------------------------------------------------------
+
+def test_default_stopwords_applied():
+    """The bundled en/ru dictionaries apply with NO config, as morpheme-type
+    stop words (reference: ftconfig.cc:30-36 default-inserts stop_en/stop_ru;
+    dataprocessor.cc:259 skips them at index time)."""
+    db = make_db()                       # no stop_words key at all
+    for doc in DOCS:
+        db.upsert("docs", doc)
+    assert got_ids(db.select(Query("docs").match("ft", "the"))) == []
+    assert got_ids(db.select(Query("docs").match("ft", "over"))) == []
+    # non-stop words still match
+    assert 1 in got_ids(db.select(Query("docs").match("ft", "fox")))
+
+
+def test_default_stopwords_russian():
+    db = make_db()
+    db.upsert("docs", {"id": 70, "title": "кошка", "body": "и вот кошка на крыше"})
+    assert got_ids(db.select(Query("docs").match("ft", "и"))) == []
+    assert got_ids(db.select(Query("docs").match("ft", "вот"))) == []
+    assert 70 in got_ids(db.select(Query("docs").match("ft", "кошка")))
+
+
+def test_custom_stopwords_replace_defaults():
+    """A custom stop_words list REPLACES the bundled dictionaries
+    (reference: ftconfig.cc:248-251 stopWords.clear())."""
+    db = make_db(ft_config={"stop_words": ["fox"]})
+    for doc in DOCS:
+        db.upsert("docs", doc)
+    assert got_ids(db.select(Query("docs").match("ft", "fox"))) == []
+    # "the" is no longer a stop word once the custom list replaces defaults
+    assert 1 in got_ids(db.select(Query("docs").match("ft", "the")))
+
+
+def test_numtotext_conversion():
+    from reindexer_tpu.ft.numtotext import num_to_text, is_number
+    assert num_to_text("0") == ["ноль"]
+    assert num_to_text("5") == ["пять"]
+    assert num_to_text("10") == ["десять"]
+    assert num_to_text("13") == ["тринадцать"]
+    assert num_to_text("125") == ["сто", "двадцать", "пять"]
+    assert num_to_text("1000") == ["одна", "тысяча"]
+    assert num_to_text("2001") == ["две", "тысячи", "один"]
+    assert num_to_text("1000000") == ["один", "миллион"]
+    assert num_to_text("007") == ["ноль", "ноль", "семь"]
+    assert num_to_text("9" * 28) == []          # unreasonably big
+    assert is_number("42") and not is_number("4x") and not is_number("")
+
+
+def test_numbers_search_disabled_by_default():
+    db = make_db()
+    db.upsert("docs", {"id": 80, "title": "n", "body": "комната 125"})
+    assert got_ids(db.select(Query("docs").match("ft", "двадцать"))) == []
+
+
+def test_numbers_search_enabled():
+    """enable_numbers_search indexes the Russian spelling of numeric tokens
+    as virtual words (reference: dataprocessor.cc:274-277 buildVirtualWord
+    + numtotext.cc)."""
+    db = make_db(ft_config={"enable_numbers_search": True})
+    db.upsert("docs", {"id": 81, "title": "n", "body": "комната 125"})
+    db.upsert("docs", {"id": 82, "title": "n", "body": "комната 300"})
+    assert got_ids(db.select(Query("docs").match("ft", "двадцать"))) == [81]
+    assert got_ids(db.select(Query("docs").match("ft", "триста"))) == [82]
+    assert set(got_ids(db.select(Query("docs").match("ft", "сто")))) == {81}
+    # digits still match directly
+    assert got_ids(db.select(Query("docs").match("ft", "125"))) == [81]
+    # phrase positions: the virtual word shares the number's position
+    assert got_ids(db.select(Query("docs").match("ft", '"комната пять"~2'))) == [81]
