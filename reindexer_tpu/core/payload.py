@@ -77,6 +77,22 @@ class FloatVectorOpts:
     quantization: QuantizationConfig = dataclasses.field(default_factory=QuantizationConfig)
     embedding: Optional[EmbeddingConfig] = None
 
+    def __post_init__(self):
+        # plain-dict configs coerce (API ergonomics: callers pass the same
+        # JSON shapes the HTTP/RPC planes use)
+        if isinstance(self.quantization, dict):
+            q = self.quantization
+            self.quantization = QuantizationConfig(
+                enabled=bool(q.get("enabled", True)),
+                left_quantile=float(q.get("left_quantile", 0.001)),
+                right_quantile=float(q.get("right_quantile", 0.999)),
+                min_elements=int(q.get("min_elements", 1024)),
+                mode=str(q.get("mode", "exact")))
+        if isinstance(self.embedding, dict):
+            self.embedding = EmbeddingConfig(**self.embedding)
+        if isinstance(self.metric, str):
+            self.metric = VectorMetric(self.metric)
+
 
 @dataclasses.dataclass
 class IndexOpts:

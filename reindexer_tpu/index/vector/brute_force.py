@@ -119,9 +119,25 @@ class BruteForceIndex(FloatVectorIndexBase):
                 **v4_tuning())
             return s.reshape(B, -1), i.reshape(B, -1), flag
         if quant and self._quant_mode != "exact":
-            # reference-semantics SQ8: top-k of the quantized scores (the
-            # v1 fused SQ8 kernel / XLA quantized scan), optionally exact-
-            # re-ranked from fp32 — NO eps ladder, NO overflow rerun
+            # reference-semantics SQ8: top-k of the quantized scores —
+            # NO eps ladder, NO fp32 pass. Primary path: the pipelined
+            # codes-only i8 kernel (1/4 HBM bytes, i8 MXU scoring —
+            # knn_scan_approx_sq8_v4); flag > 0 reruns the v1 quantized
+            # scan. approx_rerank re-scores the winners exactly from fp32.
+            if (v4_available(kp.capacity, kp.dims, k, min(B, 64))
+                    and (B <= 64 or B % 64 == 0)):
+                from ...ops.pallas_select import knn_scan_approx_sq8_v4
+                R = B // 64 if B % 64 == 0 else 1
+                s, i, flag = knn_scan_approx_sq8_v4(
+                    q.reshape(R, B // R, q.shape[1]),
+                    self._quant.codes_i8, self._quant.lo,
+                    self._quant.alpha, kp.sq_eff(), k, self.metric)
+                s, i = s.reshape(B, -1), i.reshape(B, -1)
+                if self._quant_mode == "approx_rerank":
+                    from ...ops.hnsw_kernels import exact_rescore
+                    s, i = exact_rescore(q, kp.data, kp.sq, i, s,
+                                         self.metric)
+                return s, i, flag
             s, i = self._scan_quantized(q, k)
             if self._quant_mode == "approx_rerank":
                 from ...ops.hnsw_kernels import exact_rescore
@@ -156,7 +172,16 @@ class BruteForceIndex(FloatVectorIndexBase):
     def _overflow_rerun(self, q: jnp.ndarray, k: int):
         """Slot-capacity overflow ladder: cert -> fast (sticky — later
         queries dispatch fast directly) -> exact fp32 scan. Returns host
-        (scores, idx)."""
+        (scores, idx). In approx modes the rerun is the v1 quantized scan
+        (same quantized-score contract, no slot capacity)."""
+        if (self._quant is not None and self._quant.active
+                and self._quant_mode != "exact"):
+            s, i = self._scan_quantized(q, k)
+            if self._quant_mode == "approx_rerank":
+                from ...ops.hnsw_kernels import exact_rescore
+                s, i = exact_rescore(q, self.keeper.data, self.keeper.sq,
+                                     i, s, self.metric)
+            return jax.device_get((s, i))
         if (self._sq8_mode == "cert" and self._quant is not None
                 and self._quant.active and self._quant.err_dims is not None):
             self._sq8_mode = "fast"

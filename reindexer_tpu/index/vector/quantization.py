@@ -36,6 +36,11 @@ def _encode(data: jnp.ndarray, lo: jnp.ndarray, inv_alpha: jnp.ndarray,
     return jnp.round(x).astype(jnp.uint8)
 
 
+@jax.jit
+def _to_i8(codes: jnp.ndarray) -> jnp.ndarray:
+    return (codes.astype(jnp.int32) - 128).astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
 def knn_scan_quantized(queries: jnp.ndarray, codes: jnp.ndarray,
                        lo: jnp.ndarray, alpha: jnp.ndarray,
@@ -127,10 +132,21 @@ class QuantizedStore:
         # mean-square per-dim residual: sizes the probabilistic "fast" eps
         self.ms_dims: Optional[jnp.ndarray] = None
         self._quantized_count = 0
+        self._codes_i8 = None
 
     @property
     def active(self) -> bool:
         return self.codes is not None
+
+    @property
+    def codes_i8(self) -> jnp.ndarray:
+        """Signed view (codes - 128) for the i8 MXU approx kernel
+        (ops/pallas_select.knn_scan_approx_sq8_v4); cached per codes
+        identity."""
+        key = id(self.codes)
+        if self._codes_i8 is None or self._codes_i8[0] != key:
+            self._codes_i8 = (key, _to_i8(self.codes))
+        return self._codes_i8[1]
 
     def need_requantize(self, count: int, capacity: int) -> bool:
         """(reference: Quantizer::NeedRequantize — outlier drift; here:

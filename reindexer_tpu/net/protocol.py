@@ -46,6 +46,12 @@ class Cmd(enum.IntEnum):
     GET_META = 81
     ENUM_META = 82
 
+    # events on the RPC plane (reference: cproto.h kCmdSubscribeUpdates=90
+    # kCmdUpdates=91; rpcserver.cc:1226-1248,1378 — subscribe with a filter
+    # config, events PUSHED as unsolicited seq-0 frames on the connection)
+    SUBSCRIBE_UPDATES = 90     # (flag, subscription_opts_json)
+    UPDATES_PUSH = 91          # server -> client: (event_json, ...)
+
     GET_SNAPSHOT = 96          # replication verbs (rpcserver.cc:1382-1384)
     GET_UPDATES = 97
     GET_SNAPSHOT_META = 98     # chunked force-sync (namespace/snapshot/):

@@ -136,6 +136,64 @@ class RpcTransaction:
         self._finish(Cmd.ROLLBACK_TX)
 
 
+class RpcSubscription:
+    """Client side of an RPC-plane event subscription (reference: the Go
+    connector's events stream over cproto, kCmdUpdates frames): a DEDICATED
+    connection whose reader thread routes unsolicited seq-0 UPDATES_PUSH
+    frames into a local queue."""
+
+    def __init__(self, addr, creds, namespaces=(), event_types=(),
+                 with_doc=True):
+        self._slot = _ConnSlot(addr, creds)
+        self._slot.call(Cmd.SUBSCRIBE_UPDATES, [
+            1, json.dumps({"namespaces": list(namespaces),
+                           "event_types": list(event_types),
+                           "with_doc": bool(with_doc)})])
+        self._q: "queue.Queue[dict]" = queue.Queue()
+        self.closed = False
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def _read_loop(self) -> None:
+        try:
+            while not self.closed:
+                head = self._slot._recv_exact(HEADER_SIZE)
+                _seq, cmd, _status, length = unpack_header(head)
+                body = self._slot._recv_exact(length) if length else b""
+                if Cmd(cmd) != Cmd.UPDATES_PUSH:
+                    continue            # unsubscribe/other replies
+                for blob in decode_args(body):
+                    self._q.put(json.loads(blob))
+        except (ConnectionError, OSError, ValueError):
+            pass
+
+    def poll(self, timeout: Optional[float] = 1.0,
+             max_events: int = 256) -> list[dict]:
+        out: list[dict] = []
+        try:
+            out.append(self._q.get(timeout=timeout) if timeout
+                       else self._q.get_nowait())
+        except queue.Empty:
+            return out
+        while len(out) < max_events:
+            try:
+                out.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        try:   # best-effort explicit unsubscribe (reply eaten by reader)
+            self._slot.sock.sendall(pack_frame(
+                1 << 20, Cmd.SUBSCRIBE_UPDATES, 0, encode_args([0, ""])))
+        except OSError:
+            pass
+        self._slot.close()
+
+
 class RpcReindexer:
     """Client facade over the binary protocol (same API shape as
     client.RemoteReindexer / the embedded Reindexer)."""
@@ -191,6 +249,13 @@ class RpcReindexer:
             return s.call(cmd, args)
         finally:
             self._checkin(s)
+
+    def subscribe_updates(self, namespaces=(), event_types=(),
+                          with_doc=True) -> "RpcSubscription":
+        """Filtered WAL event stream over the RPC plane (reference:
+        rpcserver.cc:1378 kCmdSubscribeUpdates + kCmdUpdates pushes)."""
+        return RpcSubscription(self._addr, self._creds, namespaces,
+                               event_types, with_doc)
 
     def close(self) -> None:
         while True:

@@ -72,6 +72,9 @@ class _Conn:
         self.txs: dict[int, Any] = {}
         self.ids = itertools.count(1)
         self.tag_state = cjson.TagState()   # cumulative per-connection tags
+        self.sub = None                     # events subscription (RPC plane)
+        self.sub_obs = None
+        self.push_task = None
 
 
 # per-verb minimum role (reference: rpcserver.cc getDB(ctx, kRole...) —
@@ -98,6 +101,7 @@ _VERB_NEED = {
     Cmd.PUT_META: "data_write",
     Cmd.GET_META: "data_read",
     Cmd.ENUM_META: "data_read",
+    Cmd.SUBSCRIBE_UPDATES: "data_read",
     Cmd.GET_SNAPSHOT: "data_read",
     Cmd.GET_UPDATES: "data_read",
     Cmd.GET_SNAPSHOT_META: "data_read",
@@ -170,6 +174,7 @@ class RpcServer:
                 "start_time": time.time(), "recv_bytes": 0, "sent_bytes": 0,
                 "user_name": "", "client_version": "rpc"}
         registered_db = None
+        wlock = asyncio.Lock()     # the event pusher shares the writer
         try:
             while True:
                 head = await reader.readexactly(HEADER_SIZE)
@@ -197,14 +202,49 @@ class RpcServer:
                         conn.db._clients = {}
                     conn.db._clients[id(conn)] = stat
                     registered_db = conn.db
-                writer.write(out)
-                await writer.drain()
+                async with wlock:
+                    writer.write(out)
+                    await writer.drain()
+                # events push stream lifecycle (reference: the connection's
+                # UpdatesPusher, rpcserver.cc:1226-1248): start after the
+                # SubscribeUpdates reply, stop on unsubscribe
+                if conn.sub is not None and conn.push_task is None:
+                    conn.push_task = asyncio.ensure_future(
+                        self._push_events(conn, writer, wlock))
+                elif conn.sub is None and conn.push_task is not None:
+                    conn.push_task.cancel()
+                    conn.push_task = None
         except (asyncio.IncompleteReadError, ConnectionError):
             pass
         finally:
+            if conn.push_task is not None:
+                conn.push_task.cancel()
+            if conn.sub is not None and conn.sub_obs is not None:
+                conn.sub_obs.unsubscribe(conn.sub)
+                conn.sub = None
             if registered_db is not None:
                 getattr(registered_db, "_clients", {}).pop(id(conn), None)
             writer.close()
+
+    async def _push_events(self, conn: _Conn, writer, wlock) -> None:
+        """Push filtered WAL events as unsolicited seq-0 UPDATES_PUSH frames
+        (reference: cproto kCmdUpdates=91 over the subscribed connection)."""
+        import json as _json
+        try:
+            while conn.sub is not None and not conn.sub.closed:
+                events = conn.sub.poll(timeout=0)
+                if events:
+                    body = encode_args(
+                        [_json.dumps(e.to_dict(), default=str)
+                         for e in events])
+                    out = pack_frame(0, Cmd.UPDATES_PUSH, Status.OK, body)
+                    async with wlock:
+                        writer.write(out)
+                        await writer.drain()
+                else:
+                    await asyncio.sleep(0.03)
+        except (ConnectionError, asyncio.CancelledError, RuntimeError):
+            pass
 
     # --- dispatch (reference: rpcserver.cc:1343-1392) ---------------------
     def _dispatch(self, conn: _Conn, cmd: Cmd, args: list) -> list:
@@ -346,6 +386,31 @@ class RpcServer:
             if tx is None:
                 raise NotFoundError("transaction not found")
             tx.rollback()
+            return []
+        if cmd == Cmd.SUBSCRIBE_UPDATES:
+            # (flag, subscription_opts_json): flag=1 subscribe / 0 drop
+            # (reference: rpcserver.cc:1226-1248 SubscribeUpdates with an
+            # EventSubscriberConfig; events push as kCmdUpdates frames)
+            from ..events import EventsObserver, EventSubscriberConfig
+            flag = int(args[0])
+            if not flag:
+                if conn.sub is not None and conn.sub_obs is not None:
+                    conn.sub_obs.unsubscribe(conn.sub)
+                conn.sub = None
+                return []
+            opts = json.loads(args[1]) if len(args) > 1 and args[1] else {}
+            obs = getattr(db, "_events_observer", None)
+            if obs is None:
+                obs = EventsObserver()
+                obs.attach_db(db)
+            if conn.sub is not None and conn.sub_obs is not None:
+                conn.sub_obs.unsubscribe(conn.sub)
+            cfg = EventSubscriberConfig(
+                namespaces=tuple(opts.get("namespaces", ())),
+                event_types=tuple(opts.get("event_types", ())),
+                with_doc=bool(opts.get("with_doc", True)))
+            conn.sub_obs = obs
+            conn.sub = obs.subscribe(cfg)
             return []
         if cmd == Cmd.PUT_META:
             db.put_meta(args[0], args[1], args[2])

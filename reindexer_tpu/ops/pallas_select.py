@@ -1010,7 +1010,7 @@ def twinsweep_select_sq8(queries, eps, q_alpha, shift, codes, sq_eff, base,
 # ---------------------------------------------------------------------------
 
 def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
-                           ablate='', ct=1):
+                           ablate='', ct=1, sq8=False):
     G = n // BLK
     n_tiles = n // TILE
     kb = float(min(k + MARGIN, G))
@@ -1020,10 +1020,9 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
 
     bytes_park = park == "bytes"
 
-    def _kernel(q_ref, base_ref, out_s_ref, out_i_ref, flag_ref,
-                hi_s, mid_s, lo_s, bmax_s, rank_gq, count_s, cand,
-                rank2_s, flag_acc, flag_tmp):
-        i = pl.program_id(0)
+    def _body(i, score_tile, out_s_ref, out_i_ref, flag_ref,
+              hi_s, mid_s, lo_s, bmax_s, rank_gq, count_s, cand,
+              rank2_s, flag_acc, flag_tmp):
         r = i // n_tiles
         t = i % n_tiles
         # bytes park: mid_s doubles as the i32 byte-plane accumulator
@@ -1260,7 +1259,7 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
         # ---- sweep of batch r (rounds 0..R-1): score tile t, park limbs
         @pl.when(r < R)
         def _():
-            s_t = _scores_tile(base_ref[:], q_ref[:], metric)  # [T, Q]
+            s_t = score_tile()                                 # [T, Q]
             cur = jnp.remainder(r, 2)
             bmax_s[pl.ds(cur * G + t * GL, GL), :] = jnp.max(
                 s_t.reshape(GL, BLK, Qn), axis=1)              # [GL, Q]
@@ -1283,6 +1282,28 @@ def _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
         def _():
             flag_ref[:] = flag_acc[:]
 
+    if sq8:
+        # approx-SQ8 scoring: int8 codes x int8 quantized query on the MXU
+        # (i8 pairs run at 2x bf16 rate), scaled per query and corrected by
+        # the exact |b|^2 column. The integer dot is exact; the f32 scale
+        # is a per-query monotone map, so the selection machinery (which is
+        # exact for ANY f32 scores) returns the true top-k of the QUANTIZED
+        # scores — the reference's approx SQ8 semantics (quantizer.h:11-75)
+        def _kernel(qa_ref, sqsc_ref, base_ref, sqs_ref, *rest):
+            def score_tile():
+                di = jax.lax.dot_general(
+                    base_ref[:], qa_ref[:],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)          # [T, Q]
+                return jnp.maximum(
+                    di.astype(jnp.float32) * sqsc_ref[0:1, :]
+                    - sqs_ref[:], SENT)
+            _body(pl.program_id(0), score_tile, *rest)
+    else:
+        def _kernel(q_ref, base_ref, *rest):
+            def score_tile():
+                return _scores_tile(base_ref[:], q_ref[:], metric)
+            _body(pl.program_id(0), score_tile, *rest)
     return _kernel
 
 
@@ -1418,6 +1439,135 @@ def v4_available(n: int, dims: int, k: int, n_queries: int) -> bool:
     if os.environ.get("RX_TPU_FUSED_V4", "") in ("0", "false"):
         return False
     return v3_available(n, dims, k, n_queries)
+
+
+# ---------------------------------------------------------------------------
+# v4-sq8 APPROX: the pipelined kernel over int8 codes only — 1/4 the HBM
+# bytes, i8 MXU scoring, NO fp32 pass, NO eps ladder (VERDICT r4 #2: the
+# reference's SQ8 exists to LOWER search cost, float_vector.md:291)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "interpret", "bits",
+                                    "xla_tail", "park"))
+def pipelined_select_sq8(qa_i8, sqscale, codes_i8, sqs, k, metric,
+                         interpret=False, bits=RADIX_BITS,
+                         xla_tail="bitonic", park="stack"):
+    """pipelined_select over uint8 codes with int8-quantized queries:
+    qa_i8 i8[R, Qn, D] (round(q*alpha / s_q)), sqscale f32[R, Qn]
+    (fac * s_q per query), codes_i8 i8[N, D] (codes - 128), sqs f32[N, 1]
+    (exact |b|^2 / +big invalid). Scores = fac*s_q*(qa_i8 . codes_i8) - sqs
+    — the quantized-score ranking, selected exactly by the shared limb
+    machinery. Returns (scores [R, Qn, ...], ids, flag)."""
+    R, Qn, d = qa_i8.shape
+    n = codes_i8.shape[0]
+    kpad = 128
+    oshape = (Qn, 8, S2) if xla_tail is True else (Qn, 1, kpad)
+    full_o = (R * Qn,) + oshape[1:]
+    G = n // BLK
+    n_tiles = n // TILE
+
+    def q_idx(i):
+        return (jnp.minimum(i // n_tiles, R - 1), 0)
+
+    def s_idx(i):
+        # sqscale ships [R*8, Qn] (8 replicated sublane rows per batch:
+        # Mosaic needs the trailing block dims >= (8, 128) or full)
+        return (jnp.minimum(i // n_tiles, R - 1), 0)
+
+    def b_idx(i):
+        return (jnp.where(i // n_tiles >= R, n_tiles - 1, i % n_tiles), 0)
+
+    def o_idx(i):
+        return (jnp.maximum(i // n_tiles, 1) - 1, 0, 0)
+
+    park_shapes = [
+        pltpu.VMEM((Qn, 3 * BLK, G), jnp.bfloat16),  # hi|mid|lo (stack)
+        pltpu.VMEM((8, 8, 128), jnp.bfloat16),       # unused
+        pltpu.VMEM((8, 8, 128), jnp.bfloat16)]       # unused
+    outs = pl.pallas_call(
+        _make_pipelined_kernel(n, k, metric, Qn, R, bits, xla_tail, park,
+                               sq8=True),
+        grid=((R + 1) * n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Qn, d), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Qn), s_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), b_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), b_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(oshape, o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(oshape, o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(full_o, jnp.float32),
+            jax.ShapeDtypeStruct(full_o, jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=park_shapes + [
+            pltpu.VMEM((2 * G, Qn), jnp.float32),      # bmax_s (ping-pong)
+            pltpu.VMEM((G, Qn), jnp.float32),          # rank_gq
+            pltpu.VMEM((Qn, 1), jnp.float32),          # count_s
+            pltpu.VMEM((Qn, BLK + 8, S_SLOTS), jnp.float32),  # cand
+            pltpu.VMEM((Qn, 1, 8 * S_SLOTS), jnp.float32),    # rank2_s
+            pltpu.VMEM((1, 1), jnp.float32),           # flag_acc
+            pltpu.VMEM((1, 1), jnp.float32),           # flag_tmp
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )(qa_i8.reshape(R * Qn, d),
+      jnp.broadcast_to(sqscale[:, None, :], (R, 8, Qn)).reshape(R * 8, Qn),
+      codes_i8, sqs)
+    s3, i3, flag = outs
+    return (s3.reshape((R,) + oshape), i3.reshape((R,) + oshape), flag)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret",
+                                             "bits", "tail"))
+def knn_scan_approx_sq8_v4(queries, codes_i8, lo, alpha, sq_eff, k, metric,
+                           interpret=False, bits=RADIX_BITS,
+                           tail="bitonic"):
+    """APPROX top-k by quantized score, pipelined over the uint8 codes
+    ONLY (no fp32 base read at all — 1/4 the HBM bytes; scoring rides the
+    i8 MXU at 2x bf16 rate). queries f32[R, Qb, D]. The query quantizes to
+    int8 per query (q*alpha scaled by s_q = max|q*alpha|/127); the returned
+    scores are the dequantized approx scores (reference SQ8 approx
+    semantics, scalar_quantization/quantizer.h:11-75: quantized ranking,
+    no exactness contract — `mode=approx_rerank` re-scores exactly).
+    Returns (scores [R, Qb, k], ids, flag); flag > 0 = slot overflow,
+    caller reruns the v1 quantized path."""
+    R, Qb, d = queries.shape
+    qf = jax.vmap(_pad_queries)(queries)                  # [R, Qn, D]
+    fac = 2.0 if metric == VectorMetric.L2 else 1.0
+    qa = qf * alpha[None, None, :]
+    s_q = jnp.maximum(jnp.max(jnp.abs(qa), axis=2), 1e-30) / 127.0
+    qa_i8 = jnp.round(qa / s_q[:, :, None]).astype(jnp.int8)
+    sqscale = fac * s_q                                    # [R, Qn]
+    # rank-invariant per-query completion: q.b_deq = q.lo + qa.c where
+    # c = c' + 128 — the kernel ranks by fac*s_q*(qa_i8 . c'); user scores
+    # add fac*(q.lo + 128*s_q*sum(qa_i8)) (+ -|q|^2 for L2)
+    bracket = fac * (
+        jnp.einsum("rqd,d->rq", qf, lo)
+        + 128.0 * s_q * jnp.sum(qa_i8.astype(jnp.float32), axis=2))
+    corr = (bracket - jnp.sum(qf * qf, axis=2)
+            if metric == VectorMetric.L2 else bracket)     # [R, Qn]
+    s3, i3, flag = pipelined_select_sq8(
+        qa_i8, sqscale, codes_i8, sq_eff[:, None], k, metric, interpret,
+        bits=bits, xla_tail=(True if tail == "xla" else tail))
+    if s3.shape[2] == 8:               # xla tail: compacted [R, Q, 8, S2]
+        Qn = s3.shape[1]
+        flat = s3.reshape(R, Qn, 8 * S2)
+        rid = i3.reshape(R, Qn, 8 * S2)
+        s, pos = jax.lax.top_k(flat, k)
+        ids = jnp.take_along_axis(rid, pos, axis=2)
+    else:
+        s = s3[:, :, 0, :k]
+        ids = i3[:, :, 0, :k]
+    ids = jnp.where(s > SENT_HALF, ids, -1)
+    s = jnp.where(ids >= 0, s + corr[:, :, None], -jnp.inf)
+    return s[:, :Qb], ids[:, :Qb], flag[0, 0]
 
 
 # ---------------------------------------------------------------------------

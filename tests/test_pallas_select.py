@@ -533,3 +533,81 @@ def test_v4_bytes_park_matches_limb(rng):
     assert float(fb) <= 0.0
     assert (np.asarray(il) == np.asarray(ib)).all()
     assert np.allclose(np.asarray(sl), np.asarray(sb), rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# round 5: approx-SQ8 pipelined kernel (codes-only, i8 MXU)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("metric", [VectorMetric.L2, VectorMetric.INNER_PRODUCT])
+def test_sq8_approx_v4_matches_quantized_oracle(metric, rng):
+    """knn_scan_approx_sq8_v4 returns the exact top-k of ITS quantized
+    scores (fac*s_q*(qa_i8 . codes_i8) - sq_eff): the f32 per-query scale is
+    monotone, so the shared limb selection is exact in the quantized
+    domain. Reference semantics: quantizer.h:11-75 (approx ranking)."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_approx_sq8_v4
+    N, D, QB, K, R = 16384, 128, 8, 37, 2
+    base = rng.normal(size=(N, D)).astype(np.float32)
+    q = rng.normal(size=(R, QB, D)).astype(np.float32)
+    lo = base.min(0)
+    alpha = np.maximum((base.max(0) - lo) / 255.0, 1e-12).astype(np.float32)
+    codes = np.clip(np.round((base - lo[None]) / alpha[None]), 0,
+                    255).astype(np.uint8)
+    codes_i8 = (codes.astype(np.int32) - 128).astype(np.int8)
+    # engine contract (keeper.sq_eff): |b|^2 for L2, 0 for IP/cos
+    sq_eff = ((base * base).sum(1) if metric == VectorMetric.L2
+              else np.zeros(N)).astype(np.float32)
+    s, i, flag = knn_scan_approx_sq8_v4(
+        jnp.asarray(q), jnp.asarray(codes_i8),
+        jnp.asarray(lo.astype(np.float32)), jnp.asarray(alpha),
+        jnp.asarray(sq_eff), K, metric, interpret=True)
+    assert float(flag) == 0.0
+    s, i = np.asarray(s), np.asarray(i)
+    fac = 2.0 if metric == VectorMetric.L2 else 1.0
+    # oracle of the SAME integer arithmetic
+    qa = q * alpha[None, None, :]
+    s_q = np.maximum(np.abs(qa).max(2), 1e-30) / 127.0
+    qa_i8 = np.round(qa / s_q[:, :, None]).astype(np.int8)
+    s_int = np.einsum("rqd,nd->rqn", qa_i8.astype(np.int64),
+                      codes_i8.astype(np.int64))
+    s_or = (fac * s_q[:, :, None] * s_int.astype(np.float64)
+            - (sq_eff[None, None, :] if metric == VectorMetric.L2 else 0.0))
+    oi = np.argsort(-s_or, axis=2, kind="stable")[:, :, :K]
+    for r in range(R):
+        for b in range(QB):
+            assert set(i[r, b].tolist()) == set(oi[r, b].tolist()), (r, b)
+    # user-facing scores approximate the dequantized scores
+    b_deq = lo[None] + alpha[None] * codes.astype(np.float32)
+    dots = np.einsum("rqd,nd->rqn", q, b_deq)
+    s_deq = (fac * dots
+             - (sq_eff[None, None, :] + (q * q).sum(2)[:, :, None]
+                if metric == VectorMetric.L2 else 0.0))
+    for r in range(R):
+        for b in range(QB):
+            got = s[r, b]
+            want = s_deq[r, b][i[r, b]]
+            scale = np.abs(s_deq[r, b]).max() + 1e-9
+            assert np.max(np.abs(got - want)) / scale < 0.02
+
+
+def test_sq8_approx_v4_invalid_rows(rng):
+    """Zeroed/invalid rows (sq_eff = +big) never appear in approx results."""
+    from reindexer_tpu.ops.pallas_select import knn_scan_approx_sq8_v4
+    from reindexer_tpu.ops.pallas_scan import SQ_EFF_BIG
+    N, D, K = 16384, 128, 20
+    base = rng.normal(size=(N, D)).astype(np.float32)
+    invalid = rng.choice(N, size=N // 2, replace=False)
+    sq_eff = (base * base).sum(1).astype(np.float32)
+    sq_eff[invalid] += SQ_EFF_BIG
+    lo = base.min(0)
+    alpha = np.maximum((base.max(0) - lo) / 255.0, 1e-12).astype(np.float32)
+    codes_i8 = (np.clip(np.round((base - lo[None]) / alpha[None]), 0, 255)
+                .astype(np.int32) - 128).astype(np.int8)
+    q = rng.normal(size=(1, 8, D)).astype(np.float32)
+    s, i, flag = knn_scan_approx_sq8_v4(
+        jnp.asarray(q), jnp.asarray(codes_i8),
+        jnp.asarray(lo.astype(np.float32)), jnp.asarray(alpha),
+        jnp.asarray(sq_eff), K, VectorMetric.L2, interpret=True)
+    i = np.asarray(i)[0]
+    bad = set(invalid.tolist())
+    assert not any(int(x) in bad for row in i for x in row if x >= 0)

@@ -170,3 +170,48 @@ def test_pooled_client_concurrency(server):
     res = c.select(Query("p"))
     assert len(res) == 360
     c.close()
+
+
+def test_rpc_event_subscription(client):
+    """Events on the RPC plane (VERDICT r4 #8): SubscribeUpdates verb +
+    pushed kCmdUpdates frames (reference: rpcserver.cc:1226-1248,1378,
+    cproto.h kCmdSubscribeUpdates=90/kCmdUpdates=91)."""
+    import time
+    client.open_namespace("ev_ns", IDX)
+    client.open_namespace("ev_other", IDX)
+    sub = client.subscribe_updates(namespaces=("ev_ns",),
+                                   event_types=("upsert", "delete"))
+    try:
+        client.upsert("ev_ns", {"id": 1, "year": 2001})
+        client.upsert("ev_other", {"id": 2, "year": 2002})   # filtered out
+        client.delete("ev_ns", {"id": 1})
+        got = []
+        deadline = time.time() + 5.0
+        while len(got) < 2 and time.time() < deadline:
+            got.extend(sub.poll(timeout=0.2))
+        types = [(e["namespace"], e["type"]) for e in got]
+        assert ("ev_ns", "upsert") in types, types
+        assert ("ev_ns", "delete") in types, types
+        assert all(e["namespace"] == "ev_ns" for e in got), types
+        # lsn is monotone
+        lsns = [e["lsn"] for e in got]
+        assert lsns == sorted(lsns)
+    finally:
+        sub.close()
+
+
+def test_rpc_event_unsubscribe_stops_stream(client):
+    import time
+    client.open_namespace("ev_ns2", IDX)
+    sub = client.subscribe_updates(namespaces=("ev_ns2",))
+    client.upsert("ev_ns2", {"id": 1, "year": 1})
+    deadline = time.time() + 5.0
+    got = []
+    while not got and time.time() < deadline:
+        got.extend(sub.poll(timeout=0.2))
+    assert got
+    sub.close()
+    time.sleep(0.1)
+    client.upsert("ev_ns2", {"id": 2, "year": 2})
+    time.sleep(0.3)
+    assert sub.poll(timeout=0.2) == []
