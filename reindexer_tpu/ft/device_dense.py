@@ -69,32 +69,30 @@ def _pow2(n: int, floor: int) -> int:
     return c
 
 
-def _build_score_fn():
+def _score_core(S, M, FW, searched, idx, w, notm, must,
+                n_must, n_pos, scalars,
+                T: int, V: int, merge_k: int,
+                use_prox: bool, use_fm: bool, chunks: int,
+                seg: int, m_per_seg: int, packed: bool = False,
+                doc_off=None):
+    """S/M: [G+1, cap] resident folds; FW: [F, cap] field word counts;
+    idx [B,T,V] i32 slots (G = padding), w [B,T,V] f32 rboost (0 = pad),
+    notm/must [B,T] bool, n_must/n_pos [B] i32,
+    scalars = [c1, c2, fm_boost, min_rank] f32.
+    Returns (top scores [B, merge_k] f32, top docs [B, merge_k] i32
+    (-1 = none), overflow [B] bool); with packed=True the scores/docs
+    pair is replaced by ONE i32 array (normalized rank byte << 24 |
+    doc, -1 = none) — the tunnel's device->host download is the
+    serving bottleneck at ~33 MB/s, and the reference's own rank
+    contract is an integer 0..255 (mergerimpl.h:107 docRank), so the
+    byte rank halves the bytes without leaving reference fidelity.
+    The min_rank cut happens HERE in exact f32 (same arithmetic as
+    selector.normalize_ranks), so returned doc SETS stay exact.
+    `doc_off` (traced scalar) globalizes doc ids when S/M hold a doc
+    PARTITION — the mesh shard_map path (doc-sharded dense FT)."""
     import jax
     import jax.numpy as jnp
-
-    @functools.partial(
-        jax.jit,
-        static_argnames=("T", "V", "merge_k", "use_prox", "use_fm",
-                         "chunks", "seg", "m_per_seg", "packed"))
-    def dense_score_select(S, M, FW, searched, idx, w, notm, must,
-                           n_must, n_pos, scalars,
-                           T: int, V: int, merge_k: int,
-                           use_prox: bool, use_fm: bool, chunks: int,
-                           seg: int, m_per_seg: int, packed: bool = False):
-        """S/M: [G+1, cap] resident folds; FW: [F, cap] field word counts;
-        idx [B,T,V] i32 slots (G = padding), w [B,T,V] f32 rboost (0 = pad),
-        notm/must [B,T] bool, n_must/n_pos [B] i32,
-        scalars = [c1, c2, fm_boost, min_rank] f32.
-        Returns (top scores [B, merge_k] f32, top docs [B, merge_k] i32
-        (-1 = none), overflow [B] bool); with packed=True the scores/docs
-        pair is replaced by ONE i32 array (normalized rank byte << 24 |
-        doc, -1 = none) — the tunnel's device->host download is the
-        serving bottleneck at ~33 MB/s, and the reference's own rank
-        contract is an integer 0..255 (mergerimpl.h:107 docRank), so the
-        byte rank halves the bytes without leaving reference fidelity.
-        The min_rank cut happens HERE in exact f32 (same arithmetic as
-        selector.normalize_ranks), so returned doc SETS stay exact."""
+    if True:
         B = idx.shape[0]
         cap = S.shape[1]
         C = cap // chunks
@@ -150,19 +148,21 @@ def _build_score_fn():
 
         # --- top-merge_k selection: per-segment prune + one key sort
         nseg = cap // seg
+        off32 = (jnp.int32(0) if doc_off is None
+                 else jnp.asarray(doc_off, jnp.int32))
         if m_per_seg == seg:
             # lossless: no pruning — sort everything (small corpora or
             # merge_k close to cap)
             cand_v = scores
             cand_d = jnp.broadcast_to(
-                jnp.arange(cap, dtype=jnp.int32)[None], (B, cap))
+                jnp.arange(cap, dtype=jnp.int32)[None] + off32, (B, cap))
             top_v = None
         else:
             segs = scores.reshape(B, nseg, seg)
             top_v, top_i = jax.lax.top_k(segs, m_per_seg)   # [B,nseg,m]
             cand_v = top_v.reshape(B, nseg * m_per_seg)
             cand_d = (jnp.arange(nseg, dtype=jnp.int32)[None, :, None] * seg
-                      + top_i.astype(jnp.int32)).reshape(
+                      + top_i.astype(jnp.int32) + off32).reshape(
                           B, nseg * m_per_seg)
         # sort by (score desc, doc asc): scores are >= 0, so the f32 bit
         # pattern as i32 is order-isomorphic; negate for descending
@@ -188,17 +188,83 @@ def _build_score_fn():
             ovf = jnp.any((segm > 0.0) & (segm >= kth[:, None]), axis=1)
         sel_d = jnp.where(sel_v > 0.0, sel_d, -1)
         if packed:
-            # sel_v is sorted desc, so column 0 is allmax; mirror
-            # normalize_ranks: rank = score * (255 / max(allmax, 1e-30))
-            smax = sel_v[:, :1]
-            rank = sel_v * (255.0 / jnp.maximum(smax, 1e-30))
-            keep = (sel_d >= 0) & (rank >= scalars[3])
-            byte = jnp.clip(jnp.round(rank), 0.0, 255.0).astype(jnp.int32)
-            pk = jnp.where(keep, (byte << 24) | sel_d, jnp.int32(-1))
-            return pk, ovf
+            return _pack_rows(sel_v, sel_d, scalars), ovf
         return sel_v, sel_d, ovf
 
+
+def _pack_rows(sel_v, sel_d, scalars):
+    """sel_v sorted desc -> packed i32 rank-byte|doc rows; mirrors
+    normalize_ranks + the min_rank cut in exact f32."""
+    import jax.numpy as jnp
+    smax = sel_v[:, :1]
+    rank = sel_v * (255.0 / jnp.maximum(smax, 1e-30))
+    keep = (sel_d >= 0) & (rank >= scalars[3])
+    byte = jnp.clip(jnp.round(rank), 0.0, 255.0).astype(jnp.int32)
+    return jnp.where(keep, (byte << 24) | sel_d, jnp.int32(-1))
+
+
+def _build_score_fn():
+    import jax
+    dense_score_select = functools.partial(
+        jax.jit,
+        static_argnames=("T", "V", "merge_k", "use_prox", "use_fm",
+                         "chunks", "seg", "m_per_seg", "packed"))(
+        _score_core)
     return dense_score_select
+
+
+def _build_mesh_score_fn(mesh, shard_axis: str, T: int, V: int,
+                         merge_k: int, use_prox: bool, use_fm: bool,
+                         chunks: int, seg: int, m_per_seg: int,
+                         packed: bool):
+    """Doc-sharded dense scorer (VERDICT r4 #3: dense FT under mesh):
+    every shard scores its cap/S doc partition of the resident matrices
+    and selects its local top-merge_k; an all_gather + one more
+    (score desc, doc asc) key sort merges — the wire carries
+    O(merge_k * S) words per query, not doc rows. Overflow is the OR of
+    the per-shard flags (a local k-th is <= the global k-th, so the
+    per-shard test stays conservative)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(S, M, FW, searched, idx, w, notm, must, n_must, n_pos,
+                 scalars):
+        off = jax.lax.axis_index(shard_axis) * S.shape[1]
+        sv, sd, ovf = _score_core(
+            S, M, FW, searched, idx, w, notm, must, n_must, n_pos,
+            scalars, T=T, V=V, merge_k=merge_k, use_prox=use_prox,
+            use_fm=use_fm, chunks=chunks, seg=seg, m_per_seg=m_per_seg,
+            packed=False, doc_off=off)
+        all_v = jax.lax.all_gather(sv, shard_axis, axis=1, tiled=True)
+        all_d = jax.lax.all_gather(sd, shard_axis, axis=1, tiled=True)
+        kv = -jax.lax.bitcast_convert_type(all_v, jnp.int32)
+        # absent docs carry id -1: map to +inf key so they sort last
+        kv = jnp.where(all_d >= 0, kv, jnp.int32(2**31 - 1))
+        kv, dd = jax.lax.sort((kv, all_d), num_keys=2)
+        sel_v = jax.lax.bitcast_convert_type(-kv[:, :merge_k], jnp.float32)
+        sel_d = dd[:, :merge_k]
+        sel_v = jnp.where(sel_d >= 0, sel_v, 0.0)
+        sel_d = jnp.where(sel_v > 0.0, sel_d, -1)
+        ovf_all = jax.lax.all_gather(ovf, shard_axis, axis=0, tiled=True)
+        ovf_any = jnp.any(ovf_all.reshape(
+            mesh.shape[shard_axis], -1), axis=0)
+        if packed:
+            return _pack_rows(sel_v, sel_d, scalars), ovf_any
+        return sel_v, sel_d, ovf_any
+
+    spec_cap = P(None, shard_axis)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec_cap, spec_cap, spec_cap, P(), P(None, None, None),
+                  P(None, None, None), P(None, None), P(None, None),
+                  P(None), P(None), P(None)),
+        out_specs=((P(None, None), P(None)) if packed
+                   else (P(None, None), P(None, None), P(None))),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 _score_fn = None
@@ -224,6 +290,9 @@ class FtDeviceDense:
         self.M = None            # [G+1, cap] f32 device (BIG absent)
         self.cap = 0
         self._built_key = None
+        self._mesh = None        # doc-sharded residency (mesh mode)
+        self._mesh_fw = None
+        self._mesh_fns: dict = {}
 
     # ------------------------------------------------------------------
     def ensure_built(self) -> bool:
@@ -274,9 +343,21 @@ class FtDeviceDense:
                 minpos[s:e].astype(np.float32), starts)
         self.wid2slot = {wid: g for g, wid in enumerate(head)}
         self.cap = cap
-        self.S = jnp.asarray(S)
-        self.M = jnp.asarray(M)
+        ctx = getattr(self.selector, "mesh_ctx", None)
+        if ctx is not None and cap % ctx.n_shards == 0:
+            # doc-sharded residency: the cap axis partitions over the mesh
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(ctx.mesh, P(None, ctx.shard_axis))
+            self.S = jax.device_put(jnp.asarray(S), sh)
+            self.M = jax.device_put(jnp.asarray(M), sh)
+            self._mesh = ctx
+        else:
+            self.S = jnp.asarray(S)
+            self.M = jnp.asarray(M)
+            self._mesh = None
         self._searched = jnp.asarray(fb[: h.field_words.shape[0]] > 0.0)
+        self._mesh_fw = None
         return True
 
     # ------------------------------------------------------------------
@@ -346,19 +427,31 @@ class FtDeviceDense:
              cfg.distance_boost * cfg.distance_weight,
              cfg.full_match_boost, cfg.min_rank], np.float32)
         dev = h.device_arrays()
-        seg = min(_SEG, self.cap)
+        # the selection geometry sizes against the PER-DEVICE cap slice
+        # (mesh mode doc-shards the resident matrices)
+        cap_loc = (self.cap // self._mesh.n_shards
+                   if self._mesh is not None else self.cap)
+        seg = min(_SEG, cap_loc)
         mk = min(merge_k, self.cap)
+        mk_loc = min(mk, cap_loc)
         # per-segment prune depth: ~3x the expected per-segment survivor
         # count so random fluctuation rarely trips the overflow fallback;
         # m == seg disables pruning entirely (lossless sort)
         m_per_seg = min(seg, max(_M_PER_SEG,
-                                 (3 * mk * seg + self.cap - 1) // self.cap))
+                                 (3 * mk_loc * seg + cap_loc - 1)
+                                 // cap_loc))
         # bound the gathered chunk intermediate [B,T,V,C] to ~64MB
         rows = B * T * V
         chunks = 1
-        while (self.cap // chunks) > seg \
-                and rows * (self.cap // chunks) * 4 > (1 << 26):
+        while (cap_loc // chunks) > seg \
+                and rows * (cap_loc // chunks) * 4 > (1 << 26):
             chunks *= 2
+        if self._mesh is not None:
+            return self._dispatch_mesh(
+                idx, w, notm, must, n_must, n_pos, scalars, dev,
+                T=T, V=V, mk=mk, mk_loc=mk_loc, use_prox=use_prox,
+                use_fm=use_fm, chunks=chunks, seg=seg,
+                m_per_seg=m_per_seg, packed=packed)
         fn = _get_score_fn()
         if packed:
             assert self.packable, "packed mode needs cap <= 2^23"
@@ -378,6 +471,34 @@ class FtDeviceDense:
             T=T, V=V, merge_k=mk, use_prox=use_prox, use_fm=use_fm,
             chunks=chunks, seg=seg, m_per_seg=m_per_seg)
         return sv, sd, ovf
+
+    def _dispatch_mesh(self, idx, w, notm, must, n_must, n_pos, scalars,
+                       dev, *, T, V, mk, mk_loc, use_prox, use_fm,
+                       chunks, seg, m_per_seg, packed):
+        """Doc-sharded dispatch (see _build_mesh_score_fn)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ctx = self._mesh
+        fw = dev["field_words"]
+        if self._mesh_fw is None or self._mesh_fw[0] is not fw:
+            self._mesh_fw = (fw, jax.device_put(
+                fw, NamedSharding(ctx.mesh, P(None, ctx.shard_axis))))
+        key = (T, V, mk, use_prox, use_fm, chunks, seg, m_per_seg, packed)
+        fn = getattr(self, "_mesh_fns", None)
+        if fn is None:
+            self._mesh_fns = {}
+        fn = self._mesh_fns.get(key)
+        if fn is None:
+            fn = _build_mesh_score_fn(
+                ctx.mesh, ctx.shard_axis, T=T, V=V, merge_k=mk,
+                use_prox=use_prox, use_fm=use_fm, chunks=chunks, seg=seg,
+                m_per_seg=m_per_seg, packed=packed)
+            self._mesh_fns[key] = fn
+        return fn(self.S, self.M, self._mesh_fw[1], self._searched,
+                  jnp.asarray(idx), jnp.asarray(w), jnp.asarray(notm),
+                  jnp.asarray(must), jnp.asarray(n_must),
+                  jnp.asarray(n_pos), jnp.asarray(scalars))
 
     @property
     def packable(self) -> bool:

@@ -269,10 +269,11 @@ class FtSelector:
                    and cap % self.mesh_ctx.n_shards == 0)
         dev = None if sharded else h.device_arrays()
         host = dense = None
-        if not sharded and \
-                not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields):
+        if not (cfg.sum_ranks_by_fields_ratio > 0 and sum_fields):
             # frequent-word queries whose variants are all device-resident
-            # run the dense device scorer (device_dense.py, VERDICT r3 #5)
+            # run the dense device scorer (device_dense.py, VERDICT r3 #5;
+            # under mesh the resident matrices doc-shard and the per-shard
+            # top-k merges collectively — _build_mesh_score_fn)
             dense = self._try_dense(q, prep, merge_k, use_prox, use_fm,
                                     normalize=normalize)
             if dense is not None and dense[0] == "norm":
@@ -281,11 +282,11 @@ class FtSelector:
                 _, ranks, docs = dense
                 return FtSelectResult(docs, ranks, matched_words, h,
                                       matched_wids=prep["matched_wids"])
-            if dense is None:
+            if dense is None and not sharded:
                 host = self._score_host(q, prep, merge_k=merge_k,
                                         use_prox=use_prox, use_fm=use_fm,
                                         n_pos_terms=n_pos_terms)
-        if sharded:
+        if sharded and dense is None:
             scores, docs = self._score_sharded(
                 prep, t_count, (term_boost, term_lenb, must, notm),
                 (fb, bb, bw, pb, pw), merge_k, use_prox, use_fm,
@@ -630,9 +631,13 @@ class FtSelector:
     # mergerimpl.h:95-124) move from the 1-core host stream onto the chip.
     # ------------------------------------------------------------------
     def _device_dense(self):
-        if self.mesh_ctx is not None or os.environ.get(
-                "RX_FT_DEVICE_DENSE", "1") in ("0", "false"):
+        if os.environ.get("RX_FT_DEVICE_DENSE", "1") in ("0", "false"):
             return None
+        if self.mesh_ctx is not None:
+            from .dataholder import _pad_pow2 as _cap_pow2
+            if (_cap_pow2(max(len(self.holder.doc_words), 1))
+                    % self.mesh_ctx.n_shards != 0):
+                return None   # tiny corpus: cap won't shard evenly
         if self._ddense is None:
             from .device_dense import FtDeviceDense
             self._ddense = FtDeviceDense(self.holder, self.cfg, self)

@@ -346,8 +346,8 @@ class Selecter:
                          exists: np.ndarray, explain_sel: list,
                          ) -> tuple[np.ndarray, np.ndarray, dict]:
         from ..index.vector.hnsw import HnswIndex
-        from ..index.vector.streaming import (KnnStreamingSession,
-                                              StreamingKnnEstimator)
+        from ..index.vector.streaming import (StreamingKnnEstimator,
+                                              open_streaming_session)
         from ..ops.distance import scores_to_ranks
         index: HnswIndex = ns.get_index(entry.field)  # type: ignore[assignment]
         other = [(op, e) for op, e in q.entries if e is not entry]
@@ -362,8 +362,9 @@ class Selecter:
             value = self.db.embed_query(ns, entry.field, value)
         ef0 = StreamingKnnEstimator.estimate_ef(
             max_iter, items_count, q.offset_, limit)
-        session = KnnStreamingSession(index, np.asarray(value,
-                                                       dtype=np.float32), ef0)
+        session = open_streaming_session(index, np.asarray(value,
+                                                           dtype=np.float32),
+                                         ef0)
         acc_rows: list[int] = []
         acc_scores: list[float] = []
         presented = 0

@@ -261,3 +261,113 @@ def test_hybrid_rrf_on_mesh(ctx, rng):
     docs = list(res.docs())
     assert docs
     assert all(d["grp"] == 0 and d["body"].startswith("t4") for d in docs)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (VERDICT r4 #3): SQ8 / streaming / device-dense FT under mesh
+# ---------------------------------------------------------------------------
+
+def test_bf_mesh_sq8_approx_and_rerank(ctx, rng):
+    """Approx SQ8 on the mesh rides the sharded codes layout
+    (parallel/sharded_knn.build_sharded_knn_sq8); approx_rerank re-scores
+    locally from each shard's fp32 partition, so ids AND scores match the
+    single-device engine."""
+    n, dims, k = 2048, 24, 10
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    q = rng.normal(size=(dims,)).astype(np.float32)
+    results = {}
+    for mode, mesh in [("approx", None), ("approx", ctx),
+                       ("approx_rerank", None), ("approx_rerank", ctx)]:
+        db = Reindexer(mesh=mesh)
+        db.open_namespace("qm", _vec_defs(
+            dims, IndexType.VEC_BF, metric=VectorMetric.L2,
+            quantization={"enabled": True, "min_elements": 8,
+                          "mode": mode}))
+        _fill(db, "qm", base)
+        res = db.select(Query("qm").where_knn(
+            "vec", q, BruteForceSearchParams(k=k)))
+        results[(mode, mesh is not None)] = (
+            [d["id"] for d in res.docs()], list(res.ranks()))
+        idx = db.get_namespace("qm").get_index("vec")
+        assert idx._quant is not None and idx._quant.active
+    for mode in ("approx", "approx_rerank"):
+        ids_s, rk_s = results[(mode, False)]
+        ids_m, rk_m = results[(mode, True)]
+        assert ids_m == ids_s, mode
+        np.testing.assert_allclose(rk_m, rk_s, rtol=2e-5, atol=2e-5)
+    # rerank ids are the approx set re-ordered by exact scores: overlap
+    # with the exact oracle must be high on easy gaussian data
+    want = set(np.argsort(((base - q) ** 2).sum(1))[:k].tolist())
+    assert len(set(results[("approx_rerank", True)][0]) & want) >= k - 2
+
+
+def test_streaming_knn_on_mesh(ctx, rng):
+    """Streaming KNN (k-less, radius-less HNSW query) over mesh shards:
+    per-shard sessions merged on host (streaming.MeshKnnStreamingSession);
+    batches disjoint, union covers post-filter survivors in rank order."""
+    n, dims = 600, 16
+    base = rng.normal(size=(n, dims)).astype(np.float32)
+    q = rng.normal(size=(dims,)).astype(np.float32)
+    out = {}
+    for mesh in (None, ctx):
+        db = Reindexer(mesh=mesh)
+        db.open_namespace("sm", _vec_defs(
+            dims, IndexType.HNSW, metric=VectorMetric.L2,
+            m=8, ef_construction=64))
+        _fill(db, "sm", base)
+        res = db.select(Query("sm").where_knn(
+            "vec", q, HnswSearchParams()).where("grp", "=", 1).limit(15))
+        out[mesh is not None] = [d["id"] for d in res.docs()]
+    ids = out[True]
+    assert len(ids) == 15
+    assert all(i % 3 == 1 for i in ids)
+    # streaming is approximate: require strong overlap with the oracle
+    # prefix and NO duplicates
+    assert len(set(ids)) == 15
+    grp1 = np.asarray([i for i in range(n) if i % 3 == 1])
+    d = ((base[grp1] - q) ** 2).sum(1)
+    want = set(grp1[np.argsort(d)[:15]].tolist())
+    assert len(set(ids) & want) >= 11, (sorted(ids), sorted(want))
+
+
+def test_ft_device_dense_on_mesh(ctx, rng, monkeypatch):
+    """Frequent-word dense FT under mesh: the resident matrices doc-shard
+    over the cap axis and per-shard top-k merges with one all_gather
+    (device_dense._build_mesh_score_fn); doc sets + ranks match the
+    single-device dense path and the host merge."""
+    from reindexer_tpu.ft import device_dense
+    monkeypatch.setattr(device_dense, "DEVICE_MIN", 0)
+    monkeypatch.setattr(device_dense, "DEVICE_MIN_SINGLE", 0)
+    monkeypatch.setattr(device_dense, "DENSE_MIN_COUNT", 1)
+    words = [f"w{i:03d}" for i in range(30)]
+    zipf = rng.zipf(1.3, size=20000) % 30
+    docs = []
+    for i in range(1500):
+        toks = [words[int(zipf[rng.integers(0, len(zipf))])]
+                for _ in range(rng.integers(4, 12))]
+        docs.append(" ".join(toks))
+    frequent = [words[i] for i in np.bincount(zipf, minlength=30
+                                              ).argsort()[::-1][:2]]
+    q_text = f"{frequent[0]} {frequent[1]}"
+    out = {}
+    for mesh in (None, ctx):
+        db = Reindexer(mesh=mesh)
+        db.open_namespace("fd", [
+            IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+            IndexDef("ft", "text", "string", json_paths=("t",)),
+        ])
+        tx = db.new_transaction("fd")
+        for i, t in enumerate(docs):
+            tx.upsert({"id": i, "t": t})
+        tx.commit()
+        res = db.select(Query("fd").match("ft", q_text).limit(50))
+        out[mesh is not None] = ([d["id"] for d in res.docs()],
+                                 list(res.ranks()))
+        if mesh is not None:
+            sel = db.get_namespace("fd").get_index("ft")._selector
+            dd = sel._ddense
+            assert dd is not None and dd._mesh is not None, \
+                "mesh dense path did not engage"
+    assert out[True][0] == out[False][0]
+    np.testing.assert_allclose(out[True][1], out[False][1],
+                               rtol=1e-5, atol=1e-5)
