@@ -774,6 +774,27 @@ def bench_ft1m(n_docs=1_000_000, smoke=False):
             "unit": "qps", "vs_baseline": 0.0}
 
 
+def bench_ivf_scale(smoke=False):
+    """Time-capped 200k-scale IVF leg in the DEFAULT capture (VERDICT r4
+    #5: the official tail must witness the scale engines every round —
+    the 1M x 768 config stays hand-run because its 3 GB upload alone
+    blows the driver budget)."""
+    return bench_ivf1m(n=200_000, dims=256, batch=16, smoke=smoke)
+
+
+def bench_ft_scale(smoke=False):
+    """Time-capped 500k-doc FT leg in the DEFAULT capture (VERDICT r4
+    #5). 500k (not 200k) so zipf-head 2-term gathers clear DEVICE_MIN
+    (1<<19) and the device-dense path actually engages."""
+    return bench_ft1m(n_docs=500_000, smoke=smoke)
+
+
+def bench_hybrid_scale(smoke=False):
+    """Hybrid executor leg in the DEFAULT capture (VERDICT r4 #5) at a
+    size whose 1-core ingest loop fits the budget."""
+    return bench_hybrid(n=50_000, smoke=smoke)
+
+
 def _probe_device(timeout_s=600):
     """Bounded device healthcheck in a SUBPROCESS: a wedged tunnel hangs
     jax backend init un-interruptibly in-process (seen as a multi-hour
@@ -820,10 +841,38 @@ def main():
         # Judged by SAMPLING time only: one-off remote-compile queue waits
         # (minutes, per-process) say nothing about steady-state link speed
         slow_link = getattr(bench_bf, "sampling_s", 0) > 300
+        # scale legs (ivf/ft-dense/hybrid) run under a wall budget: each
+        # leg starts only while the budget holds, and a skip is LOGGED
+        # (no silent caps). RX_BENCH_SCALE_BUDGET=0 disables them.
+        scale_budget = float(os.environ.get("RX_BENCH_SCALE_BUDGET", "600"))
+        scale_t0 = time.perf_counter()
+
+        def _scale_ok(name):
+            left = scale_budget - (time.perf_counter() - scale_t0)
+            if left <= 0:
+                print(f"# SKIPPED scale leg {name}: scale budget "
+                      f"({scale_budget:.0f}s) exhausted", file=sys.stderr)
+                return False
+            return True
+
         for fn in (bench_bf_quantized, bench_hnsw, bench_ft):
             try:
                 fn(smoke=args.smoke or slow_link)
             except Exception as e:     # extras must never break the contract
+                import traceback
+                print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
+                traceback.print_exc(file=sys.stderr)
+        for fn in (bench_ivf_scale, bench_ft_scale, bench_hybrid_scale):
+            if scale_budget <= 0 or slow_link or args.smoke:
+                print(f"# SKIPPED scale leg {fn.__name__}: "
+                      f"{'disabled' if scale_budget <= 0 else 'slow link/smoke'}",
+                      file=sys.stderr)
+                continue
+            if not _scale_ok(fn.__name__):
+                continue
+            try:
+                fn(smoke=False)
+            except Exception as e:
                 import traceback
                 print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
                 traceback.print_exc(file=sys.stderr)

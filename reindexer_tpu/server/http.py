@@ -815,9 +815,19 @@ class ReindexerServer:
                  keyfile: Optional[str] = None):
         self.mgr = DBManager(storage_root)
         self.mgr.auth = auth   # AuthManager or None (reference: dbmanager)
+        # TCP_NODELAY: without it, HTTP/1.1 keep-alive request/response
+        # pairs hit the 40ms Nagle+delayed-ACK stall (measured: 21 qps vs
+        # 400+ single-stream on loopback)
         handler = type("BoundHandler", (_Handler,),
-                       {"mgr": self.mgr, "txs": {}})
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+                       {"mgr": self.mgr, "txs": {},
+                        "disable_nagle_algorithm": True})
+        # stdlib default accept backlog is 5: concurrent clients beyond it
+        # get connection RESETS under load (reference server's ev loop
+        # listens with a deep backlog; cpp_src/net/listener.cc). 128 covers
+        # any sane connection count; the kernel caps it at somaxconn.
+        srv_cls = type("BoundServer", (ThreadingHTTPServer,),
+                       {"request_queue_size": 128, "daemon_threads": True})
+        self.httpd = srv_cls((host, port), handler)
         if certfile:
             # TLS termination (reference: server/ ENABLE_OPENSSL https
             # listener; stdlib ssl replaces the vendored openssl build)

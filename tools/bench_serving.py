@@ -36,21 +36,50 @@ def post_sql(port, db, sql):
 
 
 def run_clients(port, sqls, conns, seconds=12.0):
-    """Each client loops its SQL queries for `seconds`; returns total qps."""
+    """Each client loops its SQL queries over ONE keep-alive connection for
+    `seconds`; returns total qps. Errors don't kill the client (it reopens
+    the connection and keeps going) — they are counted and reported, so a
+    failing server shows up as an error count, not a fake qps number."""
+    import http.client
     stop = time.time() + seconds
     counts = [0] * conns
     errs = []
 
+    import socket as _socket
+
+    def fresh_conn():
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c.connect()
+        c.sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+        return c
+
     def client(ci):
         i = ci
+        conn = fresh_conn()
         while time.time() < stop:
+            sql = sqls[i % len(sqls)]
             try:
-                post_sql(port, "bench", sqls[i % len(sqls)])
+                conn.request("POST", "/api/v1/db/bench/sqlquery",
+                             body=sql.encode(),
+                             headers={"Content-Type": "text/plain"})
+                r = conn.getresponse()
+                body = r.read()
+                if r.status != 200:
+                    raise RuntimeError(f"HTTP {r.status}: {body[:200]!r}")
+                json.loads(body)
                 counts[ci] += 1
             except Exception as e:      # pragma: no cover
                 errs.append(e)
-                return
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+                try:
+                    conn = fresh_conn()
+                except Exception:
+                    time.sleep(0.05)
             i += 1
+        conn.close()
 
     threads = [threading.Thread(target=client, args=(c,))
                for c in range(conns)]
@@ -60,7 +89,8 @@ def run_clients(port, sqls, conns, seconds=12.0):
     for t in threads:
         t.join()
     if errs:
-        raise errs[0]
+        print(f"# run_clients: {len(errs)} errors, first: {errs[0]!r}",
+              flush=True)
     return sum(counts) / (time.time() - t0)
 
 
