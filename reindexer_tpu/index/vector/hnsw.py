@@ -94,6 +94,11 @@ class HnswIndex(FloatVectorIndexBase):
         self.m0 = 2 * self.m
         self.ef_construction = max(int(vo.ef_construction), self.m)
         self._mult = 1.0 / math.log(self.m)
+        # ablation knob: forward selection without diversity pruning (plain
+        # top-m closest); measurement use only — see docs/performance.md
+        import os as _os
+        self._use_heuristic = _os.environ.get(
+            "RX_HNSW_NO_HEURISTIC", "0") not in ("1", "true")
         self._rng = np.random.default_rng(0xC0FFEE)
         cap = self.keeper.capacity
         self._levels = np.full(cap, -1, dtype=np.int32)
@@ -416,7 +421,8 @@ class HnswIndex(FloatVectorIndexBase):
                 sel = exact_build_layer(
                     qd, pack, levels_dev, deleted_dev, jnp.int32(lc),
                     row_d, jnp.asarray(lvl_ok),
-                    k=efc_k, kc=kc, m=self.m, metric=self.metric)
+                    k=efc_k, kc=kc, m=self.m, metric=self.metric,
+                    use_heuristic=self._use_heuristic)
                 layer_out.append((lc, connect_here, sel))
             staged.append((rows, levels, layer_out))
             # mark this chunk in-graph for the next chunk's scan

