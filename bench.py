@@ -326,12 +326,23 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
 
     # --- reference-semantics APPROX mode (QuantizationConfig.mode="approx",
     # quantizer.h:11-75): quantized top-k at 1/4 HBM bytes, recall reported
-    # honestly vs the fp32 oracle
+    # honestly vs the fp32 oracle. Primary path = the engine's
+    # (brute_force.py): the pipelined codes-only i8 kernel
+    # knn_scan_approx_sq8_v4 (VERDICT r4 #2).
+    from reindexer_tpu.ops.pallas_select import (knn_scan_approx_sq8_v4,
+                                                 v4_available)
     fused_a = fused_available(cap, dims, k)
+    v4_a = v4_available(cap, dims, k, batch) and not smoke
+    R_a = 8
+    codes_i8 = jnp.asarray((codes.astype(np.int16) - 128).astype(np.int8))
 
     @jax.jit
-    def run_approx(qs, c, lo, al, v, s, se):
-        if fused_a:
+    def run_approx(qs, c8, c, lo, al, v, s, se):
+        if v4_a:
+            # qs [G, R, batch, D]: R batches pipeline through one kernel
+            one = lambda q: knn_scan_approx_sq8_v4(
+                q, c8, lo, al, se, k, VectorMetric.L2)[:2]
+        elif fused_a:
             one = lambda q: knn_scan_fused_sq8(q, c, lo, al, se, k,
                                                VectorMetric.L2)
         else:
@@ -342,23 +353,35 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
             lambda x: jnp.sum(jnp.where(jnp.isfinite(x.astype(jnp.float32)),
                                         x.astype(jnp.float32), 0.0)), outs)
 
-    aargs = (codes_d, lo_d, alpha_d, valid_d, sq_d, sqe_d)
-    np.asarray(jax.tree_util.tree_leaves(run_approx(q_all[:small], *aargs))[0])
-    np.asarray(jax.tree_util.tree_leaves(run_approx(q_all, *aargs))[0])
+    if v4_a:
+        n_big = (iters // R_a) * R_a
+        n_small = max(R_a, (small // R_a) * R_a)
+        qa_big = q_all[:n_big].reshape(n_big // R_a, R_a, batch, dims)
+        qa_small = q_all[:n_small].reshape(n_small // R_a, R_a, batch, dims)
+    else:
+        n_big, n_small = iters, small
+        qa_big, qa_small = q_all, q_all[:small]
+    aargs = (codes_i8, codes_d, lo_d, alpha_d, valid_d, sq_d, sqe_d)
+    np.asarray(jax.tree_util.tree_leaves(run_approx(qa_small, *aargs))[0])
+    np.asarray(jax.tree_util.tree_leaves(run_approx(qa_big, *aargs))[0])
     tb = ts = float("inf")
     for r in range(rounds):
         t0 = time.perf_counter()
         np.asarray(jax.tree_util.tree_leaves(
-            run_approx(q_all[:small], *aargs))[0])
+            run_approx(qa_small, *aargs))[0])
         ts = min(ts, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(run_approx(q_all, *aargs))[0])
+        np.asarray(jax.tree_util.tree_leaves(run_approx(qa_big, *aargs))[0])
         tb = min(tb, time.perf_counter() - t0)
         if r < rounds - 1:
             time.sleep(0.1 if smoke else 2.0)
-    dt_a = max(tb - ts, 1e-9) / (iters - small)
+    dt_a = max(tb - ts, 1e-9) / (n_big - n_small)
     # recall@k of one batch vs the fp32 oracle
-    if fused_a:
+    if v4_a:
+        _, ia, _fl = knn_scan_approx_sq8_v4(
+            q_all[:R_a], codes_i8, lo_d, alpha_d, sqe_d, k, VectorMetric.L2)
+        ia = ia[0]
+    elif fused_a:
         _, ia = knn_scan_fused_sq8(q_all[0], codes_d, lo_d, alpha_d, sqe_d,
                                    k, VectorMetric.L2)
     else:
@@ -371,9 +394,10 @@ def bench_bf_quantized(n=100_000, dims=128, batch=64, k=100, iters=200,
     got = np.asarray(ia)
     rec = np.mean([len(set(got[b].tolist()) & set(want[b].tolist())) / k
                    for b in range(batch)])
+    mode_a = "v4_i8" if v4_a else "fused_sq8" if fused_a else "xla"
     print(f"# sq8_bf_approx qps={batch/dt_a:.1f} lat={dt_a*1e3:.3f}ms "
           f"sol={sol*1e3:.3f}ms frac={sol/dt_a:.3f} recall@{k}={rec:.4f} "
-          f"fused={fused_a} (reference-semantics mode=approx)",
+          f"mode={mode_a} (reference-semantics mode=approx)",
           file=sys.stderr)
 
 
