@@ -42,21 +42,20 @@ _TOKEN_RE = re.compile(r"""
 
 
 def _tokenize(sql: str) -> list[tuple[str, str]]:
+    # one C-level finditer pass (the per-token re.match loop measured
+    # 1.2 ms on a KNN query whose SQL embeds a 128-float vector — 43% of
+    # the serving host path). The leading \s* keeps matches contiguous on
+    # valid SQL, so any gap between matches is a syntax error.
     out = []
-    i = 0
-    while i < len(sql):
-        if sql[i].isspace():
-            i += 1
-            continue
-        m = _TOKEN_RE.match(sql, i)
-        if not m:
-            raise QueryError(f"SQL syntax error near '{sql[i:i+30]}'")
-        i = m.end()
-        for kind in ("str", "num", "name", "op"):
-            v = m.group(kind)
-            if v is not None:
-                out.append((kind, v))
-                break
+    pos = 0
+    for m in _TOKEN_RE.finditer(sql):
+        if m.start() != pos:
+            raise QueryError(f"SQL syntax error near '{sql[pos:pos+30]}'")
+        pos = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    if sql[pos:].strip():
+        raise QueryError(f"SQL syntax error near '{sql[pos:pos+30]}'")
     out.append(("eof", ""))
     return out
 
