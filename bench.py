@@ -765,6 +765,17 @@ def bench_ft1m(n_docs=1_000_000, smoke=False):
     holder.build(docs, n_docs)
     build_s = _t.perf_counter() - t0
     sel = FtSelector(holder, cfg)
+    # commit-time zipf-head warm (FullTextIndex.commit does this in the
+    # product path): pre-materializes per-word top-k caches + the
+    # one-time AB score arrays, so cold frequent singles are dict hits
+    t0 = _t.perf_counter()
+    n_warm = sel.warm_frequent_singles(cfg.warmup_frequent_words)
+    warm_s = _t.perf_counter() - t0
+    singles = [f"w{i}" for i in range(8)]
+    t0 = _t.perf_counter()
+    for q in singles:
+        sel.process(q)
+    dt_s = (_t.perf_counter() - t0) / len(singles)
     # rare-word queries ride the host merge; frequent words exercise the
     # device sorted path (gathers > RX_FT_HOST_MAX)
     rare = [f"w{rng.integers(5_000, 50_000)} w{rng.integers(5_000, 50_000)}"
@@ -790,7 +801,8 @@ def bench_ft1m(n_docs=1_000_000, smoke=False):
     sel.process_batch(mixed)
     dt_m = (_t.perf_counter() - t0) / len(mixed)
     print(f"# ft1m n_docs={n_docs} postings={holder.num_postings} "
-          f"build={build_s:.1f}s rare_qps={1/dt_r:.1f} "
+          f"build={build_s:.1f}s warm={n_warm}w/{warm_s:.1f}s "
+          f"single_qps={1/dt_s:.1f} rare_qps={1/dt_r:.1f} "
           f"freq_qps={1/dt_f:.2f} mixed_batch_qps={1/dt_m:.1f} "
           f"freq_results={len(r.ids)}",
           file=sys.stderr)

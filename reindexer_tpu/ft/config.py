@@ -102,6 +102,14 @@ class FtFastConfig:
     max_extra_letters: int = 2
     max_rebuild_steps: int = 50
     max_step_size: int = 4000
+    # framework-native addition (no reference analog): at commit time,
+    # pre-run the N most frequent indexed words through the selector so
+    # their materialized per-word top-k caches (selector._score_host
+    # skey cache) are hot — a cold zipf-head single-term query is a
+    # ~20 ms/1M-posting 1-core host stream otherwise. Only words big
+    # enough for the dense merge (>= FtSelector.DENSE_MIN postings)
+    # are warmed, so small corpora pay nothing. 0 disables.
+    warmup_frequent_words: int = 32
     bm25: Bm25Config = dataclasses.field(default_factory=Bm25Config)
     sum_ranks_by_fields_ratio: float = 0.0
     max_areas_in_doc: int = 5
@@ -171,6 +179,8 @@ class FtFastConfig:
             tdc.get("max_extra_letters", cfg.max_extra_letters))
         cfg.max_rebuild_steps = int(d.get("max_rebuild_steps", cfg.max_rebuild_steps))
         cfg.max_step_size = int(d.get("max_step_size", cfg.max_step_size))
+        cfg.warmup_frequent_words = int(
+            d.get("warmup_frequent_words", cfg.warmup_frequent_words))
         cfg.distance_boost = float(d.get("distance_boost", cfg.distance_boost))
         cfg.distance_weight = float(d.get("distance_weight", cfg.distance_weight))
         cfg.full_match_boost = float(d.get("full_match_boost", cfg.full_match_boost))

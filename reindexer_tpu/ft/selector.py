@@ -625,6 +625,36 @@ class FtSelector:
                 cache.pop(next(iter(cache)))
         return scores, docs
 
+    def warm_frequent_singles(self, limit: int) -> int:
+        """Pre-materialize the per-word top-k cache for the zipf head.
+
+        A cold frequent single-term query is a ~20 ms/1M-posting 1-core
+        host stream (measured round 5, docs/performance.md crossover
+        table); the result is a pure function of the word + holder
+        revision, so running the head words once at commit time turns
+        every later cold single into a dict hit. Only words that would
+        take the dense merge (>= DENSE_MIN postings) qualify — smaller
+        words are already ~ms on the host. Returns the number warmed.
+        """
+        if limit <= 0 or self.mesh_ctx is not None:
+            return 0
+        h = self.holder
+        if getattr(h, "word_start", None) is None or len(h.word_start) < 2:
+            return 0
+        counts = np.diff(h.word_start)
+        eligible = np.nonzero(counts >= self.DENSE_MIN)[0]
+        if eligible.size == 0:
+            return 0
+        order = eligible[np.argsort(counts[eligible])[::-1]][:limit]
+        warmed = 0
+        for wid in order:
+            try:
+                self.process(h.word_of(int(wid)))
+                warmed += 1
+            except Exception:
+                continue   # a head word that fails to parse is skipped
+        return warmed
+
     # ------------------------------------------------------------------
     # Device-resident dense scorer for frequent words (device_dense.py):
     # the reference's heaviest merges (multi-term zipf-head queries,

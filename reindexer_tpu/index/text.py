@@ -132,6 +132,11 @@ class FullTextIndex(Index):
             self._pending.clear()
             self._owner.clear()
             self._selector = FtSelector(self.holder, self.cfg, self._mesh_ctx)
+            # zipf-head warm: materialize per-word top-k caches so the
+            # first frequent single-term query after a rebuild is a dict
+            # hit instead of a ~20 ms host stream (selector docstring)
+            self._selector.warm_frequent_singles(
+                self.cfg.warmup_frequent_words)
             return
         if not self._pending:
             return

@@ -745,3 +745,45 @@ def test_numbers_search_enabled():
     assert got_ids(db.select(Query("docs").match("ft", "125"))) == [81]
     # phrase positions: the virtual word shares the number's position
     assert got_ids(db.select(Query("docs").match("ft", '"комната пять"~2'))) == [81]
+
+
+def test_commit_warms_frequent_single_cache():
+    """warmup_frequent_words pre-materializes the per-word top-k cache at
+    commit time (framework-native addition; selector.warm_frequent_singles)
+    so cold zipf-head singles are dict hits. Results must be identical to
+    the unwarmed path."""
+    from reindexer_tpu.ft.selector import FtSelector
+
+    rng = np.random.default_rng(7)
+    words = [f"v{i}" for i in range(40)]
+    rows = []
+    for i in range(300):
+        toks = ["hotword"] if i % 2 == 0 else []
+        toks += list(rng.choice(words, size=4))
+        rows.append({"id": 1000 + i, "title": "t", "body": " ".join(toks)})
+
+    saved = FtSelector.DENSE_MIN
+    FtSelector.DENSE_MIN = 16        # let the 150-posting word qualify
+    try:
+        db_cold = make_db(ft_config={"warmup_frequent_words": 0})
+        db_warm = make_db(ft_config={"warmup_frequent_words": 8})
+        for r in rows:
+            db_cold.upsert("docs", r)
+            db_warm.upsert("docs", r)
+        # trigger the lazy commit with an unrelated query
+        db_warm.select(Query("docs").match("ft", "v0"))
+        ns = db_warm.get_namespace("docs")
+        idx = next(i for i in ns.indexes
+                   if i.__class__.__name__ == "FullTextIndex")
+        if idx.holder.native_module() is None or not hasattr(
+                idx.holder.native_module(), "score_merge_dense"):
+            pytest.skip("no compiler for the native module")
+        cache = getattr(idx.holder, "_single_top_cache", None)
+        assert cache, "commit did not warm the zipf-head cache"
+        a = got_ids(db_warm.select(
+            Query("docs").match("ft", "hotword").limit(20)))
+        b = got_ids(db_cold.select(
+            Query("docs").match("ft", "hotword").limit(20)))
+        assert a == b and len(a) == 20
+    finally:
+        FtSelector.DENSE_MIN = saved
