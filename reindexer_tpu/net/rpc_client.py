@@ -50,6 +50,9 @@ class _ConnSlot:
 
     def __init__(self, addr, creds):
         self.sock = socket.create_connection(addr, timeout=30)
+        # keep-alive request/response pairs hit the 40 ms Nagle/delayed-ACK
+        # stall otherwise (round-5 serving forensics, docs/performance.md)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self.seq = 0
         self.dead = False
         self.tag_state = cjson.TagState()   # mirrors the server connection

@@ -11,8 +11,10 @@ server/rpcqrwatcher.cc).
 from __future__ import annotations
 
 import asyncio
+import concurrent.futures
 import itertools
 import json
+import os
 import threading
 import time
 from typing import Any, Optional
@@ -29,6 +31,16 @@ from .serializer import decode_args, encode_args
 
 _STATUS_OF = {QueryError: Status.QUERY_ERROR, ParamsError: Status.PARAMS_ERROR,
               NotFoundError: Status.NOT_FOUND, ConflictError: Status.CONFLICT}
+
+
+# commands that can block on the engine (device round trips, commits,
+# snapshot builds) run in the worker pool; cheap metadata verbs stay
+# inline on the loop (the executor hop costs more than they do)
+_OFFLOADED = frozenset({
+    Cmd.SELECT_SQL, Cmd.SELECT_DSL, Cmd.FETCH_RESULTS, Cmd.MODIFY_ITEM,
+    Cmd.COMMIT_TX, Cmd.GET_SNAPSHOT, Cmd.GET_SNAPSHOT_META,
+    Cmd.GET_SNAPSHOT_CHUNK, Cmd.GET_UPDATES,
+})
 
 
 def _status_of(e: ReindexerError) -> Status:
@@ -124,6 +136,15 @@ class RpcServer:
         self._server: Optional[asyncio.AbstractServer] = None
         self._thread: Optional[threading.Thread] = None
         self._started = threading.Event()
+        # commands run OFF the event loop so connections overlap their
+        # device round trips (the reference's per-connection stackful
+        # coroutines yield during blocking work, serverconnection.cc; an
+        # asyncio loop that calls db.select inline would serialize every
+        # client behind one drain). Per-connection ordering is preserved:
+        # _handle awaits each request fully before reading the next.
+        self._executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=int(os.environ.get("RX_RPC_WORKERS", "16")),
+            thread_name_prefix="rpc-worker")
 
     @property
     def port(self) -> int:
@@ -153,15 +174,22 @@ class RpcServer:
 
     def stop(self) -> None:
         if self._loop is not None:
-            def shutdown():
+            async def shutdown():
                 if self._server is not None:
                     self._server.close()
-                for task in asyncio.all_tasks(self._loop):
+                tasks = [t for t in asyncio.all_tasks(self._loop)
+                         if t is not asyncio.current_task()]
+                for task in tasks:
                     task.cancel()
+                # drain the cancellations so connection handlers run their
+                # finally blocks before the loop dies (no "task destroyed
+                # but pending" at shutdown)
+                await asyncio.gather(*tasks, return_exceptions=True)
                 self._loop.stop()
-            self._loop.call_soon_threadsafe(shutdown)
+            asyncio.run_coroutine_threadsafe(shutdown(), self._loop)
         if self._thread is not None:
             self._thread.join(timeout=5)
+        self._executor.shutdown(wait=False, cancel_futures=True)
 
     # --- connection loop --------------------------------------------------
     async def _handle(self, reader: asyncio.StreamReader,
@@ -183,7 +211,15 @@ class RpcServer:
                 stat["recv_bytes"] += HEADER_SIZE + length
                 try:
                     args = decode_args(body) if body else []
-                    result = self._dispatch(conn, Cmd(cmd), args)
+                    cmd_e = Cmd(cmd)
+                    if cmd_e in _OFFLOADED:
+                        # device-blocking work leaves the event loop so
+                        # other connections overlap their round trips
+                        result = await self._loop.run_in_executor(
+                            self._executor, self._dispatch, conn, cmd_e,
+                            args)
+                    else:
+                        result = self._dispatch(conn, cmd_e, args)
                     out = pack_frame(seq, cmd, Status.OK,
                                      encode_args(result))
                 except ReindexerError as e:
@@ -224,7 +260,10 @@ class RpcServer:
                 conn.sub = None
             if registered_db is not None:
                 getattr(registered_db, "_clients", {}).pop(id(conn), None)
-            writer.close()
+            try:
+                writer.close()
+            except RuntimeError:       # loop already closed at shutdown
+                pass
 
     async def _push_events(self, conn: _Conn, writer, wlock) -> None:
         """Push filtered WAL events as unsolicited seq-0 UPDATES_PUSH frames

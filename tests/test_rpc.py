@@ -215,3 +215,39 @@ def test_rpc_event_unsubscribe_stops_stream(client):
     client.upsert("ev_ns2", {"id": 2, "year": 2})
     time.sleep(0.3)
     assert sub.poll(timeout=0.2) == []
+
+
+def test_rpc_concurrent_selects(server):
+    """Selects run OFF the event loop (worker pool) so connections overlap;
+    per-connection ordering and cursor isolation must survive N threads
+    hammering mixed selects + writes concurrently."""
+    import threading
+
+    setup = RpcReindexer("127.0.0.1", server.port, "rpcdb")
+    setup.open_namespace("conc", IDX)
+    for i in range(200):
+        setup.upsert("conc", {"id": i, "year": 1900 + i})
+    errs = []
+
+    def worker(tid):
+        try:
+            c = RpcReindexer("127.0.0.1", server.port, "rpcdb", conns=1)
+            for j in range(25):
+                lo = (tid * 7 + j) % 150
+                res = c.select(Query("conc").where(
+                    "year", ">", 1900 + lo).sort("id").limit(10))
+                ids = [d["id"] for d in res.docs()]
+                assert ids == list(range(lo + 1, lo + 11)), (tid, j, ids)
+                if j % 5 == 0:
+                    c.upsert("conc", {"id": 500 + tid, "year": 1899})
+            c.close()
+        except Exception as e:           # surface in the main thread
+            errs.append((tid, e))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    setup.close()
+    assert not errs, errs

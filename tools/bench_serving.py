@@ -94,12 +94,47 @@ def run_clients(port, sqls, conns, seconds=12.0):
     return sum(counts) / (time.time() - t0)
 
 
+def run_clients_rpc(port, sqls, conns, seconds=12.0):
+    """RPC-plane analog of run_clients: each client thread owns ONE binary
+    RPC connection (RpcReindexer pool of 1) and loops SQL selects."""
+    from reindexer_tpu.net.rpc_client import RpcReindexer
+    stop = time.time() + seconds
+    counts = [0] * conns
+    errs = []
+
+    def client(ci):
+        i = ci
+        cl = RpcReindexer("127.0.0.1", port, "bench", conns=1)
+        while time.time() < stop:
+            try:
+                cl.select(sqls[i % len(sqls)])
+                counts[ci] += 1
+            except Exception as e:      # pragma: no cover
+                errs.append(e)
+                time.sleep(0.05)
+            i += 1
+        cl.close()
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(conns)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        print(f"# run_clients_rpc: {len(errs)} errors, first: {errs[0]!r}",
+              flush=True)
+    return sum(counts) / (time.time() - t0)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     dims = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     conns = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     index = sys.argv[4] if len(sys.argv) > 4 else "vec_bf"
     metric = sys.argv[5] if len(sys.argv) > 5 else "l2"
+    plane = sys.argv[6] if len(sys.argv) > 6 else "http"   # http|rpc|both
 
     from reindexer_tpu import (FloatVectorOpts, IndexDef, IndexOpts,
                                IndexType, VectorMetric)
@@ -173,12 +208,24 @@ def main():
     print(f"# warmed dynbatch buckets {dynbatch.BUCKETS} in "
           f"{time.time()-t0:.1f}s", flush=True)
 
-    for name, sqls in (("knn", knn_sqls), ("hybrid", hybrid_sqls)):
-        post_sql(port, "bench", sqls[0])      # warm
-        q1 = run_clients(port, sqls, 1)
-        qn = run_clients(port, sqls, conns)
-        print(f"# serving {name}: 1-conn {q1:.1f} qps, {conns}-conn "
-              f"{qn:.1f} qps, speedup {qn/max(q1,1e-9):.2f}x", flush=True)
+    if plane in ("http", "both"):
+        for name, sqls in (("knn", knn_sqls), ("hybrid", hybrid_sqls)):
+            post_sql(port, "bench", sqls[0])      # warm
+            q1 = run_clients(port, sqls, 1)
+            qn = run_clients(port, sqls, conns)
+            print(f"# serving {name}: 1-conn {q1:.1f} qps, {conns}-conn "
+                  f"{qn:.1f} qps, speedup {qn/max(q1,1e-9):.2f}x", flush=True)
+    if plane in ("rpc", "both"):
+        from reindexer_tpu.net.rpc_server import RpcServer
+        rsrv = RpcServer(mgr=srv.mgr)
+        rsrv.start()
+        for name, sqls in (("knn", knn_sqls), ("hybrid", hybrid_sqls)):
+            run_clients_rpc(rsrv.port, sqls, 1, seconds=2.0)   # warm
+            q1 = run_clients_rpc(rsrv.port, sqls, 1)
+            qn = run_clients_rpc(rsrv.port, sqls, conns)
+            print(f"# serving-rpc {name}: 1-conn {q1:.1f} qps, {conns}-conn "
+                  f"{qn:.1f} qps, speedup {qn/max(q1,1e-9):.2f}x", flush=True)
+        rsrv.stop()
     srv.stop()
 
 
