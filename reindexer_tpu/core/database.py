@@ -637,7 +637,20 @@ class Reindexer:
                 docs.append(st)
         elif name == "#perfstats":
             for n, real in self._namespaces.items():
-                docs.append({"name": n, **real.perf.stats()})
+                row = {"name": n, **real.perf.stats()}
+                # continuous-batching serving counters (query/dynbatch.py;
+                # framework-native, no reference analog): how many device
+                # dispatches the coalescer saved is batched_queries -
+                # batched_dispatches
+                batchers = getattr(real, "knn_batchers", None)
+                if batchers:
+                    row["batched_dispatches"] = sum(
+                        b.batches for b in batchers.values())
+                    row["batched_queries"] = sum(
+                        b.queries for b in batchers.values())
+                    row["max_coalesced_batch"] = max(
+                        b.max_batch for b in batchers.values())
+                docs.append(row)
         elif name == "#queriesperfstats":
             docs = [{"query": k, **v} for k, v in self._queries_perf.items()]
         elif name == "#config":

@@ -285,8 +285,20 @@ class IvfIndex(FloatVectorIndexBase):
             if getattr(self, "_seg_blocks", None) is not None:
                 from ...ops.ivf_kernels import SEG_BLK
                 seg_rows = int(self._seg_blocks[probes].sum()) * SEG_BLK
+            # the fixed dispatch overhead (3 extra uploads + 2 kernels,
+            # ~15 ms measured on the tunnel; ~0 co-located) expressed in
+            # full-sweep-row equivalents, so one inequality routes: at
+            # 819 GB/s the sweep covers fixed_ms worth of rows "for free"
+            # before the segment path's bandwidth advantage can matter.
+            # Round-5 fix: without this term the router picked segments
+            # for small single-query probes where the masked sweep was
+            # measured 1.4-1.8x faster (47 vs 26 ms at 200k, 56 vs 41 at
+            # 1M — the old model ignored the fixed cost entirely).
+            fixed_ms = float(os.environ.get("RX_IVF_SEG_FIXED_MS", "15"))
+            fixed_rows = fixed_ms * 819e9 / (self.dims * 4) / 1e3
             seg_wins = (seg_rows is not None
-                        and seg_rows * penalty < self.keeper.capacity)
+                        and seg_rows * penalty + fixed_rows
+                        < self.keeper.capacity)
             try:
                 if seg_wins and jax.default_backend() == "tpu":
                     return self._stage2_segments(qd, nprobe, k,

@@ -106,6 +106,12 @@ def test_concurrent_equals_sequential(itype):
     # must actually happen
     assert st.max_batch > 1
     assert st.batches - b0 < len(queries)
+    # the counters surface in #perfstats (serving introspection)
+    row = next(it.doc for it in db.select(Query("#perfstats"))
+               if it.doc["name"] == "v")
+    assert row["batched_queries"] == st.queries
+    assert row["batched_dispatches"] == st.batches
+    assert row["max_coalesced_batch"] == st.max_batch
 
 
 def test_batching_respects_param_groups():
