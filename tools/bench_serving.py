@@ -146,15 +146,19 @@ def main():
     db = srv.mgr.create("bench")
     rng = np.random.default_rng(0)
     words = [f"w{i}" for i in range(500)]
-    itype = IndexType.HNSW if index == "hnsw" else IndexType.VEC_BF
+    itype = {"hnsw": IndexType.HNSW, "ivf": IndexType.IVF}.get(
+        index, IndexType.VEC_BF)
     vm = VectorMetric.INNER_PRODUCT if metric == "ip" else VectorMetric.L2
+    vopts = dict(dims=dims, metric=vm)
+    if index == "ivf":
+        # sqrt(n) lists, the bench_ivf1m convention
+        vopts["centroids_count"] = max(64, int(n ** 0.5))
     db.open_namespace("items", [
         IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
-        IndexDef("vec", itype, vector_opts=FloatVectorOpts(
-            dims=dims, metric=vm)),
+        IndexDef("vec", itype, vector_opts=FloatVectorOpts(**vopts)),
         IndexDef("text", "text", "string"),
     ])
-    if index == "hnsw":
+    if index in ("hnsw", "ivf"):
         # clustered normalized data (the deep1m model — HNSW on isotropic
         # gaussians is the degenerate no-structure case)
         nc = 1024
@@ -184,27 +188,35 @@ def main():
     else:
         qvecs = [rng.normal(size=dims).astype(np.float32)
                  for _ in range(32)]
+    # nprobe rides the SQL for IVF so the serving numbers are at a
+    # realistic recall point (generic KNN params default nprobe=1)
+    extra = ", nprobe=16" if index == "ivf" else ""
     knn_sqls = [
         "SELECT id FROM items WHERE KNN(vec, [" +
-        ",".join(f"{v:.4f}" for v in q) + "], k=10) LIMIT 10"
+        ",".join(f"{v:.4f}" for v in q) + f"], k=10{extra}) LIMIT 10"
         for q in qvecs]
     hybrid_sqls = [
         "SELECT id FROM items WHERE KNN(vec, [" +
-        ",".join(f"{v:.4f}" for v in q) + "], k=50) AND text = '" +
+        ",".join(f"{v:.4f}" for v in q) + f"], k=50{extra}) AND text = '" +
         words[i % 50] + "' LIMIT 10"
         for i, q in enumerate(qvecs)]
 
     # warm the dynamic-batch shape buckets (deployment warmup: the batcher
     # pads coalesced dispatches to B in dynbatch.BUCKETS; compile each
-    # bucket once so serving never hits a remote compile)
-    from reindexer_tpu.index.vector.params import KnnSearchParams
+    # bucket once so serving never hits a remote compile). Params must
+    # match what the SQL path constructs — dynbatch keys on the params
+    # fingerprint.
+    from reindexer_tpu.index.vector.params import (IvfSearchParams,
+                                                   KnnSearchParams)
     from reindexer_tpu.query import dynbatch
     ix = db.get_namespace("items").get_index("vec")
     t0 = time.time()
     for kk in (10, 50):
+        pp = (IvfSearchParams(k=kk, nprobe=16) if index == "ivf"
+              else KnnSearchParams(k=kk))
         for b in dynbatch.BUCKETS:
             qb = np.stack([qvecs[i % len(qvecs)] for i in range(b)])
-            ix.select_batch(qb.astype(np.float32), KnnSearchParams(k=kk))
+            ix.select_batch(qb.astype(np.float32), pp)
     print(f"# warmed dynbatch buckets {dynbatch.BUCKETS} in "
           f"{time.time()-t0:.1f}s", flush=True)
 
