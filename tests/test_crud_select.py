@@ -511,6 +511,74 @@ def test_join_vectorized_parity(rng):
         assert fast == slow
 
 
+def test_join_conjunction_threading(rng):
+    """Joins probe only the running AND-conjunction's candidates
+    (executor.py _eval_entry cand_mask); result sets must be identical to
+    the full-row oracle, and an OR join must NOT be narrowed by the
+    preceding conjunction."""
+    from reindexer_tpu import IndexDef, IndexOpts, Query, Reindexer
+
+    n, m = 3000, 200
+    db = Reindexer()
+    db.open_namespace("items", [
+        IndexDef("id", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("year", "tree", "int"),
+        IndexDef("fk", "hash", "int"),
+    ])
+    db.open_namespace("other", [
+        IndexDef("oid", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("grp", "hash", "int"),
+    ])
+    years = rng.integers(2000, 2025, size=n)
+    fks = rng.integers(0, 2 * m, size=n)      # half the fks have no match
+    tx = db.new_transaction("items")
+    for i in range(n):
+        tx.upsert({"id": i, "year": int(years[i]), "fk": int(fks[i])})
+    tx.commit()
+    grps = rng.integers(0, 10, size=m)
+    tx = db.new_transaction("other")
+    for i in range(m):
+        tx.upsert({"oid": i, "grp": int(grps[i])})
+    tx.commit()
+    joinable = {i for i in range(m) if grps[i] == 3}
+
+    # filter THEN inner join: the join sees a narrowed conjunction
+    res = db.select(Query("items").where("year", ">", 2015)
+                    .inner_join(Query("other").where("grp", "=", 3))
+                    .on("fk", "=", "oid"))
+    got = sorted(d["id"] for d in res.docs())
+    assert got == sorted(i for i in range(n)
+                         if years[i] > 2015 and fks[i] in joinable)
+
+    # join first: exists fallback, same oracle
+    res = db.select(Query("items")
+                    .inner_join(Query("other").where("grp", "=", 3))
+                    .on("fk", "=", "oid"))
+    got = sorted(d["id"] for d in res.docs())
+    assert got == sorted(i for i in range(n) if fks[i] in joinable)
+
+    # OR join: must see rows OUTSIDE the preceding conjunction
+    res = db.select(Query("items").where("year", "=", 2001)
+                    .op_or()
+                    .or_inner_join(Query("other").where("grp", "=", 3))
+                    .on("fk", "=", "oid"))
+    got = sorted(d["id"] for d in res.docs())
+    assert got == sorted(i for i in range(n)
+                         if years[i] == 2001 or fks[i] in joinable)
+
+    # deletes respected inside the conjunction
+    victims = got[:5]
+    for vid in victims:
+        db.delete("items", {"id": vid})
+    res = db.select(Query("items").where("year", ">", 2015)
+                    .inner_join(Query("other").where("grp", "=", 3))
+                    .on("fk", "=", "oid"))
+    got = sorted(d["id"] for d in res.docs())
+    assert got == sorted(i for i in range(n)
+                         if years[i] > 2015 and fks[i] in joinable
+                         and i not in set(victims))
+
+
 def test_rtree_grid_parity(rng):
     """The grid-bucketed DWithin (large bases) must match the exact
     vectorized scan bit-for-bit, across mutations and re-queries."""
