@@ -27,11 +27,14 @@ SYSTEM_NS = ("#namespaces", "#memstats", "#perfstats", "#queriesperfstats",
              "#config", "#activitystats", "#clientsstats", "#replicationstats")
 
 DEFAULT_CONFIG = {
+    # profiling stats default OFF, matching the reference
+    # (dbconfig.h:72-75, kDefProfilingConfig in defnsconfigs.h) — enable
+    # via a #config upsert like the reference's own tests do
     "profiling": {
-        "queriesperfstats": True,
-        "perfstats": True,
+        "queriesperfstats": False,
+        "perfstats": False,
         "memstats": True,
-        "activitystats": True,
+        "activitystats": False,
         "long_queries_logging": {
             "select": {"threshold_us": -1, "normalized": False},
             "update_delete": {"threshold_us": -1, "normalized": False},
@@ -278,10 +281,15 @@ class Reindexer:
             if q.update_entries:
                 return self._selecter.update(q)
         t0 = time.perf_counter()
-        act = {"query": self._normalize_query(q), "namespace": q.namespace,
-               "state": "in_progress", "query_start": time.time(),
-               "client": "builtin"}
-        self._activity.append(act)
+        prof = self._config.get("profiling", {})
+        act = None
+        if prof.get("activitystats"):
+            # the normalized text is derived lazily by the #activitystats
+            # view: normalization costs more than a fast point select itself
+            act = {"query": q, "namespace": q.namespace,
+                   "state": "in_progress", "query_start": time.time(),
+                   "client": "builtin"}
+            self._activity.append(act)
         try:
             from .. import tracing
             if tracing.enabled():
@@ -293,9 +301,9 @@ class Reindexer:
             else:
                 res = self._selecter.select(q)
         finally:
-            self._activity.remove(act)
+            if act is not None:
+                self._activity.remove(act)
         dt_us = (time.perf_counter() - t0) * 1e6
-        prof = self._config.get("profiling", {})
         # per-normalized-query latency stats (reference: #queriesperfstats,
         # queries aggregate under a values-stripped normalization)
         if prof.get("queriesperfstats"):
@@ -657,7 +665,12 @@ class Reindexer:
             for section, value in self._config.items():
                 docs.append({"type": section, section: value})
         elif name == "#activitystats":
-            docs = [dict(a) for a in self._activity]
+            docs = []
+            for a in self._activity:
+                d = dict(a)
+                if not isinstance(d.get("query"), str):
+                    d["query"] = self._normalize_query(d["query"])
+                docs.append(d)
         elif name == "#clientsstats":
             # connected RPC clients (registered by net/rpc_server.py)
             docs = [dict(v) for v in getattr(self, "_clients", {}).values()]

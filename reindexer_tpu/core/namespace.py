@@ -87,6 +87,7 @@ class Namespace:
         self.meta: dict[str, str] = {}
         self.lock = threading.RLock()
         self.version = 0          # bumped on each mutation (reader snapshots)
+        self.schema_version = 0   # bumped on index add/drop (metadata caches)
         # incremental XOR of per-item checksums (reference: repl_.dataHash,
         # namespaceimpl.cc:748,1968 — followers compare it against the
         # leader's to detect replication divergence cheaply)
@@ -158,6 +159,7 @@ class Namespace:
                 index.upsert(row, vals)
             self._wal("add_index", idef.to_dict())
             self.version += 1
+            self.schema_version += 1
 
     def update_index(self, idef: IndexDef) -> None:
         with self.lock:
@@ -178,6 +180,7 @@ class Namespace:
             self.columns.pop(name, None)
             self._wal("drop_index", {"name": name})
             self.version += 1
+            self.schema_version += 1
 
     def index_defs(self) -> list[IndexDef]:
         return list(self.payload_type.indexes)
@@ -350,10 +353,19 @@ class Namespace:
         return len(self.items)
 
     def exists_mask(self) -> np.ndarray:
+        # version-keyed cache: selects are far more frequent than writes and
+        # a fresh O(n) allocation per query dominated the scalar-query
+        # profile (readme.md:126 point-select headline). The cached array is
+        # read-only; consumers combine it with `&`/`copy()`.
+        cached = getattr(self, "_exists_cache", None)
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
         mask = np.ones(len(self.items), dtype=np.bool_)
         for row in self.free_rows:
             mask[row] = False
         # rows may also be None without being in free_rows (defensive)
+        mask.flags.writeable = False
+        self._exists_cache = (self.version, mask)
         return mask
 
     def item_count(self) -> int:

@@ -294,6 +294,14 @@ def set_json_path(doc: dict, path: str, value: Any) -> None:
 def coerce_scalar(value: Any, ftype: FieldType) -> Any:
     """Convert a document value to the column's scalar type
     (reference: Variant conversions, core/keyvalue/variant.cc)."""
+    # exact-type fast exit: query values overwhelmingly arrive pre-typed
+    # and this runs per value per entry on the hot select path
+    t = type(value)
+    if (t is int and (ftype is FieldType.INT or ftype is FieldType.INT64)) \
+            or (t is str and ftype is FieldType.STRING) \
+            or (t is float and ftype is FieldType.DOUBLE) \
+            or (t is bool and ftype is FieldType.BOOL):
+        return value
     if value is None:
         return _DEFAULTS[ftype]
     if ftype in (FieldType.INT, FieldType.INT64):

@@ -137,7 +137,11 @@ class HashIndex(Index):
         if condition in (CondType.EQ, CondType.SET):
             keys = self._keys_of(values)
             if len(keys) == 1:
-                return SelectKeyResult(self._post.ids(keys[0]).copy())
+                ids = self._post.ids(keys[0])
+                # copy=False: read-only callers (the point-select fast path)
+                # skip the defensive copy
+                return SelectKeyResult(ids.copy() if kw.get("copy", True)
+                                       else ids)
             parts = [self._post.ids(k) for k in keys]
             parts = [p for p in parts if len(p)]
             if not parts:

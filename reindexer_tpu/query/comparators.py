@@ -145,6 +145,31 @@ def column_mask(col: Column, cond: CondType, cvals: Sequence[Any],
     return m[:capacity]
 
 
+def column_mask_rows(col: Column, cond: CondType, cvals: Sequence[Any],
+                     rows: np.ndarray) -> np.ndarray:
+    """Boolean mask [len(rows)]: the condition evaluated at the given row
+    ids only — the candidate-probing form of `column_mask` (reference
+    analog: comparators see only the rows the leading SelectIterator
+    drives, nsselecter.cc:799). Rows at/beyond the column size are unset,
+    matching `column_mask`'s padding semantics (only EMPTY matches)."""
+    values = col.values()
+    is_set = col.set_mask()
+    if len(values) == 0:
+        iset = np.zeros(len(rows), dtype=np.bool_)
+        if col.is_array:
+            return _array_mask(np.empty(len(rows), dtype=object), iset,
+                               cond, cvals, col.ftype)
+        return _scalar_mask(np.zeros(len(rows), dtype=values.dtype), iset,
+                            cond, cvals, col.ftype)
+    in_range = rows < len(values)
+    safe = np.where(in_range, rows, 0)
+    vals = values[safe]
+    iset = is_set[safe] & in_range
+    if col.is_array:
+        return _array_mask(vals, iset, cond, cvals, col.ftype)
+    return _scalar_mask(vals, iset, cond, cvals, col.ftype)
+
+
 def raw_values_mask(raw_values: list, cond: CondType, cvals: Sequence[Any]) -> np.ndarray:
     """Comparator over non-indexed document fields (per-row; the analog of
     the reference's non-index CJSON comparators)."""

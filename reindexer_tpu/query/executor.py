@@ -29,7 +29,7 @@ from ..core.rdxcontext import check_cancel
 from ..core.payload import get_json_path, set_json_path
 from ..core.type_consts import AggType, CondType, OpType, RankOrdering, StrictMode
 from ..index.base import SelectKeyResult
-from .comparators import column_mask, raw_values_mask
+from .comparators import column_mask, column_mask_rows, raw_values_mask
 from .query import (AlwaysTrue, BetweenFieldsEntry, Bracket, JoinedQuery,
                     JoinType, KnnQueryEntry, Query, QueryEntry, SortingEntry,
                     SubQueryEntry, UpdateEntry)
@@ -56,6 +56,32 @@ class Selecter:
 
     def __init__(self, db):
         self.db = db
+
+    # per-namespace metadata snapshot for the hot select paths: field ->
+    # (index, idef) plus has-TTL and default vector-exclusion sets, rebuilt
+    # only when the index set changes (Namespace.schema_version). The analog
+    # of the reference holding resolved index pointers inside SelectCtx
+    # instead of re-resolving names per query.
+    @staticmethod
+    def _fast_meta(ns: Namespace) -> dict:
+        meta = getattr(ns, "_fast_meta_cache", None)
+        if meta is not None and meta["schema_version"] == ns.schema_version:
+            return meta
+        from ..index.scalar import TtlIndex
+        fields: dict[str, tuple] = {}
+        vector_excl: set[str] = set()
+        has_ttl = False
+        for idef, index in zip(ns.payload_type.indexes, ns.indexes):
+            fields[idef.name] = (index, idef)
+            if isinstance(index, TtlIndex):
+                has_ttl = True
+            if idef.is_vector:
+                for p in idef.json_paths:
+                    vector_excl.add(p.split(".")[0])
+        meta = {"schema_version": ns.schema_version, "fields": fields,
+                "has_ttl": has_ttl, "vector_excl": vector_excl}
+        ns._fast_meta_cache = meta
+        return meta
 
     # query-count cache (reference: QueryCountCache, core/querycache.h) and
     # join-preselect cache (reference: JoinCache/JoinPreResult,
@@ -170,11 +196,16 @@ class Selecter:
                     ns, q, streaming_entry, exists, explain_sel)
                 t_idx1 = time.perf_counter()
             else:
-                mask, sources = self._eval_entries(ns, q.entries, q, exists,
-                                                   explain_sel)
-                mask = mask & exists
+                rows = None
+                sources = {}
+                if not q.explain_:
+                    rows = self._fast_and_rows(ns, q, exists)
+                if rows is None:
+                    mask, sources = self._eval_entries(ns, q.entries, q,
+                                                       exists, explain_sel)
+                    mask = mask & exists
+                    rows = np.flatnonzero(mask).astype(np.int64)
                 t_idx1 = time.perf_counter()
-                rows = np.flatnonzero(mask).astype(np.int64)
 
             # --- equal-position re-verification (reference: equalPositions —
             # conditions on the listed array fields must hold at the same
@@ -278,32 +309,39 @@ class Selecter:
         if entry.condition not in (CondType.EQ, CondType.SET):
             return None
         ns = self.db.get_namespace(q.namespace)
-        index = ns.get_index(entry.field)
-        if index is None or not index.supports(entry.condition):
+        meta = self._fast_meta(ns)
+        pair = meta["fields"].get(entry.field)
+        if pair is None:
             return None
-        idef = ns.index_def(entry.field)
-        if idef is None or idef.is_fulltext or idef.is_vector:
+        index, idef = pair
+        if (idef.is_fulltext or idef.is_vector
+                or not index.supports(entry.condition)):
             return None
         t0 = time.perf_counter()
         with ns.lock:
-            from ..index.scalar import TtlIndex
-            if any(isinstance(ix, TtlIndex) for ix in ns.indexes):
+            if meta["has_ttl"]:
                 ns.collect_expired()
-            res = index.select_key(entry.condition, entry.values)
+            res = index.select_key(entry.condition, entry.values, copy=False)
             if res.unmatched:
                 return None
-            vector_paths = self._excluded_vector_paths(ns, q)
+            if not q.select_filter:
+                vector_paths = meta["vector_excl"]
+            else:
+                vector_paths = self._excluded_vector_paths(ns, q)
             items = []
+            items_list = ns.items
+            nrows = len(items_list)
             limit = q.limit_ if q.limit_ is not None else len(res.ids)
             for row in res.ids[:limit]:
-                doc = ns.get_item(int(row))
+                row = int(row)
+                doc = items_list[row] if 0 <= row < nrows else None
                 if doc is None:
                     continue
                 doc_out = self._project(doc, q.select_filter)
                 if vector_paths:
                     doc_out = {k: v for k, v in doc_out.items()
                                if k not in vector_paths}
-                items.append(ResultItem(doc=doc_out, row_id=int(row),
+                items.append(ResultItem(doc=doc_out, row_id=row,
                                         ns_name=ns.name))
             ns.perf.hit("selects", time.perf_counter() - t0)
             return QueryResults(ns_name=ns.name, items=items)
@@ -473,6 +511,90 @@ class Selecter:
         run.sort(key=lambda oe: self._entry_cost(ns, oe[1]))
         out.extend(run)
         return out
+
+    # id-space conjunction fast path (reference analog: the most selective
+    # SelectIterator drives the scan and comparators only see its rows,
+    # nsselecter.cc selectLoop — vs the default whole-column mask algebra
+    # below, which pays O(namespace) per entry regardless of selectivity)
+    _FAST_AND_MAX_DRIVER = 4096
+
+    def _fast_and_rows(self, ns: Namespace, q: Query,
+                       exists: np.ndarray) -> Optional[np.ndarray]:
+        """Evaluate an all-AND/NOT conjunction in id space: drive from the
+        most selective indexed entry's posting list and probe the remaining
+        conditions only at those candidate rows. Returns sorted row ids, or
+        None when the query shape doesn't qualify (the caller falls back to
+        the mask path, which is always correct)."""
+        entries = self._substitute_composite(ns, q.entries)
+        cap = len(exists)
+        fields = self._fast_meta(ns)["fields"]
+        est_cap = min(self._FAST_AND_MAX_DRIVER, max(64, cap >> 2))
+        driver_pos = -1
+        driver_est = None
+        costed: list[tuple] = []
+        for op, entry in entries:
+            if op == OpType.OR:
+                return None
+            if isinstance(entry, (AlwaysTrue, JoinedQuery)):
+                costed.append((op, entry, self._entry_cost(ns, entry)))
+                continue
+            if not isinstance(entry, QueryEntry):
+                return None
+            if entry.field.startswith("#"):
+                return None
+            pair = fields.get(entry.field)
+            if pair is not None and (pair[1].is_fulltext or pair[1].is_vector):
+                return None
+            cost = self._entry_cost(ns, entry)
+            costed.append((op, entry, cost))
+            # cost class 10 == supporting index; cost[1] is its estimate
+            if op == OpType.AND and cost[0] == 10 and cost[1] <= est_cap:
+                if driver_est is None or cost[1] < driver_est:
+                    driver_est = cost[1]
+        if driver_est is None:
+            return None
+        costed.sort(key=lambda oec: oec[2])
+        entries = [(op, e) for op, e, _ in costed]
+        for pos, (op, entry) in enumerate(entries):
+            if (op == OpType.AND and costed[pos][2][0] == 10
+                    and costed[pos][2][1] == driver_est):
+                driver_pos = pos
+                break
+        d_entry = entries[driver_pos][1]
+        res = fields[d_entry.field][0].select_key(d_entry.condition,
+                                                  d_entry.values)
+        if res.unmatched:
+            return None
+        ids = np.asarray(res.ids, dtype=np.int64)
+        ids = ids[(ids >= 0) & (ids < cap)]
+        if len(ids) > 1:
+            ids = np.unique(ids)  # sorted; array-indexed fields can repeat
+        ids = ids[exists[ids]]
+        for pos, (op, entry) in enumerate(entries):
+            if pos == driver_pos or isinstance(entry, AlwaysTrue):
+                continue
+            if len(ids) == 0:
+                break  # AND/NOT only: nothing can revive an empty set
+            check_cancel()
+            if isinstance(entry, JoinedQuery):
+                m, _ = self._join_matches(ns, entry, need_matches=False,
+                                          only_rows=ids)
+                keep = m[ids]
+            else:
+                col = ns.column_values(entry.field)
+                if col is not None and entry.condition != CondType.DWITHIN:
+                    keep = column_mask_rows(col, entry.condition,
+                                            list(entry.values), ids)
+                else:
+                    index = ns.get_index(entry.field)
+                    if index is None or not index.supports(entry.condition):
+                        return None
+                    r2 = index.select_key(entry.condition, entry.values)
+                    if r2.unmatched:
+                        return None
+                    keep = np.isin(ids, r2.ids)
+            ids = ids[~keep if op == OpType.NOT else keep]
+        return ids
 
     def _eval_entries(self, ns: Namespace, entries: list, q: Query,
                       exists: np.ndarray, explain_sel: list,
@@ -1034,28 +1156,31 @@ class Selecter:
                 return None
             cols.append((lc, rc, lk in num and rk in num))
 
-        def full(col, cap_n, numeric):
+        def at_rows(col, rows, numeric):
+            # gather only at the candidate rows (the probe sets are tiny
+            # next to the namespace; a capacity-wide materialization per
+            # query was the join bench's wall). Values at unset rows are
+            # never consulted — codes are only assigned where st is True.
             v = col.values()
             s = col.set_mask()
+            in_r = rows < len(v)
+            if not in_r.any():
+                vals = (np.zeros(len(rows), dtype=np.float64) if numeric
+                        else np.empty(len(rows), dtype=object))
+                return vals, np.zeros(len(rows), dtype=np.bool_)
+            safe = np.where(in_r, rows, 0)
+            vals = v[safe]
             if numeric:
-                out = np.zeros(cap_n, dtype=np.float64)
-                out[: len(v)] = v.astype(np.float64, copy=False)
-            else:
-                out = np.empty(cap_n, dtype=object)
-                out[: len(v)] = v
-            st = np.zeros(cap_n, dtype=np.bool_)
-            st[: len(s)] = s
-            return out, st
+                vals = vals.astype(np.float64, copy=False)
+            return vals, s[safe] & in_r
 
         lex = ns.exists_mask()
         lvalid = lex[main_rows]
         comb_l = np.zeros(len(main_rows), dtype=np.int64)
         comb_r = np.zeros(len(j_rows), dtype=np.int64)
         for (lc, rc, numeric) in cols:
-            lv, ls = full(lc, ns.rows_capacity, numeric)
-            rv, rs = full(rc, joined_ns.rows_capacity, numeric)
-            lv, ls = lv[main_rows], ls[main_rows]
-            rv, rs = rv[j_rows], rs[j_rows]
+            lv, ls = at_rows(lc, main_rows, numeric)
+            rv, rs = at_rows(rc, j_rows, numeric)
             both = np.concatenate([lv[ls], rv[rs]])
             try:
                 _, inv = np.unique(both, return_inverse=True)

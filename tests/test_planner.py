@@ -74,11 +74,15 @@ def test_count_cached_query_cache():
     r1 = db.select(q)
     assert r1.aggregations[0].value == 20
 
-    # second run must come from the cache: break _eval_entries to prove it
+    # second run must come from the cache: instrument both evaluation
+    # paths (mask algebra and the id-space fast path) to prove it
     sel = db._selecter
     orig = sel._eval_entries
+    orig_fast = sel._fast_and_rows
     calls = []
     sel._eval_entries = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    sel._fast_and_rows = lambda *a, **k: (calls.append(1),
+                                          orig_fast(*a, **k))[1]
     r2 = db.select(q)
     assert r2.aggregations[0].value == 20
     assert not calls, "cached count must not re-evaluate conditions"
@@ -89,6 +93,7 @@ def test_count_cached_query_cache():
     assert calls
     assert r3.aggregations[0].value == 21
     sel._eval_entries = orig
+    sel._fast_and_rows = orig_fast
 
 
 def test_join_preselect_cache():
@@ -155,8 +160,13 @@ def test_background_ttl_expiry():
 
 
 def test_queries_perf_stats():
-    """#queriesperfstats aggregates per normalized query (values stripped)."""
+    """#queriesperfstats aggregates per normalized query (values stripped).
+    Stats default off per the reference (dbconfig.h:72-75); enable via a
+    #config upsert exactly like the reference tests (reindexertestapi.cc:468).
+    """
     db = make_db()
+    db.upsert("#config", {"type": "profiling",
+                          "profiling": {"queriesperfstats": True}})
     for v in (1, 2, 3):
         db.select(Query("ns").where("grp", "EQ", v))
     db.select(Query("ns").where("grp", "LT", 5))
