@@ -32,6 +32,9 @@ class SelectKeyResult:
     unmatched: bool = False
     # extra per-result data (e.g. FT matched words for highlight/snippet)
     aux: Optional[dict] = None
+    # True when ids are already ascending and duplicate-free (lets id-space
+    # consumers skip a defensive np.unique)
+    sorted_unique: bool = False
 
     @staticmethod
     def empty() -> "SelectKeyResult":

@@ -146,7 +146,8 @@ class HashIndex(Index):
             parts = [p for p in parts if len(p)]
             if not parts:
                 return SelectKeyResult.empty()
-            return SelectKeyResult(np.unique(np.concatenate(parts)))
+            return SelectKeyResult(np.unique(np.concatenate(parts)),
+                                   sorted_unique=True)
         if condition == CondType.ALLSET:
             keys = self._keys_of(values)
             if not keys:

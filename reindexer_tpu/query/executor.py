@@ -567,7 +567,7 @@ class Selecter:
             return None
         ids = np.asarray(res.ids, dtype=np.int64)
         ids = ids[(ids >= 0) & (ids < cap)]
-        if len(ids) > 1:
+        if len(ids) > 1 and not res.sorted_unique:
             ids = np.unique(ids)  # sorted; array-indexed fields can repeat
         ids = ids[exists[ids]]
         for pos, (op, entry) in enumerate(entries):
@@ -979,9 +979,27 @@ class Selecter:
         # (reference: JoinCache/JoinPreResult, core/joincache.h)
         with joined_ns.lock:
             join_cache = self._ns_cache(joined_ns, "join_preselect_cache")
-            jkey = (self._query_fingerprint(jq.query),
-                    tuple((c.op, c.condition, c.left_field, c.right_field)
-                          for c in jq.on))
+            on_key = tuple((c.op, c.condition, c.left_field, c.right_field)
+                           for c in jq.on)
+            # cheap tuple key for plain-conjunction joined queries (the
+            # JSON fingerprint costs more than the probe itself); the
+            # preselect only consumes entries, so the key only needs them
+            jkey = None
+            ent_key: list = []
+            for jop, je in jq.query.entries:
+                if type(je) is not QueryEntry:
+                    ent_key = None
+                    break
+                ent_key.append((jop, je.field, je.condition,
+                                tuple(je.values)))
+            if ent_key is not None:
+                jkey = (jq.query.namespace, tuple(ent_key), on_key)
+                try:
+                    hash(jkey)
+                except TypeError:
+                    jkey = None
+            if jkey is None:
+                jkey = (self._query_fingerprint(jq.query), on_key)
             cached = join_cache.get(jkey)
             if cached is not None and cached["version"] != joined_ns.version:
                 cached = None
