@@ -197,10 +197,15 @@ class Namespace:
     # item CRUD (reference: NamespaceImpl::modifyItem, namespaceimpl.cc:2545)
     # ------------------------------------------------------------------
     def _pk(self) -> tuple[int, IndexDef]:
+        c = getattr(self, "_pk_cache", None)
+        if c is not None and c[0] == self.schema_version:
+            return c[1], c[2]
         pk = self.payload_type.pk_index()
         if pk is None:
             raise ParamsError(f"namespace '{self.name}' has no PK index")
-        return self.payload_type.field_pos(pk.name), pk  # type: ignore[return-value]
+        pos = self.payload_type.field_pos(pk.name)
+        self._pk_cache = (self.schema_version, pos, pk)
+        return pos, pk  # type: ignore[return-value]
 
     def _extract_values(self, doc: dict, idef: IndexDef) -> Any:
         if idef.is_composite:
@@ -240,7 +245,11 @@ class Namespace:
 
     def find_by_pk(self, pk_value: Any) -> Optional[int]:
         pos, pkdef = self._pk()
-        res = self.indexes[pos].select_key(CondType.EQ, (pk_value,))
+        index = self.indexes[pos]
+        first = getattr(index, "first_row", None)
+        if first is not None:
+            return first(pk_value)
+        res = index.select_key(CondType.EQ, (pk_value,))
         if len(res.ids) == 0:
             return None
         return int(res.ids[0])
@@ -285,7 +294,8 @@ class Namespace:
             self.data_hash ^= _item_hash(doc)
             self.items[row] = doc
             self.version += 1
-            self._wal("upsert", {"row": row, "doc": doc})
+            if self.wal_hooks:
+                self._wal("upsert", {"row": row, "doc": doc})
             self.perf.hit("updates", time.perf_counter() - t0)
             return row
 

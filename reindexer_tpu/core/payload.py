@@ -257,6 +257,9 @@ _DEFAULTS = {
 
 def get_json_path(doc: dict, path: str) -> Any:
     """Fetch a (possibly nested, dot-separated) JSON path from a document."""
+    if "." not in path and type(doc) is dict:
+        # overwhelmingly the common case on the ingest path
+        return doc.get(path)
     cur: Any = doc
     for part in path.split("."):
         if isinstance(cur, dict):

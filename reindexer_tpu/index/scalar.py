@@ -117,6 +117,15 @@ class HashIndex(Index):
         return condition in (CondType.EQ, CondType.SET, CondType.ANY,
                              CondType.ALLSET)
 
+    def first_row(self, value: Any) -> Optional[int]:
+        """Cheap single-key peek for PK lookups (the mutation-source sets
+        are authoritative; skips SelectKeyResult construction)."""
+        s = self._post.sets.get(coerce_scalar(value,
+                                              self.definition.field_type))
+        if s:
+            return next(iter(s))
+        return None
+
     def estimate_matches(self, condition: CondType, values: Any):
         """Posting-size selectivity estimate (planner ordering)."""
         try:
