@@ -831,6 +831,24 @@ def bench_hybrid_scale(smoke=False):
     return bench_hybrid(n=50_000, smoke=smoke)
 
 
+def bench_scalar_host(smoke=False):
+    """Scalar-query engine leg (reference readme.md:126-128: point /
+    composite / join 1-core qps). Pure host work — runs
+    tools/bench_scalar.py in a CPU-forced subprocess so the device
+    tunnel isn't touched and a wedged tunnel can't hang it."""
+    import subprocess
+    n = "20000" if smoke else "100000"
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_scalar.py")
+    r = subprocess.run([sys.executable, script, n, "1.5"],
+                       capture_output=True, text=True, timeout=300)
+    for line in (r.stdout or "").splitlines():
+        print(line, file=sys.stderr)
+    if r.returncode != 0:
+        print(f"# bench_scalar failed: {(r.stderr or '')[-300:]}",
+              file=sys.stderr)
+
+
 def _probe_device(timeout_s=600):
     """Bounded device healthcheck in a SUBPROCESS: a wedged tunnel hangs
     jax backend init un-interruptibly in-process (seen as a multi-hour
@@ -891,7 +909,8 @@ def main():
                 return False
             return True
 
-        for fn in (bench_bf_quantized, bench_hnsw, bench_ft):
+        for fn in (bench_scalar_host, bench_bf_quantized, bench_hnsw,
+                   bench_ft):
             try:
                 fn(smoke=args.smoke or slow_link)
             except Exception as e:     # extras must never break the contract

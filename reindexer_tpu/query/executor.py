@@ -1039,18 +1039,18 @@ class Selecter:
                         jdoc = joined_ns.get_item(int(jrow))
                         if jdoc is None:
                             continue
-                        key = tuple(
-                            self._join_key(get_json_path(jdoc, c.right_field))
-                            for c in jq.on)
-                        j_keys.setdefault(key, []).append(int(jrow))
+                        for key in self._join_key_variants(jdoc, jq, "right"):
+                            j_keys.setdefault(key, []).append(int(jrow))
                     cached["j_keys"] = j_keys
                 for row in main_rows:
                     doc = ns.get_item(int(row))
                     if doc is None:
                         continue
-                    key = tuple(self._join_key(get_json_path(doc, c.left_field))
-                                for c in jq.on)
-                    hit = j_keys.get(key)
+                    hit: list = []
+                    for key in self._join_key_variants(doc, jq, "left"):
+                        h = j_keys.get(key)
+                        if h:
+                            hit.extend(r for r in h if r not in hit)
                     if hit:
                         mask[row] = True
                         if need_matches:
@@ -1144,6 +1144,30 @@ class Selecter:
         if isinstance(v, list):
             return tuple(v)
         return v
+
+    @staticmethod
+    def _join_key_variants(doc: dict, jq: JoinedQuery, side: str) -> list:
+        """All composite ON-key tuples a document contributes: array fields
+        contribute one variant per ELEMENT (reference: the ON condition is
+        injected into the joined query with the item's VariantArray values —
+        CondSet semantics, joinedselector.cc — so `ON tags = gid` matches
+        any element). An empty/missing array yields no variants (IN ()
+        matches nothing); a missing scalar keeps the None key (None == None
+        parity with the single-key path)."""
+        parts = []
+        for c in jq.on:
+            v = get_json_path(doc, c.left_field if side == "left"
+                              else c.right_field)
+            if isinstance(v, (list, tuple)):
+                if not v:
+                    return []
+                parts.append(list(dict.fromkeys(v)))
+            else:
+                parts.append([v])
+        out = [()]
+        for p in parts:
+            out = [k + (x,) for k in out for x in p]
+        return out
 
     def _join_eq_vectorized(self, ns: Namespace, joined_ns: Namespace,
                             jq: JoinedQuery, main_rows: np.ndarray,

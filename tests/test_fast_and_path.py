@@ -130,6 +130,31 @@ def test_join_probe_equivalence(db):
     assert used and fast == mask and fast
 
 
+def test_join_on_array_field_matches_per_element(db):
+    # reference semantics: the ON condition injects the left item's
+    # VariantArray into the joined query (CondSet), so `ON tags = gid`
+    # matches ANY element of the array (joinedselector.cc)
+    db.open_namespace("g2", [
+        IndexDef("gid", "hash", "int", opts=IndexOpts(is_pk=True)),
+        IndexDef("lab", "hash", "string"),
+    ])
+    for g in range(20):
+        db.upsert("g2", {"gid": g, "lab": f"L{g % 5}"})
+    q = (Query("ns").where("grp", "=", 3)
+         .inner_join(Query("g2").where("lab", "=", "L2")).on("tags", "=", "gid"))
+    got = sorted(it.doc["id"] for it in db.select(q))
+    lset = {g for g in range(20) if g % 5 == 2}
+    rng = np.random.default_rng(7)
+    tags_of = {}
+    for i in range(400):
+        tags_of[i] = [int(t) for t in rng.integers(0, 20, size=i % 4)]
+    deleted = set(range(0, 400, 17))
+    expect = sorted(i for i in range(400)
+                    if i % 7 == 3 and i not in deleted
+                    and (set(tags_of[i]) & lset))
+    assert got == expect and got
+
+
 def test_limit_offset_sort_pagination(db):
     q = (Query("ns").where("grp", "=", 5).where("year", ">", 2005)
          .sort("year", desc=True).limit(5).offset(2))
