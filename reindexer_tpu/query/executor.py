@@ -200,6 +200,8 @@ class Selecter:
                 sources = {}
                 if not q.explain_:
                     rows = self._fast_and_rows(ns, q, exists)
+                    if rows is None:
+                        rows = self._fast_or_rows(ns, q, exists)
                 if rows is None:
                     mask, sources = self._eval_entries(ns, q.entries, q,
                                                        exists, explain_sel)
@@ -595,6 +597,48 @@ class Selecter:
                     keep = np.isin(ids, r2.ids)
             ids = ids[~keep if op == OpType.NOT else keep]
         return ids
+
+    def _fast_or_rows(self, ns: Namespace, q: Query,
+                      exists: np.ndarray) -> Optional[np.ndarray]:
+        """Id-space pure-disjunction fast path: a chain of indexed OR
+        entries unions posting lists instead of building one full-width
+        mask per arm (reference analog: OR SelectIterators merge their
+        IdSets, selectiteratorcontainer.cc). Returns sorted row ids or
+        None when the shape doesn't qualify."""
+        entries = self._substitute_composite(ns, q.entries)
+        cap = len(exists)
+        fields = self._fast_meta(ns)["fields"]
+        parts = []
+        total = 0
+        for pos, (op, entry) in enumerate(entries):
+            if op != (OpType.AND if pos == 0 else OpType.OR):
+                return None
+            if not isinstance(entry, QueryEntry):
+                return None
+            if entry.field.startswith("#"):
+                return None
+            pair = fields.get(entry.field)
+            if pair is None:
+                return None
+            index, idef = pair
+            if (idef.is_fulltext or idef.is_vector
+                    or not index.supports(entry.condition)):
+                return None
+            est = index.estimate_matches(entry.condition, entry.values)
+            total += est if est is not None else cap
+            if total > max(64, cap >> 1):
+                return None  # near-full unions: whole-column masks are fine
+            res = index.select_key(entry.condition, entry.values)
+            if res.unmatched:
+                return None
+            parts.append(np.asarray(res.ids, dtype=np.int64))
+        if len(parts) < 2:
+            return None  # single entries belong to the point/AND paths
+        ids = np.concatenate(parts)
+        ids = ids[(ids >= 0) & (ids < cap)]
+        if len(ids) > 1:
+            ids = np.unique(ids)
+        return ids[exists[ids]]
 
     def _eval_entries(self, ns: Namespace, entries: list, q: Query,
                       exists: np.ndarray, explain_sel: list,

@@ -109,6 +109,52 @@ def test_or_falls_back_to_mask_path(db):
     assert fast == mask
 
 
+def _both_or_paths(db, q):
+    sel = db._selecter
+    used = []
+    orig = sel._fast_or_rows
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        used.append(r is not None)
+        return r
+
+    sel._fast_or_rows = spy
+    try:
+        got_fast = _results(db, q)
+    finally:
+        sel._fast_or_rows = orig
+    sel._fast_or_rows = lambda *a, **k: None
+    try:
+        got_mask = _results(db, q)
+    finally:
+        sel._fast_or_rows = orig
+    return got_fast, got_mask, any(used)
+
+
+def test_pure_or_union_equivalence(db):
+    q = (Query("ns").where("grp", "=", 1).op_or().where("grp", "=", 4)
+         .op_or().where("name", "=", "n5"))
+    fast, mask, used = _both_or_paths(db, q)
+    assert used and fast == mask and fast
+
+
+def test_or_with_array_arm(db):
+    q = Query("ns").where("grp", "=", 2).op_or().where("tags", "in", [7])
+    fast, mask, used = _both_or_paths(db, q)
+    assert used and fast == mask
+    rows = [r for r, _ in fast]
+    assert len(rows) == len(set(rows))
+
+
+def test_mixed_and_or_uses_mask_path(db):
+    q = (Query("ns").where("grp", "=", 1).where("year", ">", 2005)
+         .op_or().where("grp", "=", 2))
+    fast, mask, used = _both_or_paths(db, q)
+    assert not used  # AND+OR mix stays on the mask path
+    assert fast == mask
+
+
 def test_large_driver_falls_back(db):
     # driver estimate above the cap -> mask path (still correct)
     q = Query("ns").where("year", ">", 1990)
