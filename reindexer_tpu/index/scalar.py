@@ -119,9 +119,11 @@ class HashIndex(Index):
 
     def first_row(self, value: Any) -> Optional[int]:
         """Cheap single-key peek for PK lookups (the mutation-source sets
-        are authoritative; skips SelectKeyResult construction)."""
-        s = self._post.sets.get(coerce_scalar(value,
-                                              self.definition.field_type))
+        are authoritative; skips SelectKeyResult construction). Routes
+        through _keys_of so subclass key packing (UuidIndex 128-bit ints)
+        stays in effect."""
+        keys = self._keys_of((value,))
+        s = self._post.sets.get(keys[0]) if keys else None
         if s:
             return next(iter(s))
         return None

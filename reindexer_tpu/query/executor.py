@@ -538,6 +538,8 @@ class Selecter:
             if op == OpType.OR:
                 return None
             if isinstance(entry, (AlwaysTrue, JoinedQuery)):
+                if isinstance(entry, AlwaysTrue) and op == OpType.NOT:
+                    return None  # NOT AlwaysTrue = empty set; mask path owns it
                 costed.append((op, entry, self._entry_cost(ns, entry)))
                 continue
             if not isinstance(entry, QueryEntry):
@@ -548,6 +550,10 @@ class Selecter:
             if pair is not None and (pair[1].is_fulltext or pair[1].is_vector):
                 return None
             cost = self._entry_cost(ns, entry)
+            if cost[0] >= 40:
+                # raw per-doc comparator entry: the probe loop would bail
+                # mid-way anyway — reject before paying the driver lookup
+                return None
             costed.append((op, entry, cost))
             # cost class 10 == supporting index; cost[1] is its estimate
             if op == OpType.AND and cost[0] == 10 and cost[1] <= est_cap:
@@ -1090,15 +1096,22 @@ class Selecter:
                     doc = ns.get_item(int(row))
                     if doc is None:
                         continue
+                    if not need_matches:
+                        for key in self._join_key_variants(doc, jq, "left"):
+                            if j_keys.get(key):
+                                mask[row] = True
+                                break
+                        continue
                     hit: list = []
+                    seen: set = set()
                     for key in self._join_key_variants(doc, jq, "left"):
-                        h = j_keys.get(key)
-                        if h:
-                            hit.extend(r for r in h if r not in hit)
+                        for r in j_keys.get(key, ()):
+                            if r not in seen:
+                                seen.add(r)
+                                hit.append(r)
                     if hit:
                         mask[row] = True
-                        if need_matches:
-                            matches[int(row)] = hit
+                        matches[int(row)] = hit
                 return mask, matches
 
             # general path — numeric ON-conditions evaluate as chunked

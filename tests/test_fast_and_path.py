@@ -223,6 +223,26 @@ def test_fast_path_after_schema_change(db):
     assert any(r == db.get_namespace("ns").find_by_pk(900) for r, _ in fast)
 
 
+def test_uuid_pk_upsert_dedup():
+    # regression: first_row must route through the subclass key packing
+    # (UuidIndex keys postings by 128-bit ints, not canonical strings) —
+    # a miss here made upserts duplicate instead of replace
+    d = Reindexer()
+    d.open_namespace("u", [
+        IndexDef("id", "hash", "uuid", opts=IndexOpts(is_pk=True)),
+        IndexDef("v", "hash", "int"),
+    ])
+    uid = "123e4567-e89b-12d3-a456-426614174000"
+    d.upsert("u", {"id": uid, "v": 1})
+    d.upsert("u", {"id": uid.upper(), "v": 2})  # same PK, different casing
+    ns = d.get_namespace("u")
+    assert ns.item_count() == 1
+    r = [it.doc for it in d.select(Query("u").where("id", "=", uid))]
+    assert len(r) == 1 and r[0]["v"] == 2
+    assert d.delete("u", {"id": uid})
+    assert ns.item_count() == 0
+
+
 def test_random_conjunctions_match_mask_path(db):
     rng = np.random.default_rng(3)
     conds = [
