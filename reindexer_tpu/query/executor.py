@@ -1585,9 +1585,13 @@ class Selecter:
     def _matched_rows(self, q: Query) -> tuple[Namespace, np.ndarray]:
         ns = self.db.get_namespace(q.namespace)
         exists = ns.exists_mask()
-        mask, _ = self._eval_entries(ns, q.entries, q, exists, [])
-        mask &= exists
-        rows = np.flatnonzero(mask).astype(np.int64)
+        rows = self._fast_and_rows(ns, q, exists)
+        if rows is None:
+            rows = self._fast_or_rows(ns, q, exists)
+        if rows is None:
+            mask, _ = self._eval_entries(ns, q.entries, q, exists, [])
+            mask = mask & exists
+            rows = np.flatnonzero(mask).astype(np.int64)
         if q.sorts or q.offset_ or q.limit_ is not None:
             rows, _, _ = self._sort_rows(ns, q, rows, {})
             lo = q.offset_
