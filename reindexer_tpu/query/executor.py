@@ -51,6 +51,29 @@ _NUM_JOIN_OPS = {CondType.EQ: np.equal, CondType.LT: np.less,
                  CondType.GE: np.greater_equal}
 
 
+_SCALAR_NATIVE: Any = None
+_SCALAR_NATIVE_TRIED = False
+
+
+def _scalar_native():
+    """Lazily-built C fast lane for id-space AND/NOT conjunctions
+    (csrc/scalar_native.cpp — the native analog of the reference's C++
+    selectLoop, nsselecter.cc). Returns None when disabled
+    (RX_SCALAR_NATIVE=0) or no compiler is available; callers fall back to
+    the pure-Python paths, which are semantically identical."""
+    global _SCALAR_NATIVE, _SCALAR_NATIVE_TRIED
+    if not _SCALAR_NATIVE_TRIED:
+        _SCALAR_NATIVE_TRIED = True
+        import os
+        if os.environ.get("RX_SCALAR_NATIVE", "1") != "0":
+            from .. import csrc
+            mod = csrc.load("scalar_native", "scalar_native.cpp")
+            if mod is not None:
+                mod.setup(QueryEntry, JoinedQuery)
+            _SCALAR_NATIVE = mod
+    return _SCALAR_NATIVE
+
+
 class Selecter:
     """Executes select/update/delete queries against the database facade."""
 
@@ -520,6 +543,39 @@ class Selecter:
     # below, which pays O(namespace) per entry regardless of selectivity)
     _FAST_AND_MAX_DRIVER = 4096
 
+    def _native_and_rows(self, ns: Namespace,
+                         q: Query) -> Optional[np.ndarray]:
+        """One-call C evaluation of an all-AND/NOT conjunction
+        (csrc/scalar_native.cpp). The C side walks the live posting
+        dicts/sets and Column buffers under the namespace lock and returns
+        sorted live row ids; join entries come back as positions and are
+        probed here at the surviving candidate rows (AND/NOT probes
+        commute, so ordering joins last is result-identical). Returns None
+        on bail — any shape/type the C lane doesn't handle exactly like
+        the Python paths."""
+        mod = _scalar_native()
+        if mod is None:
+            return None
+        cache = getattr(ns, "_native_meta_cache", None)
+        if cache is None or cache[0] != ns.schema_version:
+            nmeta = mod.build_meta(self._fast_meta(ns)["fields"], ns.columns)
+            cache = (ns.schema_version, nmeta)
+            ns._native_meta_cache = cache
+        res = mod.eval_and(cache[1], q.entries, ns.items)
+        if res is None:
+            return None
+        buf, join_pos = res
+        ids = np.frombuffer(buf, dtype=np.int64)
+        for p in join_pos:
+            if not len(ids):
+                break
+            op, entry = q.entries[p]
+            m, _ = self._join_matches(ns, entry, need_matches=False,
+                                      only_rows=ids)
+            keep = m[ids]
+            ids = ids[~keep if op == OpType.NOT else keep]
+        return ids
+
     def _fast_and_rows(self, ns: Namespace, q: Query,
                        exists: np.ndarray) -> Optional[np.ndarray]:
         """Evaluate an all-AND/NOT conjunction in id space: drive from the
@@ -527,6 +583,9 @@ class Selecter:
         conditions only at those candidate rows. Returns sorted row ids, or
         None when the query shape doesn't qualify (the caller falls back to
         the mask path, which is always correct)."""
+        rows = self._native_and_rows(ns, q)
+        if rows is not None:
+            return rows
         entries = self._substitute_composite(ns, q.entries)
         cap = len(exists)
         fields = self._fast_meta(ns)["fields"]
