@@ -65,6 +65,7 @@ struct Ref {
 // once from Python via setup()
 static PyObject* g_qe_type = nullptr;       // query.QueryEntry
 static PyObject* g_jq_type = nullptr;       // query.JoinedQuery
+static PyObject* g_ri_type = nullptr;       // results.ResultItem (optional)
 
 static PyObject* S(const char* s) { return PyUnicode_InternFromString(s); }
 static PyObject *s_field, *s_condition, *s_values, *s__post, *s_sets,
@@ -799,10 +800,11 @@ static EvalStatus eval_conjunction(PyObject* meta, PyObject* entries,
 // Python surface
 // ---------------------------------------------------------------------
 static PyObject* setup(PyObject*, PyObject* args) {
-  PyObject *qe, *jq;
-  if (!PyArg_ParseTuple(args, "OO", &qe, &jq)) return nullptr;
-  if (!PyType_Check(qe) || !PyType_Check(jq)) {
-    PyErr_SetString(PyExc_TypeError, "setup expects two types");
+  PyObject *qe, *jq, *ri = nullptr;
+  if (!PyArg_ParseTuple(args, "OO|O", &qe, &jq, &ri)) return nullptr;
+  if (!PyType_Check(qe) || !PyType_Check(jq) ||
+      (ri && !PyType_Check(ri))) {
+    PyErr_SetString(PyExc_TypeError, "setup expects type objects");
     return nullptr;
   }
   Py_INCREF(qe);
@@ -811,7 +813,108 @@ static PyObject* setup(PyObject*, PyObject* args) {
   Py_INCREF(jq);
   Py_XDECREF(g_jq_type);
   g_jq_type = jq;
+  Py_XINCREF(ri);
+  Py_XDECREF(g_ri_type);
+  g_ri_type = ri;
   Py_RETURN_NONE;
+}
+
+// ---------------------------------------------------------------------
+// point_items(fm_capsule, cond, values, items, limit, ns_name)
+//   -> None (bail) | list[ResultItem]
+// The native core of executor._fast_point_select: probe the posting dict
+// for EQ/SET keys, take the first `limit` candidate rows (limit applies
+// BEFORE liveness filtering, mirroring `res.ids[:limit]` + the None-doc
+// skip in the Python loop), and materialize ResultItem(doc, row, None,
+// {}, ns_name) for each live row. Single-key probes keep the posting
+// set's iteration order (== np.fromiter(set) in the Python path);
+// multi-key SET probes sort + dedup (== np.unique(concatenate)).
+// Projection/vector stripping is not handled here: the caller only
+// enters with no select_filter and no vector-excluded paths.
+// ---------------------------------------------------------------------
+static PyObject* point_items(PyObject*, PyObject* args) {
+  PyObject *cap_obj, *values, *items, *ns_name;
+  long cond;
+  long long limit;  // -1: unlimited
+  if (!PyArg_ParseTuple(args, "OlOOLO", &cap_obj, &cond, &values, &items,
+                        &limit, &ns_name))
+    return nullptr;
+  if (!g_ri_type || !PyTuple_Check(values) || !PyList_Check(items))
+    Py_RETURN_NONE;
+  auto* fm =
+      static_cast<FieldMeta*>(PyCapsule_GetPointer(cap_obj, "rx.FieldMeta"));
+  if (!fm) {
+    PyErr_Clear();
+    Py_RETURN_NONE;
+  }
+  if (!fm->hash_ok || fm->unsupported || fm->fkind == FK_OTHER)
+    Py_RETURN_NONE;
+  if (cond != C_EQ && cond != C_SET) Py_RETURN_NONE;
+  const Py_ssize_t nv = PyTuple_GET_SIZE(values);
+  if (cond == C_EQ && nv != 1) Py_RETURN_NONE;
+  const long long cap = PyList_GET_SIZE(items);
+
+  // resolve posting sets with the exactness gates
+  std::vector<PyObject*> sets;  // borrowed
+  sets.reserve((size_t)nv);
+  for (Py_ssize_t k = 0; k < nv; k++) {
+    PyObject* v = PyTuple_GET_ITEM(values, k);
+    if (!value_ok_for_hash(v, fm->fkind)) Py_RETURN_NONE;
+    PyObject* s = PyDict_GetItemWithError(fm->sets, v);
+    if (!s) {
+      if (PyErr_Occurred()) return nullptr;
+      continue;
+    }
+    sets.push_back(s);
+  }
+
+  std::vector<long long> rows;
+  if (sets.size() == 1) {
+    // keep set-iteration order; collect raw ids (liveness applied below)
+    Ref it(PyObject_GetIter(sets[0]));
+    if (!it) return nullptr;
+    PyObject* o;
+    while ((o = PyIter_Next(it.get())) != nullptr) {
+      long long r = PyLong_AsLongLong(o);
+      Py_DECREF(o);
+      if (r == -1 && PyErr_Occurred()) return nullptr;
+      rows.push_back(r);
+    }
+    if (PyErr_Occurred()) return nullptr;
+  } else if (sets.size() > 1) {
+    for (PyObject* s : sets) {
+      Ref it(PyObject_GetIter(s));
+      if (!it) return nullptr;
+      PyObject* o;
+      while ((o = PyIter_Next(it.get())) != nullptr) {
+        long long r = PyLong_AsLongLong(o);
+        Py_DECREF(o);
+        if (r == -1 && PyErr_Occurred()) return nullptr;
+        rows.push_back(r);
+      }
+      if (PyErr_Occurred()) return nullptr;
+    }
+    std::sort(rows.begin(), rows.end());
+    rows.erase(std::unique(rows.begin(), rows.end()), rows.end());
+  }
+  if (limit >= 0 && (long long)rows.size() > limit) rows.resize(limit);
+
+  Ref out(PyList_New(0));
+  if (!out) return nullptr;
+  for (long long r : rows) {
+    if (r < 0 || r >= cap) continue;
+    PyObject* doc = PyList_GET_ITEM(items, r);  // borrowed
+    if (doc == Py_None) continue;
+    Ref row_obj(PyLong_FromLongLong(r));
+    Ref joined(PyDict_New());
+    if (!row_obj || !joined) return nullptr;
+    Ref item(PyObject_CallFunctionObjArgs(g_ri_type, doc, row_obj.get(),
+                                          Py_None, joined.get(), ns_name,
+                                          nullptr));
+    if (!item) return nullptr;
+    if (PyList_Append(out.get(), item.get()) < 0) return nullptr;
+  }
+  return out.release();
 }
 
 // eval_and(meta, entries, items)
@@ -847,7 +950,10 @@ static PyObject* eval_and(PyObject*, PyObject* args) {
 
 static PyMethodDef methods[] = {
     {"setup", setup, METH_VARARGS,
-     "setup(QueryEntry, JoinedQuery): install the query entry types"},
+     "setup(QueryEntry, JoinedQuery[, ResultItem]): install engine types"},
+    {"point_items", point_items, METH_VARARGS,
+     "point_items(fm, cond, values, items, limit, ns_name)"
+     " -> None | list[ResultItem]"},
     {"build_meta", build_meta, METH_VARARGS,
      "build_meta(fields, columns) -> {name: FieldMeta capsule}"},
     {"eval_and", eval_and, METH_VARARGS,

@@ -69,7 +69,7 @@ def _scalar_native():
             from .. import csrc
             mod = csrc.load("scalar_native", "scalar_native.cpp")
             if mod is not None:
-                mod.setup(QueryEntry, JoinedQuery)
+                mod.setup(QueryEntry, JoinedQuery, ResultItem)
             _SCALAR_NATIVE = mod
     return _SCALAR_NATIVE
 
@@ -346,6 +346,22 @@ class Selecter:
         with ns.lock:
             if meta["has_ttl"]:
                 ns.collect_expired()
+            # native point core: plain docs only (no projection, no vector
+            # paths to strip); bails to the Python loop otherwise
+            if not q.select_filter and not meta["vector_excl"]:
+                mod = _scalar_native()
+                if mod is not None:
+                    nm = self._native_meta(ns, mod)
+                    fm = nm.get(entry.field)
+                    if fm is not None:
+                        limit = q.limit_ if q.limit_ is not None else -1
+                        items = mod.point_items(fm, int(entry.condition),
+                                                entry.values, ns.items,
+                                                limit, ns.name)
+                        if items is not None:
+                            ns.perf.hit("selects",
+                                        time.perf_counter() - t0)
+                            return QueryResults(ns_name=ns.name, items=items)
             res = index.select_key(entry.condition, entry.values, copy=False)
             if res.unmatched:
                 return None
@@ -543,6 +559,17 @@ class Selecter:
     # below, which pays O(namespace) per entry regardless of selectivity)
     _FAST_AND_MAX_DRIVER = 4096
 
+    def _native_meta(self, ns: Namespace, mod) -> dict:
+        """Schema-versioned dict of FieldMeta capsules for the native lane
+        (strong refs to the in-place-mutated posting containers; rebuilt on
+        index add/drop, which bumps Namespace.schema_version)."""
+        cache = getattr(ns, "_native_meta_cache", None)
+        if cache is None or cache[0] != ns.schema_version:
+            nmeta = mod.build_meta(self._fast_meta(ns)["fields"], ns.columns)
+            cache = (ns.schema_version, nmeta)
+            ns._native_meta_cache = cache
+        return cache[1]
+
     def _native_and_rows(self, ns: Namespace,
                          q: Query) -> Optional[np.ndarray]:
         """One-call C evaluation of an all-AND/NOT conjunction
@@ -556,12 +583,7 @@ class Selecter:
         mod = _scalar_native()
         if mod is None:
             return None
-        cache = getattr(ns, "_native_meta_cache", None)
-        if cache is None or cache[0] != ns.schema_version:
-            nmeta = mod.build_meta(self._fast_meta(ns)["fields"], ns.columns)
-            cache = (ns.schema_version, nmeta)
-            ns._native_meta_cache = cache
-        res = mod.eval_and(cache[1], q.entries, ns.items)
+        res = mod.eval_and(self._native_meta(ns, mod), q.entries, ns.items)
         if res is None:
             return None
         buf, join_pos = res
